@@ -1,0 +1,197 @@
+"""Time-alignment joins — the reference's workhorse operators J1/J2.
+
+Reference (`seaexplorertools/process_adcp.py`):
+
+- J1 ``interp`` (:144-146): ``interp1d(x[finite], y[finite],
+  bounds_error=False, fill_value=NaN)(xi)`` — 1-D linear interpolation of a
+  sample series onto probe times; NULL outside the sample hull; per-column
+  finite-pair skipping. ~12 call sites (:169-192, :851-856, :1237, :1338,
+  :1402-1403, :1778-1787).
+- J2 nearest/as-of (:1503-1507, :1523-1525): for each probe, index of the
+  nearest sample by |Δt| (np.argmin → FIRST minimum, i.e. earlier sample
+  wins ties).
+
+Spark-first design — union + ordered window, not a range join
+-------------------------------------------------------------
+Both joins are expressed as: union the probe rows into the sample stream,
+sort once per partition by (t, side), and take ``last(...ignoreNulls)`` /
+``first(...ignoreNulls)`` to find the bracketing samples, then blend. This
+is a single shuffle + sort (no O(|samples|×|probes|) range-join risk), and
+every value column shares the same exchange/sort — Catalyst reuses one
+Window physical node for all of them.
+
+Scale notes
+-----------
+- Always pass ``partition_by`` (mission / dive / device / user) — the union
+  window then parallelizes per key.
+- For one giant un-keyed time series, pass ``bucket=<seconds-ish width in
+  the same units as the time column>``: samples are replicated into their
+  own + both neighbor buckets, probes into their own, and the window runs
+  per (partition, bucket). Exact as long as the bracketing samples of any
+  probe lie within ± one bucket width (i.e. bucket > max sample gap);
+  3× sample replication buys unbounded parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__side"
+_T = "__t"
+_BUCKET = "__bucket"
+_HOME = "__home_bucket"
+
+
+def _prep(
+    samples: DataFrame,
+    probes: DataFrame,
+    on: str,
+    values: list[str],
+    partition_by: list[str],
+    bucket: float | None,
+):
+    """Union samples (side=0) and probes (side=1) on a common schema."""
+    s = samples.select(
+        *partition_by,
+        F.col(on).cast("double").alias(_T),
+        *[F.col(v).cast("double").alias(v) for v in values],
+        F.lit(0).alias(_SIDE),
+    )
+    probe_cols = [c for c in probes.columns if c not in values]
+    p = probes.select(
+        *probe_cols,
+        F.col(on).cast("double").alias(_T),
+        *[F.lit(None).cast("double").alias(v) for v in values],
+        F.lit(1).alias(_SIDE),
+    )
+    u = s.unionByName(p, allowMissingColumns=True)
+    part_cols = list(partition_by)
+    if bucket is not None:
+        u = u.withColumn(_HOME, F.floor(F.col(_T) / F.lit(float(bucket))))
+        # samples fan out to {b-1, b, b+1}; probes stay in their own bucket
+        offsets = F.when(F.col(_SIDE) == 0, F.array(F.lit(-1), F.lit(0), F.lit(1))).otherwise(
+            F.array(F.lit(0))
+        )
+        u = (
+            u.withColumn("__off", F.explode(offsets))
+            .withColumn(_BUCKET, F.col("__off") + F.col(_HOME))
+            .drop("__off")
+        )
+        part_cols = part_cols + [_BUCKET]
+    return u, part_cols
+
+
+def interp_join(
+    samples: DataFrame,
+    probes: DataFrame,
+    on: str,
+    values: list[str],
+    partition_by: list[str] | None = None,
+    bucket: float | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """J1 — linear-interpolation join.
+
+    Returns ``probes`` plus one interpolated column per entry in ``values``
+    (named ``value + suffix``). ``on`` must be numeric/castable-to-double
+    (use an epoch-seconds column for timestamps). NULL outside the sample
+    hull, exact value at exact time matches, per-value NULL-pair skipping —
+    the reference's interp1d semantics.
+    """
+    partition_by = partition_by or []
+    u, part_cols = _prep(samples, probes, on, values, partition_by, bucket)
+
+    w = Window.partitionBy(*part_cols).orderBy(_T, _SIDE)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    # samples sort before probes at equal t (side 0 < 1), so "preceding"
+    # includes a sample at exactly t; t == prev_t then returns prev_v exactly.
+    out = u
+    result_cols = []
+    for v in values:
+        sample_t = F.when(F.col(v).isNotNull() & (F.col(_SIDE) == 0), F.col(_T))
+        sample_v = F.when(F.col(_SIDE) == 0, F.col(v))
+        prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
+        prev_v = F.last(sample_v, ignorenulls=True).over(w_prev)
+        next_t = F.first(sample_t, ignorenulls=True).over(w_next)
+        next_v = F.first(sample_v, ignorenulls=True).over(w_next)
+        frac = (F.col(_T) - prev_t) / F.nullif(next_t - prev_t, F.lit(0.0))
+        interp = (
+            F.when(prev_t.isNull(), F.lit(None).cast("double"))
+            .when(F.col(_T) == prev_t, prev_v)
+            .when(next_t.isNull(), F.lit(None).cast("double"))
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
+        name = v + suffix if suffix else v
+        out = out.withColumn(name, interp)
+        result_cols.append(name)
+
+    out = out.filter(F.col(_SIDE) == 1)
+    if bucket is not None:
+        out = out.filter(F.col(_BUCKET) == F.col(_HOME))
+    drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
+    return out.drop(*drop)
+
+
+def asof_join(
+    samples: DataFrame,
+    probes: DataFrame,
+    on: str,
+    values: list[str],
+    partition_by: list[str] | None = None,
+    direction: str = "nearest",
+    tolerance: float | None = None,
+    bucket: float | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """J2 — as-of join: attach the sample row's values at the nearest /
+    latest-before / earliest-after sample time.
+
+    ``direction``: 'nearest' (reference argmin-|Δt|, earlier wins ties),
+    'backward' (classic as-of), 'forward'. ``tolerance`` drops matches with
+    |Δt| > tolerance (NULL result).
+    """
+    partition_by = partition_by or []
+    u, part_cols = _prep(samples, probes, on, values, partition_by, bucket)
+
+    w = Window.partitionBy(*part_cols).orderBy(_T, _SIDE)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    is_sample = F.col(_SIDE) == 0
+    sample_t = F.when(is_sample, F.col(_T))
+    prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
+    next_t = F.first(sample_t, ignorenulls=True).over(w_next)
+
+    d_prev = F.col(_T) - prev_t
+    d_next = next_t - F.col(_T)
+    if direction == "backward":
+        use_prev = prev_t.isNotNull()
+    elif direction == "forward":
+        use_prev = F.lit(False)
+    else:  # nearest: earlier sample wins ties (np.argmin first-minimum)
+        use_prev = prev_t.isNotNull() & (next_t.isNull() | (d_prev <= d_next))
+
+    out = u
+    result_cols = []
+    for v in values:
+        sample_v = F.when(is_sample, F.col(v))
+        prev_v = F.last(sample_v, ignorenulls=True).over(w_prev)
+        next_v = F.first(sample_v, ignorenulls=True).over(w_next)
+        if direction == "backward":
+            picked = F.when(use_prev, prev_v)
+        else:
+            picked = F.when(use_prev, prev_v).otherwise(next_v)
+        if tolerance is not None:
+            dist = F.when(use_prev, d_prev).otherwise(d_next)
+            picked = F.when(dist <= F.lit(float(tolerance)), picked)
+        name = v + suffix if suffix else v
+        out = out.withColumn(name, picked)
+        result_cols.append(name)
+
+    out = out.filter(F.col(_SIDE) == 1)
+    if bucket is not None:
+        out = out.filter(F.col(_BUCKET) == F.col(_HOME))
+    drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
+    return out.drop(*drop)

@@ -1,0 +1,94 @@
+"""interp_join / asof_join vs numpy/scipy ground truth (reference semantics:
+process_adcp.py:144-146 interp1d NaN-fill; :1503-1507 argmin-|dt| nearest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from seaexplorertools_spark.operators.joins import asof_join, interp_join
+
+
+def _ref_interp(x, y, xi):
+    gg = np.isfinite(x + y)
+    xg, yg = x[gg], y[gg]
+    out = np.interp(xi, xg, yg, left=np.nan, right=np.nan)
+    # np.interp clamps at the right edge; reference interp1d returns NaN
+    # strictly outside the hull but the exact right-edge point is inside.
+    out[xi > xg.max()] = np.nan
+    out[xi < xg.min()] = np.nan
+    return out
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rng = np.random.default_rng(7)
+    t_s = np.sort(rng.uniform(0, 1000, 300))
+    v = np.sin(t_s / 50.0) * 10
+    v[rng.integers(0, 300, 30)] = np.nan  # null holes → finite-pair skipping
+    t_p = np.sort(rng.uniform(-50, 1100, 200))
+    samples = spark.createDataFrame(
+        [(float(a), None if np.isnan(b) else float(b)) for a, b in zip(t_s, v)],
+        "t double, v double",
+    )
+    probes = spark.createDataFrame([(int(i), float(a)) for i, a in enumerate(t_p)], "pid long, t double")
+    return t_s, v, t_p, samples, probes
+
+
+def test_interp_join_matches_numpy(series):
+    t_s, v, t_p, samples, probes = series
+    got = {
+        r["pid"]: r["vi"]
+        for r in interp_join(samples, probes, on="t", values=["v"], suffix="i")
+        .select("pid", "vi")
+        .collect()
+    }
+    want = _ref_interp(t_s, v, t_p)
+    got_arr = np.array([np.nan if got[i] is None else got[i] for i in range(len(t_p))])
+    assert np.allclose(got_arr, want, equal_nan=True, rtol=1e-9, atol=1e-12)
+
+
+def test_interp_join_bucketed_matches_global(series):
+    t_s, v, t_p, samples, probes = series
+    glob = interp_join(samples, probes, on="t", values=["v"], suffix="i")
+    buck = interp_join(samples, probes, on="t", values=["v"], bucket=100.0, suffix="i")
+    g = {r["pid"]: r["vi"] for r in glob.select("pid", "vi").collect()}
+    b = {r["pid"]: r["vi"] for r in buck.select("pid", "vi").collect()}
+    assert set(g) == set(b)
+    for k in g:
+        if g[k] is None:
+            assert b[k] is None
+        else:
+            assert b[k] == pytest.approx(g[k], rel=1e-12)
+
+
+def test_interp_join_exact_hit(spark):
+    samples = spark.createDataFrame([(0.0, 1.0), (10.0, 3.0)], "t double, v double")
+    probes = spark.createDataFrame([(10.0,), (0.0,), (5.0,), (11.0,)], "t double")
+    rows = {r["t"]: r["v"] for r in interp_join(samples, probes, "t", ["v"]).collect()}
+    assert rows[0.0] == 1.0 and rows[10.0] == 3.0 and rows[5.0] == 2.0 and rows[11.0] is None
+
+
+def test_asof_nearest_matches_argmin(series):
+    t_s, v, t_p, samples, probes = series
+    got = {
+        r["pid"]: r["tm"]
+        for r in asof_join(
+            samples.select("t", samples.t.alias("tv")), probes, on="t", values=["tv"], suffix="m"
+        )
+        .withColumnRenamed("tvm", "tm")
+        .collect()
+    }
+    for i, tp in enumerate(t_p):
+        idx = int(np.argmin(np.abs(tp - t_s)))
+        assert got[i] == pytest.approx(t_s[idx], rel=1e-12), i
+
+
+def test_asof_backward_and_tolerance(spark):
+    samples = spark.createDataFrame([(0.0, 1.0), (10.0, 3.0)], "t double, v double")
+    probes = spark.createDataFrame([(-1.0,), (4.0,), (9.0,), (100.0,)], "t double")
+    back = {r["t"]: r["v"] for r in asof_join(samples, probes, "t", ["v"], direction="backward").collect()}
+    assert back[-1.0] is None and back[4.0] == 1.0 and back[9.0] == 1.0 and back[100.0] == 3.0
+    tol = {r["t"]: r["v"] for r in asof_join(samples, probes, "t", ["v"], tolerance=5.0).collect()}
+    assert tol[-1.0] == 1.0 and tol[4.0] == 1.0 and tol[9.0] == 3.0 and tol[100.0] is None
