@@ -1,0 +1,849 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Conventions (these make the driver's order-insensitive value-hash match):
+
+- Every computed/aggregate column is aliased IDENTICALLY in the Spark code
+  and the oracle SQL.
+- Every float expression is rounded to 6 decimals ON BOTH SIDES — Spark and
+  DuckDB agree to well below 1e-6 on identical inputs, so rounding removes
+  summation-order and libm noise without hiding real bugs.
+- ``events.ts`` is nanosecond parquet. Spark needs
+  ``spark.sql.legacy.parquet.nanosAsLong`` (set per-read below; the session
+  belongs to the driver) and sees BIGINT nanos; DuckDB truncates to µs —
+  so all event times are normalized to BIGINT microseconds via ``ts div
+  1000`` vs ``epoch_us(ts)``.
+- ``o_orderdate`` / ``l_shipdate`` are parquet µs → Spark ``timestamp_ntz``,
+  which compares tz-safely against DuckDB's naive TIMESTAMP.
+- All SQL is ANSI-safe (guarded divisions) because the driver may run the
+  session with ``spark.sql.ansi.enabled=true`` (Spark 4 default).
+
+Reference citations (`/root/reference/seaexplorertools/process_adcp.py`)
+are on each query; the operator IDs (P1.., J1.., A1.., W1.., F1..) are
+SURVEY.md §2's inventory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import windows as W
+from .operators.grid import binned_agg_2d, histogram
+from .operators.joins import asof_join, interp_join
+from .operators.qc import qc_velocity
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def r6(c):
+    return F.round(c, 6)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts_us BIGINT (µs, matches DuckDB's ns→µs truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# per-user event ordering used by every window query (stable tiebreaker)
+EV_ORDER = ["ts_us", "event_id"]
+
+
+# ---------------------------------------------------------------------------
+# S/P — scans, projections, predicates (SURVEY §2.1–2.2)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s1_scan_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-01-01'
+    """,
+)
+def s1_scan_project(spark, sf_dir):
+    """S1/P1 — projection + derived column + pushdown filter
+    (reference load(): process_adcp.py:80-114, sel_cols :83-92)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1995-01-01").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        r6(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@q(
+    "p2_row_filter",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE value < 20.0 AND event_type = 'view'
+    """,
+)
+def p2_row_filter(spark, sf_dir):
+    """P2 — row-range predicate (reference tests/test_adcp_processing.py:28-29)."""
+    ev = events(spark, sf_dir)
+    return ev.filter((F.col("value") < 20.0) & (F.col("event_type") == "view")).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@q(
+    "p3_qc_mask",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount < 0.02 OR l_tax > 0.06 OR abs(l_quantity) > 45
+                THEN NULL ELSE l_extendedprice END AS price_qc
+    FROM lineitem
+    """,
+)
+def p3_qc_mask(spark, sf_dir):
+    """P3 — QC threshold masking (reference remove_outliers :517-538):
+    correlation-floor / amplitude-ceiling / velocity-magnitude analogue."""
+    li = table(spark, sf_dir, "lineitem").withColumnsRenamed(
+        {
+            "l_extendedprice": "velocity_beam1",
+            "l_discount": "correlation_beam1",
+            "l_tax": "amplitude_beam1",
+        }
+    )
+    out = qc_velocity(
+        li.withColumn("qty_abs_src", F.col("l_quantity")),
+        beams=[1],
+        corr_min=0.02,
+        amp_max=0.06,
+        vel_max=float("inf"),
+    )
+    # the |velocity|>thr leg maps to |l_quantity|>45 here (separate column)
+    masked = F.when(F.abs(F.col("l_quantity")) > 45, F.lit(None).cast("double")).otherwise(
+        F.col("velocity_beam1")
+    )
+    return out.select("l_orderkey", "l_linenumber", masked.alias("price_qc"))
+
+
+@q(
+    "p4_flag_predicate",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    WHERE event_type = 'signup' AND value > 10.0
+    """,
+)
+def p4_flag_predicate(spark, sf_dir):
+    """P4 — GPS-fix-style boolean predicate (reference :1335
+    ``(DeadReckoning < 1) & (NAV_RESOURCE == 116)``)."""
+    ev = events(spark, sf_dir)
+    return ev.filter((F.col("event_type") == "signup") & (F.col("value") > 10.0)).select(
+        "event_id", "user_id", "ts_us"
+    )
+
+
+@q(
+    "p6_bin_discard",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber >= 3",
+)
+def p6_bin_discard(spark, sf_dir):
+    """P6 — drop first N range bins (ADCP_discardFirstBins)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") >= 3).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q(
+    "p7_finite_pair",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice + l_quantity, 6) AS pair_sum
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    """,
+)
+def p7_finite_pair(spark, sf_dir):
+    """P7 — np.isfinite(x+y) mask before interpolation (reference :144-146)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()).select(
+        "l_orderkey", "l_linenumber", r6(F.col("l_extendedprice") + F.col("l_quantity")).alias("pair_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_interp_join",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             lead(epoch_us(ts)) OVER w AS nt, lead(value) OVER w AS nv
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.t AS t_us,
+           round(CASE WHEN p.t = s.t THEN s.value
+                      WHEN s.nt IS NULL THEN NULL
+                      ELSE s.value + (s.nv - s.value) * ((p.t - s.t) / (s.nt - s.t))
+                 END, 6) AS value_i
+    FROM p LEFT JOIN s
+      ON p.user_id = s.user_id AND p.t >= s.t AND (p.t < s.nt OR s.nt IS NULL)
+    """,
+)
+def j1_interp_join(spark, sf_dir):
+    """J1 — linear-interpolation join (reference interp :144-146, ~12 call
+    sites): view-event values interpolated at purchase times per user."""
+    ev = events(spark, sf_dir)
+    samples = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us", "value")
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    out = interp_join(samples, probes, on="ts_us", values=["value"], partition_by=["user_id"], suffix="_i")
+    return out.select(
+        "event_id", "user_id", F.col("ts_us").alias("t_us"), r6(F.col("value_i")).alias("value_i")
+    )
+
+
+@q(
+    "j2_asof_nearest",
+    """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+    prev AS (
+      SELECT p.event_id, max(s.t) AS pt FROM p JOIN s ON s.user_id = p.user_id AND s.t <= p.t
+      GROUP BY p.event_id
+    ),
+    nxt AS (
+      SELECT p.event_id, min(s.t) AS nt FROM p JOIN s ON s.user_id = p.user_id AND s.t > p.t
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN prev.pt IS NOT NULL AND (nxt.nt IS NULL OR (p.t - prev.pt) <= (nxt.nt - p.t))
+                THEN sp.value ELSE sn.value END AS v_near,
+           CASE WHEN prev.pt IS NOT NULL AND (nxt.nt IS NULL OR (p.t - prev.pt) <= (nxt.nt - p.t))
+                THEN p.t - prev.pt ELSE nxt.nt - p.t END AS dt_us
+    FROM p
+    LEFT JOIN prev ON p.event_id = prev.event_id
+    LEFT JOIN nxt ON p.event_id = nxt.event_id
+    LEFT JOIN s sp ON sp.user_id = p.user_id AND sp.t = prev.pt
+    LEFT JOIN s sn ON sn.user_id = p.user_id AND sn.t = nxt.nt
+    """,
+)
+def j2_asof_nearest(spark, sf_dir):
+    """J2 — nearest-|Δt| as-of join (reference :1503-1507 argmin loop):
+    nearest click value for each purchase, earlier wins ties."""
+    ev = events(spark, sf_dir)
+    samples = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts_us", "value", F.col("ts_us").cast("double").alias("t_s"))
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    out = asof_join(samples, probes, on="ts_us", values=["value", "t_s"], partition_by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("v_near"),
+        F.abs(F.col("ts_us").cast("double") - F.col("t_s")).cast("long").alias("dt_us"),
+    )
+
+
+@q(
+    "j2b_asof_backward",
+    """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+    prev AS (
+      SELECT p.event_id, max(s.t) AS pt FROM p JOIN s ON s.user_id = p.user_id AND s.t <= p.t
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, sp.value AS v_before
+    FROM p LEFT JOIN prev ON p.event_id = prev.event_id
+    LEFT JOIN s sp ON sp.user_id = p.user_id AND sp.t = prev.pt
+    """,
+)
+def j2b_asof_backward(spark, sf_dir):
+    """J2 — classic backward as-of (scatter-back pattern, reference :1586-1595)."""
+    ev = events(spark, sf_dir)
+    samples = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us", "value")
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    out = asof_join(samples, probes, on="ts_us", values=["value"], partition_by=["user_id"], direction="backward")
+    return out.select("event_id", "user_id", F.col("value").alias("v_before"))
+
+
+@q(
+    "j4_broadcast_dim",
+    """
+    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j4_broadcast_dim(spark, sf_dir):
+    """J4 — broadcast dim join (reference per-bin correction arrays :762,
+    :843-846 → small dim table joined on bin). part is the small side →
+    explicit broadcast()."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "j5_scalar_broadcast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 1.0423, 6) AS adj_price
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def j5_scalar_broadcast(spark, sf_dir):
+    """J5 — driver-side scalar applied as a literal (reference declination
+    :77, geomag target :341, soundspeed coeff :1978-1984)."""
+    li = table(spark, sf_dir, "lineitem")
+    coeff = 1.0423  # stands in for the driver-side fetched scalar
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber", r6(F.col("l_extendedprice") * F.lit(coeff)).alias("adj_price")
+    )
+
+
+@q(
+    "j0_equi_3way",
+    """
+    SELECT c.c_mktsegment, n.n_name,
+           round(sum(o.o_totalprice), 4) AS total, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment, n.n_name
+    """,
+)
+def j0_equi_3way(spark, sf_dir):
+    """Spark-native equi-join surface (SURVEY §2.3 note: the reference has no
+    hash joins; the engine gets them from df.join). 3-way star join with
+    broadcast dims."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total"), F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a1_grid2d_mean",
+    """
+    SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS xbin,
+           CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS ybin,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(l_tax) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a1_grid2d_mean(spark, sf_dir):
+    """A1 — grid2d, THE core operator (reference :117-134, ~20 call sites).
+    One shuffle, all variables aggregated together (the reference re-buckets
+    per variable; see SURVEY §4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return binned_agg_2d(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        {
+            "avg_disc": r6(F.avg("l_discount")),
+            "sum_qty": r6(F.sum("l_quantity")),
+            "n": F.count("l_tax"),
+        },
+        x_origin=0,
+        x_width=5,
+        y_origin=0,
+        y_width=10000,
+    )
+
+
+@q(
+    "a1_grid2d_median",
+    """
+    SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS xbin,
+           CAST(floor(l_extendedprice / 20000.0) AS BIGINT) AS ybin,
+           round(median(l_tax), 6) AS med_tax,
+           round(median(l_discount), 6) AS med_disc
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a1_grid2d_median(spark, sf_dir):
+    """A1 — grid2d with exact median (reference grid2d('median') :1703;
+    exact F.median, never percentile_approx, to hash-match the oracle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return binned_agg_2d(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        {"med_tax": r6(F.median("l_tax")), "med_disc": r6(F.median("l_discount"))},
+        x_origin=0,
+        x_width=10,
+        y_origin=0,
+        y_width=20000,
+    )
+
+
+@q(
+    "a2_global_scalars",
+    """
+    SELECT count(*) AS n, round(avg(value), 6) AS mean_v,
+           round(stddev(value), 6) AS std_v, round(median(value), 6) AS med_v
+    FROM events
+    """,
+)
+def a2_global_scalars(spark, sf_dir):
+    """A2 — global scalar aggregates (reference orientation detect :210-213,
+    nanmedian :316-318)."""
+    ev = events(spark, sf_dir)
+    return ev.agg(
+        F.count("*").alias("n"),
+        r6(F.avg("value")).alias("mean_v"),
+        r6(F.stddev("value")).alias("std_v"),
+        r6(F.median("value")).alias("med_v"),
+    )
+
+
+@q(
+    "a3_per_bin_stats",
+    """
+    SELECT event_type, round(avg(value), 6) AS mean_v, round(stddev(value), 6) AS std_v,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_per_bin_stats(spark, sf_dir):
+    """A3 — per-bin mean/std over time (reference max-usable-range pick
+    :888-891, mean amplitude per bin :867-868)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        r6(F.avg("value")).alias("mean_v"),
+        r6(F.stddev("value")).alias("std_v"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "a4_class_means",
+    """
+    SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS spd_class, l_returnflag,
+           round(avg(l_extendedprice), 6) AS mean_price, count(*) AS n
+    FROM lineitem WHERE l_quantity > 5
+    GROUP BY 1, 2
+    """,
+)
+def a4_class_means(spark, sf_dir):
+    """A4 — speed-conditioned class means (reference get_correction_array
+    :712-746: per speed-class per-bin mean profiles)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 5)
+        .groupBy(
+            F.floor(F.col("l_quantity") / 10.0).cast("long").alias("spd_class"),
+            "l_returnflag",
+        )
+        .agg(r6(F.avg("l_extendedprice")).alias("mean_price"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "a5_per_profile_mean",
+    """
+    SELECT o_custkey, round(avg(o_totalprice), 6) AS mean_total, count(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a5_per_profile_mean(spark, sf_dir):
+    """A5 — per-profile axis aggregation (reference :1652-1653)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        r6(F.avg("o_totalprice")).alias("mean_total"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "a6_distinct_days",
+    """
+    SELECT DISTINCT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day_idx
+    FROM lineitem
+    """,
+)
+def a6_distinct_days(spark, sf_dir):
+    """A6 — distinct rounded days (reference :1654 np.unique(time.round('D'))).
+    Day index vs epoch date — integer, tz-free for NTZ timestamps."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx")
+    ).distinct()
+
+
+@q(
+    "a7_group_max_broadcast",
+    """
+    SELECT event_id, round(max(value) OVER (PARTITION BY user_id) - value, 6) AS below_max
+    FROM events
+    """,
+)
+def a7_group_max_broadcast(spark, sf_dir):
+    """A7 — per-profile max broadcast back (reference :1509-1517 loop →
+    window max, no loop)."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id", r6(F.max("value").over(w) - F.col("value")).alias("below_max")
+    )
+
+
+@q(
+    "a8_first_last_per_group",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rl
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id,
+           min(CASE WHEN rf = 1 THEN event_id END) AS first_id,
+           min(CASE WHEN rl = 1 THEN event_id END) AS last_id,
+           round(min(CASE WHEN rf = 1 THEN value END), 6) AS first_v,
+           round(min(CASE WHEN rl = 1 THEN value END), 6) AS last_v
+    FROM r GROUP BY user_id
+    """,
+)
+def a8_first_last_per_group(spark, sf_dir):
+    """A8 — per-dive first/last GPS row (reference :1352-1369) via min_by/max_by."""
+    ev = events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).alias("first_id"),
+        F.max_by("event_id", key).alias("last_id"),
+        r6(F.min_by("value", key)).alias("first_v"),
+        r6(F.max_by("value", key)).alias("last_v"),
+    )
+
+
+_T0_US = 1704067200000000  # 2024-01-01 epoch µs; events start here
+
+
+@q(
+    "a9_filtered_group_median",
+    f"""
+    SELECT user_id, round(median(value), 6) AS med_v,
+           round(CAST(sum(epoch_us(ts) - {_T0_US}) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_t_rel,
+           count(*) AS n
+    FROM events WHERE event_type = 'click' AND value < 50.0
+    GROUP BY user_id
+    """,
+)
+def a9_filtered_group_median(spark, sf_dir):
+    """A9 — per-dive surface-drift medians (reference :1456-1464:
+    gap-filtered per-dive nanmedian/nanmean). The mean time is computed as
+    an EXACT BIGINT sum relative to a base, then one double division —
+    avg() over 1e15-µs longs differs between engines in the last ulp."""
+    ev = events(spark, sf_dir)
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") < 50.0))
+        .groupBy("user_id")
+        .agg(
+            r6(F.median("value")).alias("med_v"),
+            r6(
+                F.sum(F.col("ts_us") - F.lit(_T0_US)).cast("double")
+                / F.count("*")
+                / F.lit(1000000.0)
+            ).alias("mean_t_rel"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "a10_histogram",
+    """
+    WITH h AS (
+      SELECT CAST(floor(l_quantity / 2.0) AS BIGINT) AS bin, count(*) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0 AND l_quantity < 50
+      GROUP BY 1
+    )
+    SELECT bin, n, round(n / (sum(n) OVER () * 2.0), 6) AS pdf FROM h
+    """,
+)
+def a10_histogram(spark, sf_dir):
+    """A10 — histogram/PDF aggregation (reference verify_depth_bias
+    :1884-1896 np.histogram(density=True))."""
+    li = table(spark, sf_dir, "lineitem")
+    out = histogram(li, "l_quantity", 0, 50, 25)
+    return out.select("bin", "n", r6(F.col("pdf")).alias("pdf"))
+
+
+@q(
+    "a11_rmsd",
+    """
+    SELECT event_type, round(sqrt(avg(value * value)), 6) AS rmsd_v FROM events
+    GROUP BY event_type
+    """,
+)
+def a11_rmsd(spark, sf_dir):
+    """A11 — RMSD reduction (reference rmsd :149-150, score :1962-1966)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        r6(F.sqrt(F.avg(F.col("value") * F.col("value")))).alias("rmsd_v")
+    )
+
+
+@q(
+    "a12_finite_count",
+    """
+    SELECT user_id, event_type, count(value) AS n_finite FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def a12_finite_count(spark, sf_dir):
+    """A12 — finite-count density (reference :569-576; count skips NULLs)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(F.count("value").alias("n_finite"))
+
+
+# ---------------------------------------------------------------------------
+# W — window / ordered operators (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_EV_W_SQL = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+
+
+@q(
+    "w1_centered_mean",
+    f"""
+    SELECT event_id,
+           round(avg(value) OVER ({_EV_W_SQL} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+             AS run_mean
+    FROM events
+    """,
+)
+def w1_centered_mean(spark, sf_dir):
+    """W1 — centered running mean (reference RunningMean :137-141)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id", r6(W.centered_mean("value", 3, ["user_id"], EV_ORDER)).alias("run_mean")
+    )
+
+
+@q(
+    "w2_central_diff",
+    f"""
+    WITH t AS (
+      SELECT event_id, value, epoch_us(ts) / 1000000.0 AS x,
+             lag(value)  OVER ({_EV_W_SQL}) AS vp,
+             lead(value) OVER ({_EV_W_SQL}) AS vn,
+             lag(epoch_us(ts) / 1000000.0)  OVER ({_EV_W_SQL}) AS xp,
+             lead(epoch_us(ts) / 1000000.0) OVER ({_EV_W_SQL}) AS xn
+      FROM events
+    )
+    SELECT event_id,
+           round(CASE
+             WHEN xp IS NULL AND xn IS NULL THEN NULL
+             WHEN xp IS NULL THEN (vn - value) / nullif(xn - x, 0)
+             WHEN xn IS NULL THEN (value - vp) / nullif(x - xp, 0)
+             ELSE ((x - xp) * (x - xp) * vn + ((xn - x) * (xn - x) - (x - xp) * (x - xp)) * value
+                   - (xn - x) * (xn - x) * vp)
+                  / nullif((x - xp) * (xn - x) * ((x - xp) + (xn - x)), 0)
+           END, 6) AS dvdt
+    FROM t
+    """,
+)
+def w2_central_diff(spark, sf_dir):
+    """W2 — np.gradient central difference (reference :1186-1194, xarray
+    differentiate :1171 — second-order nonuniform scheme, one-sided edges)."""
+    ev = events(spark, sf_dir).withColumn("x_sec", F.col("ts_us") / F.lit(1000000.0))
+    return ev.select(
+        "event_id", r6(W.central_diff("value", "x_sec", ["user_id"], EV_ORDER)).alias("dvdt")
+    )
+
+
+@q(
+    "w3_cumsum",
+    f"""
+    SELECT event_id,
+           round(sum(coalesce(value, 0.0)) OVER ({_EV_W_SQL}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_v
+    FROM events
+    """,
+)
+def w3_cumsum(spark, sf_dir):
+    """W3 — nancumsum integration (reference :1345-1346, :1676-1682)."""
+    ev = events(spark, sf_dir)
+    return ev.select("event_id", r6(W.cumsum("value", ["user_id"], EV_ORDER)).alias("cum_v"))
+
+
+@q(
+    "w3b_cumsum_reverse",
+    f"""
+    SELECT event_id,
+           round(sum(coalesce(value, 0.0)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_up
+    FROM events
+    """,
+)
+def w3b_cumsum_reverse(spark, sf_dir):
+    """W3 — bottom-up cumsum ``np.nancumsum(arr[::-1])[::-1]`` (reference
+    :1203, :1957) as a descending-order window, no data reversal."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id", r6(W.cumsum("value", ["user_id"], EV_ORDER, reverse=True)).alias("cum_up")
+    )
+
+
+@q(
+    "w4_cumsum_reset",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+             sum(coalesce(value, 0.0)) OVER ({_EV_W_SQL}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    )
+    SELECT event_id,
+           round(cum - coalesce(last_value(CASE WHEN event_type = 'signup' THEN cum END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY tu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+             AS cum_since_marker
+    FROM t
+    """,
+)
+def w4_cumsum_reset(spark, sf_dir):
+    """W4 — cumsum with reset at markers (reference reset_transport_at_GPS
+    :1329-1333): running value re-zeroed at each 'signup' event."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        r6(
+            W.cumsum_reset("value", F.col("event_type") == "signup", ["user_id"], EV_ORDER)
+        ).alias("cum_since_marker"),
+    )
+
+
+@q(
+    "w5_ffill",
+    f"""
+    SELECT event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER ({_EV_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_v,
+           round(first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER ({_EV_W_SQL} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS next_purchase_v
+    FROM events
+    """,
+)
+def w5_ffill(spark, sf_dir):
+    """W5 — ffill/bfill (reference :1405-1406, :852-856): carry the last/next
+    purchase value across every event."""
+    ev = events(spark, sf_dir)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    ev = ev.withColumn("__pv", pv)
+    return ev.select(
+        "event_id",
+        r6(W.ffill("__pv", ["user_id"], EV_ORDER)).alias("last_purchase_v"),
+        r6(W.bfill("__pv", ["user_id"], EV_ORDER)).alias("next_purchase_v"),
+    )
+
+
+@q(
+    "w6_demean",
+    """
+    SELECT event_id, round(value - round(avg(value) OVER (PARTITION BY user_id), 6), 6) AS v_anom
+    FROM events
+    """,
+)
+def w6_demean(spark, sf_dir):
+    """W6 — per-profile demean (reference :1682, :1959). The group mean is
+    rounded to 6dp BEFORE the per-row subtraction: the mean is summation-
+    order-sensitive across engines, the subtraction of a rounded mean is
+    exact IEEE and bit-identical."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id", r6(F.col("value") - F.round(F.avg("value").over(w), 6)).alias("v_anom")
+    )
+
+
+@q(
+    "w7_tail_flag",
+    """
+    WITH t AS (
+      SELECT event_id, value,
+             count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM events
+    )
+    SELECT event_id, (value IS NOT NULL AND c <= 5) AS in_tail FROM t
+    """,
+)
+def w7_tail_flag(spark, sf_dir):
+    """W7 — bottom-most-k finite cells (reference :1756-1759)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        W.tail_flag("value", 5, ["user_id"], [F.col("ts_us").desc(), F.col("event_id").desc()]).alias(
+            "in_tail"
+        ),
+    )
+
+
+@q(
+    "w8_parity",
+    """
+    SELECT event_id, user_id % 2 AS updown,
+           CASE WHEN value > 50.0 THEN 1 ELSE -1 END AS sign_class
+    FROM events
+    """,
+)
+def w8_parity(spark, sf_dir):
+    """W8 — parity / sign classification (reference :1863-1864 profile%2,
+    :1020-1021 pitch-sign split)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("updown"),
+        F.when(F.col("value") > 50.0, 1).otherwise(-1).alias("sign_class"),
+    )
