@@ -847,3 +847,393 @@ def w8_parity(spark, sf_dir):
         F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("updown"),
         F.when(F.col("value") > 50.0, 1).otherwise(-1).alias("sign_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F — scalar expression families (SURVEY §2.6), exercised on lineitem columns
+# re-labelled as instrument channels (pitch/roll/depth stand-ins)
+# ---------------------------------------------------------------------------
+
+from .functions import geodesy as G  # noqa: E402
+from .functions import math as M  # noqa: E402
+
+# synthetic channel mapping used by all f* queries (documented once):
+#   pitch ≔ l_quantity − 25   (≈ ±25°)     roll ≔ l_discount·100 − 5 (≈ ±5°)
+#   depth ≔ l_extendedprice/1000           rng  ≔ l_linenumber·2 (m along beam)
+_CH_SQL = """
+      SELECT l_orderkey, l_linenumber,
+             l_quantity - 25.0 AS pitch,
+             l_discount * 100.0 - 5.0 AS roll,
+             l_extendedprice / 1000.0 AS depth,
+             l_linenumber * 2.0 AS rng,
+             l_quantity / 10.0 AS b1, l_discount * 10.0 AS b2,
+             l_tax * 10.0 AS b3, l_extendedprice / 50000.0 AS b4
+      FROM lineitem
+"""
+
+
+def _channels(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") - 25.0).alias("pitch"),
+        (F.col("l_discount") * 100.0 - 5.0).alias("roll"),
+        (F.col("l_extendedprice") / 1000.0).alias("depth"),
+        (F.col("l_linenumber") * 2.0).alias("rng"),
+        (F.col("l_quantity") / 10.0).alias("b1"),
+        (F.col("l_discount") * 10.0).alias("b2"),
+        (F.col("l_tax") * 10.0).alias("b3"),
+        (F.col("l_extendedprice") / 50000.0).alias("b4"),
+    )
+
+
+@q(
+    "f1_trig_angles",
+    f"""
+    WITH ch AS ({_CH_SQL})
+    SELECT l_orderkey, l_linenumber,
+           round(((pitch * 37.0 % 360.0) + 360.0) % 360.0, 6) AS wrapped,
+           round(CASE WHEN abs(pitch * 11.0) > 180
+                      THEN pitch * 11.0 - 360.0 * sign(pitch * 11.0)
+                      ELSE pitch * 11.0 END, 6) AS circd,
+           round(degrees(atan2(b2, b3)), 6) AS bearing
+    FROM ch
+    """,
+)
+def f1_trig_angles(spark, sf_dir):
+    """F1 — trig & angle wrap (reference :228-237, :359-373: wrap=(x+360)%360,
+    circ to ±180, atan2d chains)."""
+    ch = _channels(spark, sf_dir)
+    return ch.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(M.wrap360(F.col("pitch") * 37.0)).alias("wrapped"),
+        r6(M.circ180(F.col("pitch") * 11.0)).alias("circd"),
+        r6(M.atan2d(F.col("b2"), F.col("b3"))).alias("bearing"),
+    )
+
+
+@q(
+    "f2_beam_depth",
+    f"""
+    WITH ch AS ({_CH_SQL})
+    SELECT l_orderkey, l_linenumber,
+           round(depth - rng * cos(acos(cos(radians(47.5 - pitch)) * cos(radians(roll)))), 6) AS d1,
+           round(depth - rng * cos(acos(cos(radians(25.0 - roll)) * cos(radians(pitch)))), 6) AS d2,
+           round(depth - rng * cos(acos(cos(radians(47.5 + pitch)) * cos(radians(roll)))), 6) AS d3,
+           round(depth - rng * cos(acos(cos(radians(25.0 + roll)) * cos(radians(pitch)))), 6) AS d4
+    FROM ch
+    """,
+)
+def f2_beam_depth(spark, sf_dir):
+    """F2 — per-beam cell depth remap (reference remapADCPdepth :224-270,
+    top-mounted orientation): Depth − range·cos(θ_beam(pitch, roll))."""
+    ch = _channels(spark, sf_dir)
+    cols = [
+        M.beam_cell_depth(F.col("depth"), F.col("rng"), F.col("pitch"), F.col("roll"), b).alias(f"d{b}")
+        for b in (1, 2, 3, 4)
+    ]
+    return ch.select("l_orderkey", "l_linenumber", *[r6(c).alias(f"d{i+1}") for i, c in enumerate(cols)])
+
+
+def _xyzz_sql() -> str:
+    m = M.BEAM2XYZZ
+    return f"""
+           {m[0][0]!r} * b1 + {m[0][2]!r} * b3 AS x4,
+           {m[1][1]!r} * b2 + {m[1][3]!r} * b4 AS y4,
+           {m[2][0]!r} * b1 + {m[2][2]!r} * b3 AS z4,
+           {m[3][1]!r} * b2 + {m[3][3]!r} * b4 AS zz4
+    """
+
+
+@q(
+    "f3_beam2xyzz",
+    f"""
+    WITH ch AS ({_CH_SQL})
+    SELECT l_orderkey, l_linenumber,
+           round({M.BEAM2XYZZ[0][0]!r} * b1 + {M.BEAM2XYZZ[0][2]!r} * b3, 6) AS x4,
+           round({M.BEAM2XYZZ[1][1]!r} * b2 + {M.BEAM2XYZZ[1][3]!r} * b4, 6) AS y4,
+           round({M.BEAM2XYZZ[2][0]!r} * b1 + {M.BEAM2XYZZ[2][2]!r} * b3, 6) AS z4,
+           round({M.BEAM2XYZZ[3][1]!r} * b2 + {M.BEAM2XYZZ[3][3]!r} * b4, 6) AS zz4
+    FROM ch
+    """,
+)
+def f3_beam2xyzz(spark, sf_dir):
+    """F3 — 4-beam → XYZZ fixed-matrix transform (reference quad_beam2xyzz
+    :595-634; the per-column loop :631-632 becomes 4 expressions).
+
+    NOTE: the Spark side builds the full 4-term linear combination from the
+    matrix (zero coefficients fold away under constant folding); the oracle
+    writes only the nonzero terms — Catalyst constant-folds 0.0*x + y to the
+    same arithmetic, keeping both sides bit-identical before rounding.
+    """
+    ch = _channels(spark, sf_dir)
+    xyzz = M.beam2xyzz(F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"))
+    names = ["x4", "y4", "z4", "zz4"]
+    return ch.select(
+        "l_orderkey", "l_linenumber", *[r6(c).alias(n) for c, n in zip(xyzz, names)]
+    )
+
+
+@q(
+    "f4_three_beam_xyz",
+    f"""
+    WITH ch AS ({_CH_SQL}),
+    eff AS (
+      SELECT *,
+             CASE WHEN NOT pitch > 0
+                  THEN (2 * {M._b(25.0)!r} * b2 + 2 * {M._b(25.0)!r} * b4 - 2 * {M._b(47.5)!r} * b3)
+                       / (2 * {M._b(47.5)!r})
+                  ELSE b1 END AS v1e,
+             CASE WHEN pitch > 0
+                  THEN (2 * {M._b(25.0)!r} * b2 + 2 * {M._b(25.0)!r} * b4 - 2 * {M._b(47.5)!r} * b1)
+                       / (2 * {M._b(47.5)!r})
+                  ELSE b3 END AS v3e
+      FROM ch
+    )
+    SELECT l_orderkey, l_linenumber,
+           round({M._a(47.5)!r} * v1e - {M._a(47.5)!r} * v3e, 6) AS x,
+           round(-{M._a(25.0)!r} * b2 + {M._a(25.0)!r} * b4, 6) AS y,
+           round(2 * {M._b(25.0)!r} * b2 + 2 * {M._b(25.0)!r} * b4, 6) AS z
+    FROM eff
+    """,
+)
+def f4_three_beam_xyz(spark, sf_dir):
+    """F4 — pitch-conditional 3-beam XYZ solution (reference calcXYZfrom3beam
+    :984-1034, top-mounted: wake-shadowed fore/aft beam replaced by the
+    error-zero combination :1018, :1026-1028)."""
+    ch = _channels(spark, sf_dir)
+    xyz = M.xyz_from_3beam(
+        F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"), F.col("pitch"), top_mounted=True
+    )
+    return ch.select(
+        "l_orderkey", "l_linenumber",
+        r6(xyz[0]).alias("x"), r6(xyz[1]).alias("y"), r6(xyz[2]).alias("z"),
+    )
+
+
+@q(
+    "f5_enu_rotation",
+    f"""
+    WITH ch AS ({_CH_SQL}),
+    ang AS (
+      SELECT *, radians((((pitch * 29.0 % 360.0) + 360.0) % 360.0) - 90.0) AS hh,
+             radians(pitch) AS pp, radians(roll) AS rr,
+             b1 AS vx, b2 AS vy, b3 AS vz
+      FROM ch
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((cos(hh) * cos(pp)) * vx
+                 + (-cos(hh) * sin(pp) * sin(rr) + sin(hh) * cos(rr)) * vy
+                 + (-cos(hh) * sin(pp) * cos(rr) - sin(hh) * sin(rr)) * vz, 6) AS e,
+           round((-sin(hh) * cos(pp)) * vx
+                 + (sin(hh) * sin(pp) * sin(rr) + cos(hh) * cos(rr)) * vy
+                 + (sin(hh) * sin(pp) * cos(rr) - cos(hh) * sin(rr)) * vz, 6) AS n,
+           round(sin(pp) * vx + (cos(pp) * sin(rr)) * vy + (cos(pp) * cos(rr)) * vz, 6) AS u
+    FROM ang
+    """,
+)
+def f5_enu_rotation(spark, sf_dir):
+    """F5 — XYZ→ENU heading/pitch/roll rotation (reference M_xyz2enu
+    :1134-1146, applied :1156-1158; top-mounted → direction=+1)."""
+    ch = _channels(spark, sf_dir)
+    heading = M.wrap360(F.col("pitch") * 29.0)
+    enu = M.xyz_to_enu(
+        F.col("b1"), F.col("b2"), F.col("b3"), heading, F.col("pitch"), F.col("roll"), top_mounted=True
+    )
+    return ch.select(
+        "l_orderkey", "l_linenumber",
+        r6(enu[0]).alias("e"), r6(enu[1]).alias("n"), r6(enu[2]).alias("u"),
+    )
+
+
+@q(
+    "f8_francois_garrison",
+    f"""
+    WITH ch AS ({_CH_SQL}),
+    env AS (
+      SELECT l_orderkey, l_linenumber,
+             31.0 + b3 * 5.0 AS s, (pitch + 25.0) / 2.0 AS t, depth AS z
+      FROM ch
+    ),
+    fg AS (
+      SELECT *, 1412.0 + 3.21 * t + 1.19 * s + 0.0167 * z AS c, 273.0 + t AS theta,
+             307.0 * 307.0 AS fxf
+      FROM env
+    ),
+    fg2 AS (
+      SELECT *,
+             2.8 * sqrt(s / 35.0) * pow(10.0, 4.0 - 1245.0 / theta) AS f1,
+             8.17 * pow(10.0, 8.0 - 1990.0 / theta) / (1.0 + 0.0018 * (s - 35.0)) AS f2,
+             8.86 / c * pow(10.0, 0.78 * 8.1 - 5.0) AS a1,
+             21.44 * s / c * (1.0 + 0.025 * t) AS a2,
+             CASE WHEN t <= 20.0
+                  THEN 4.937e-4 - 2.59e-5 * t + 9.11e-7 * t * t - 1.50e-8 * t * t * t
+                  ELSE 3.964e-4 - 1.146e-5 * t + 1.45e-7 * t * t - 6.5e-10 * t * t * t END AS a3,
+             1.0 - 1.35e-4 * z + 6.2e-9 * z * z AS p2,
+             1.0 - 3.83e-5 * z + 4.9e-10 * z * z AS p3
+      FROM fg
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((a1 * f1 * fxf / (f1 * f1 + fxf)
+                  + a2 * p2 * f2 * fxf / (f2 * f2 + fxf)
+                  + a3 * p3 * fxf) / 1000.0, 6) AS alpha_db_m
+    FROM fg2
+    """,
+)
+def f8_francois_garrison(spark, sf_dir):
+    """F8 — Francois–Garrison seawater absorption α(f,S,T,pH,z) with the
+    T≤20 °C branch (reference francoisgarrison :808-838)."""
+    ch = _channels(spark, sf_dir)
+    s = F.lit(31.0) + F.col("b3") * 5.0
+    t = (F.col("pitch") + 25.0) / 2.0
+    alpha = M.francois_garrison(307.0, s, t, 8.1, F.col("depth"))
+    return ch.select("l_orderkey", "l_linenumber", r6(alpha).alias("alpha_db_m"))
+
+
+@q(
+    "f10_mag_heading",
+    f"""
+    WITH ch AS ({_CH_SQL}),
+    mag AS (
+      SELECT l_orderkey, l_linenumber, pitch, roll,
+             1.02 * (b1 - 0.1) + 0.03 * (b2 - 0.02) + 0.01 * (b3 - 0.05) AS mx,
+             0.02 * (b1 - 0.1) + 0.98 * (b2 - 0.02) + 0.04 * (b3 - 0.05) AS my,
+             0.01 * (b1 - 0.1) + 0.02 * (b2 - 0.02) + 1.01 * (b3 - 0.05) AS mz
+      FROM ch
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((((degrees(atan2(
+                     mx * cos(radians(pitch)) + my * sin(radians(roll)) * sin(radians(pitch))
+                        + mz * cos(radians(roll)) * sin(radians(pitch)),
+                     my * cos(radians(roll)) - mz * sin(radians(roll))
+                   )) - 90.0 + 360.0) % 360.0) + 360.0) % 360.0, 6) AS heading
+    FROM mag
+    """,
+)
+def f10_mag_heading(spark, sf_dir):
+    """F10 — hard/soft-iron calibration A@(v−B) + tilt-compensated heading
+    (reference calibrate :375-387, heading :367-373). Coefficients are
+    driver-side literals (the fmin fit O1 happens at the collect boundary).
+    """
+    ch = _channels(spark, sf_dir)
+    coeffs = [1.02, 0.03, 0.01, 0.02, 0.98, 0.04, 0.01, 0.02, 1.01, 0.1, 0.02, 0.05]
+    mx, my, mz = M.calibrate_mag(F.col("b1"), F.col("b2"), F.col("b3"), coeffs)
+    hdg = M.mag_heading(mx, my, mz, F.col("pitch"), F.col("roll"))
+    return ch.select("l_orderkey", "l_linenumber", r6(hdg).alias("heading"))
+
+
+@q(
+    "f6_f11_soundspeed_norm",
+    f"""
+    WITH ch AS ({_CH_SQL})
+    SELECT l_orderkey, l_linenumber,
+           round(b1 * ((1500.0 + depth * 0.017) / nullif(1481.0, 0.0)), 6) AS v_corrected,
+           round(sqrt(b1 * b1 + b2 * b2 + b3 * b3), 6) AS speed3d
+    FROM ch
+    """,
+)
+def f6_f11_soundspeed_norm(spark, sf_dir):
+    """F6 — soundspeed ratio correction V·c_new/c_old (reference :464-475);
+    F11 — 3-D magnitude (reference :359)."""
+    ch = _channels(spark, sf_dir)
+    c_new = F.lit(1500.0) + F.col("depth") * 0.017
+    return ch.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(M.soundspeed_ratio_correction(F.col("b1"), c_new, F.lit(1481.0))).alias("v_corrected"),
+        r6(M.magnitude3(F.col("b1"), F.col("b2"), F.col("b3"))).alias("speed3d"),
+    )
+
+
+@q(
+    "f12_epoch_convert",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us,
+           round(epoch_us(ts) / 1000000.0, 6) AS ts_sec,
+           epoch_us(ts) // 60000000 AS minute_bucket
+    FROM events
+    """,
+)
+def f12_epoch_convert(spark, sf_dir):
+    """F12 — timestamp↔epoch conversions (reference date_float :93-105,
+    /1e9 seconds :1171, :1337)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "ts_us",
+        r6(F.col("ts_us") / F.lit(1000000.0)).alias("ts_sec"),
+        F.expr("ts_us div 60000000").alias("minute_bucket"),
+    )
+
+
+@q(
+    "f13_round_clip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           least(greatest(l_extendedprice, 1000.0), 50000.0) AS price_clipped,
+           round(l_quantity / 7.0, 2) AS qty_r2,
+           round(l_extendedprice) AS price_r0
+    FROM lineitem
+    """,
+)
+def f13_round_clip(spark, sf_dir):
+    """F13 — rounding & clipping (reference np.round :181, clip :1708-1710)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        M.clip(F.col("l_extendedprice"), 1000.0, 50000.0).alias("price_clipped"),
+        F.round(F.col("l_quantity") / 7.0, 2).alias("qty_r2"),
+        F.round(F.col("l_extendedprice")).alias("price_r0"),
+    )
+
+
+@q(
+    "f7_geodesy_distance",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, 58.0 + value * 0.001 AS lat, 11.0 + value * 0.002 AS lon
+      FROM events
+    )
+    SELECT event_id,
+           round((lat - 58.0) * 111319.444, 6) AS dy_m,
+           round((lon - 11.0) * 40075000.0 * cos(radians(lat)) / 360.0, 6) AS dx_m
+    FROM g
+    """,
+)
+def f7_geodesy_distance(spark, sf_dir):
+    """F7 — degree→meter geodesy (reference dead-reckoning constants
+    :1244-1246; gsw.distance call sites :1386-1387 use the same
+    small-displacement approximation)."""
+    ev = events(spark, sf_dir)
+    lat = F.lit(58.0) + F.col("value") * 0.001
+    lon = F.lit(11.0) + F.col("value") * 0.002
+    return ev.select(
+        "event_id",
+        r6(G.dlat_to_m(lat - F.lit(58.0))).alias("dy_m"),
+        r6(G.dlon_to_m(lon - F.lit(11.0), lat)).alias("dx_m"),
+    )
+
+
+@q(
+    "f9_backscatter",
+    f"""
+    WITH ch AS ({_CH_SQL})
+    SELECT l_orderkey, l_linenumber,
+           round((70.0 + b2 * 3.0) + 2.0 * 0.08 * (rng / cos(radians(47.4))), 6) AS amp_corrected
+    FROM ch
+    """,
+)
+def f9_backscatter(spark, sf_dir):
+    """F9 — backscatter correction Amp + 2·α·BeamRange with slant range
+    range/cos(θ) (reference correct_backscatter :843-846, :861-865)."""
+    ch = _channels(spark, sf_dir)
+    amp = F.lit(70.0) + F.col("b2") * 3.0
+    slant = F.col("rng") / F.cos(F.radians(F.lit(47.4)))
+    return ch.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(M.backscatter_correction(amp, F.lit(0.08), slant)).alias("amp_corrected"),
+    )
