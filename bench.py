@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full compute, no I/O cost in
+the measurement). One warmup query initializes the JVM/codegen before
+timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from seaexplorertools_spark import contract  # noqa: E402
+from seaexplorertools_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "a1_grid2d_mean",       # flagship: 2-D binned multi-aggregate (one shuffle)
+    "a1_grid2d_median",     # exact-median gridding
+    "j1_interp_join",       # interpolation time-alignment join
+    "j2_asof_nearest",      # nearest as-of join
+    "j0_equi_3way",         # broadcast star join
+    "j4_broadcast_dim",     # broadcast dim join + agg
+    "w4_cumsum_reset",      # sessionized cumsum (two window passes, one sort)
+    "w2_central_diff",      # np.gradient window
+    "r1_regrid_ladder",     # grouped applyInPandas regrid
+    "dd_minhash_lsh_pairs", # minhash LSH dedup
+    "ann_topk_bruteforce",  # brute-force cosine top-k
+    "txt_quality",          # text quality features
+    "f5_enu_rotation",      # trig-heavy expression chain
+    "st_windowed_counts",   # tumbling-window agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warmup: JVM + codegen + parquet footer cache
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    contract.QUERIES["a1_grid2d_mean"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        contract.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

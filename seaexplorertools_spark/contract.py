@@ -1237,3 +1237,367 @@ def f9_backscatter(spark, sf_dir):
         "l_linenumber",
         r6(M.backscatter_correction(amp, F.lit(0.08), slant)).alias("amp_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R1 — per-group regridding (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+from .operators.regrid import regrid_interp  # noqa: E402
+
+
+@q(
+    "r1_regrid_ladder",
+    f"""
+    WITH s0 AS (
+      SELECT user_id, (epoch_us(ts) - {_T0_US}) / 1000000.0 AS x, value, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    s1 AS (
+      SELECT * FROM s0
+      QUALIFY row_number() OVER (PARTITION BY user_id, x ORDER BY event_id) = 1
+    ),
+    s AS (
+      SELECT user_id, x, value,
+             lead(x) OVER (PARTITION BY user_id ORDER BY x) AS nx,
+             lead(value) OVER (PARTITION BY user_id ORDER BY x) AS nv
+      FROM s1
+    ),
+    lad AS (SELECT unnest(generate_series(0, 29)) AS k),
+    probes AS (SELECT u.user_id, lad.k * 86400.0 AS xt
+               FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN lad)
+    SELECT p.user_id, p.xt AS x_target,
+           round(CASE WHEN p.xt = s.x THEN s.value
+                      WHEN s.nx IS NULL THEN NULL
+                      ELSE s.value + ((s.nv - s.value) / (s.nx - s.x)) * (p.xt - s.x)
+                 END, 6) AS value
+    FROM probes p LEFT JOIN s
+      ON p.user_id = s.user_id AND p.xt >= s.x AND (p.xt < s.nx OR s.nx IS NULL)
+    """,
+)
+def r1_regrid_ladder(spark, sf_dir):
+    """R1 — per-group isobar-style regrid (reference regridADCPdata
+    :876-981): per user, interpolate event values onto a fixed ladder of
+    day-marks via grouped applyInPandas + np.interp (NaN outside hull)."""
+    ev = events(spark, sf_dir).withColumn(
+        "x", (F.col("ts_us") - F.lit(_T0_US)) / F.lit(1000000.0)
+    )
+    ladder = [k * 86400.0 for k in range(30)]
+    out = regrid_interp(ev, ["user_id"], "x", ["value"], ladder, x_name="x_target")
+    return out.select("user_id", "x_target", r6(F.col("value")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal — LLM-data-pipeline operators
+# (engine additions per BASELINE.json north star; not in the reference)
+# ---------------------------------------------------------------------------
+
+from .operators import text as T  # noqa: E402
+from .operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from .operators.multimodal import documents_as_media, extract_features  # noqa: E402
+from .operators.similarity import brute_force_topk, lsh_topk  # noqa: E402
+
+_TOK_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+@q(
+    "dd_exact_dup",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups,
+           max(doc_id) AS max_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dd_exact_dup(spark, sf_dir):
+    """Exact dedup via content digest groupBy (hash-groupBy; shuffle volume
+    = distinct digests)."""
+    return exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dd_minhash_sig",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || tok)) AS mh
+    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+    GROUP BY doc_id, s.seed
+    """,
+)
+def dd_minhash_sig(spark, sf_dir):
+    """MinHash signatures (K=16) — md5-hex min per (doc, seed); engine-portable
+    uniform min-hash."""
+    return minhash_signatures(table(spark, sf_dir, "documents"), k=16)
+
+
+@q(
+    "dd_minhash_lsh_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || tok)) AS mh
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, string_agg(mh, '|' ORDER BY seed) AS bsig
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+)
+def dd_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows): bucket-join
+    on band signature — the scalable near-dup candidate generator."""
+    return lsh_candidate_pairs(table(spark, sf_dir, "documents"), k=16, band_rows=4)
+
+
+@q(
+    "dd_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark, sf_dir):
+    """32-bit SimHash per document (per-bit ±1 votes over md5-derived token
+    hashes)."""
+    return simhash32(table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dd_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lang, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2,
+           round(CAST(n_inter AS DOUBLE)
+                 / nullif(CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 0.0), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc1
+    JOIN sizes sb ON sb.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / nullif(CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 0.0) >= 0.7
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Blocked pairwise token-set Jaccard (near-dup verification stage)."""
+    out = ngram_jaccard_pairs(table(spark, sf_dir, "documents"), block_col="lang", threshold=0.7)
+    return out.select("doc1", "doc2", r6(F.col("jaccard")).alias("jaccard"))
+
+
+@q(
+    "dd_embedding_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                6) >= 0.3
+    """,
+)
+def dd_embedding_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (at scale the block
+    is an LSH bucket). Threshold applied on the ROUNDED similarity so the
+    cut is engine-deterministic."""
+    from .operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2")))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id1", "id2", sim.alias("sim")).filter(F.col("sim") >= 0.3)
+
+
+@q(
+    "ann_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    c AS (
+      SELECT q.query_id, e.vec_id AS nbr_id,
+             round(list_dot_product(q.vq, e.v)
+                   / nullif(sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v)), 0.0),
+                   6) AS sim
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
+          FROM c)
+    SELECT query_id, rank, nbr_id, sim FROM r WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact brute-force cosine top-k (k=5) for the first 10 vectors as
+    queries — the ANN correctness baseline. Rank on ROUNDED sim with vec_id
+    tiebreak (engine-deterministic ordering)."""
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(e, qs, k=5)
+
+
+@q("ann_topk_lsh")  # no oracle: approximate (bucketed recall), rows-only check
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH buckets (4 planes) restrict the
+    candidate join — the 100 TB scale path (equi-join on bucket instead of
+    crossJoin). Approximate ⇒ no SQL oracle; driver records rows-only."""
+    import random
+
+    rnd = random.Random(42)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(e, qs, planes, k=5)
+
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in T.STOPWORDS.items()
+}
+
+
+@q(
+    "txt_langid",
+    f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOK_SQL}, x -> list_contains({_SW_SQL['de']}, x))) AS v_de,
+             len(list_filter({_TOK_SQL}, x -> list_contains({_SW_SQL['en']}, x))) AS v_en,
+             len(list_filter({_TOK_SQL}, x -> list_contains({_SW_SQL['es']}, x))) AS v_es,
+             len(list_filter({_TOK_SQL}, x -> list_contains({_SW_SQL['fr']}, x))) AS v_fr,
+             len(list_filter({_TOK_SQL}, x -> list_contains({_SW_SQL['zh']}, x))) AS v_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(v_de, v_en, v_es, v_fr, v_zh) = 0 THEN 'und'
+                WHEN v_de = greatest(v_de, v_en, v_es, v_fr, v_zh) THEN 'de'
+                WHEN v_en = greatest(v_de, v_en, v_es, v_fr, v_zh) THEN 'en'
+                WHEN v_es = greatest(v_de, v_en, v_es, v_fr, v_zh) THEN 'es'
+                WHEN v_fr = greatest(v_de, v_en, v_es, v_fr, v_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM v
+    """,
+)
+def txt_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword votes, argmax with deterministic
+    sorted-language tiebreak, 'und' when no votes."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@q(
+    "txt_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars_m,
+             len({_TOK_SQL}) AS n_tokens,
+             len(list_distinct({_TOK_SQL})) AS n_distinct_tokens,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, n_distinct_tokens,
+           round(CAST(n_distinct_tokens AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6) AS ttr,
+           round(CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6)
+             AS mean_tok_len,
+           round(CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars_m AS DOUBLE), 0.0), 6) AS punct_ratio
+    FROM t
+    """,
+)
+def txt_quality(spark, sf_dir):
+    """Quality-scoring features: length, token counts, type-token ratio,
+    mean token length, punctuation ratio — pure codegen expressions."""
+    docs = T.quality_features(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "ttr",
+        "mean_tok_len",
+        "punct_ratio",
+    )
+
+
+@q(
+    "txt_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    """Normalization-robust document fingerprint (lowercase → strip punct →
+    collapse whitespace → md5)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "mm_media_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction (decode STUBBED — deterministic byte stats stand in for the
+    absent media libs; schema/partitioning/batching are the real thing).
+    Oracle checks the SQL-expressible slice (payload byte length)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+@q(
+    "st_windowed_counts",
+    """
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+           count(*) AS n, round(sum(value), 6) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the Structured Streaming
+    windowed count in streaming/windowed.py; same logical plan)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_v"))

@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface — these are the LLM-data-pipeline
+operators the engine adds (BASELINE.json north star). All are pure
+DataFrame compositions designed for 100 TB:
+
+- exact:    one groupBy on a hash — shuffle volume = |distinct digests|.
+- minhash:  tokenize → per-(doc, seed) min-hash aggregate → band →
+            band-bucket self-join. The self-join is on (band, signature)
+            — a skew-safe equi-join because identical signatures are rare
+            by construction; no O(n²) pair blowup.
+- simhash:  per-(doc, bit) weighted vote → 32-bit fingerprint; near-dup
+            pairs via bucket-on-prefix + hamming filter.
+- ngram:    blocked pairwise Jaccard for verification of candidates.
+
+Determinism: token hashing uses md5 hex strings (identical in Spark and
+DuckDB) — the min of hex strings is a valid uniform min-hash and is
+engine-portable, so every stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties removed (matches DuckDB
+    regexp_split_to_array(text, '\\s+') with empty filter)."""
+    return F.filter(F.split(text, TOKEN_SPLIT), lambda t: t != "")
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, distinct token)."""
+    return (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content digest: digest → (canonical_id, n_dups, ids).
+
+    At scale: md5 is computed map-side; the groupBy shuffles only
+    (digest, id) pairs; groups are tiny (dup cardinality).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """K min-hashes per doc: h_i(doc) = min over tokens of md5(i || ':' || tok).
+
+    One explode + one groupBy(doc, seed) with map-side partial min — shuffle
+    volume is K rows per doc regardless of document length.
+    """
+    toks = doc_tokens(docs, id_col, text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        toks.select(id_col, "tok", seeds)
+        .groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok")))).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the K signatures into K/band_rows
+    bands, bucket-join docs sharing any band signature. Returns distinct
+    (doc1, doc2), doc1 < doc2.
+    """
+    sig = minhash_signatures(docs, k, id_col, text_col)
+    bands = (
+        sig.withColumn("band", F.expr(f"seed div {band_rows}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+                "|",
+            ).alias("bsig")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("doc1"), "band", "bsig")
+    b = bands.select(F.col(id_col).alias("doc2"), "band", "bsig")
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def simhash32(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash fingerprint per doc from distinct-token hashes.
+
+    Token hash = first 8 hex chars of md5 (portable); per-bit ±1 vote,
+    bit set where the vote sum is >= 0. Explodes tokens × 32 bits —
+    expressed instead as a single aggregate over per-token hash ints with
+    32 conditional sums, so the shuffle carries one row per (doc, token).
+    """
+    toks = doc_tokens(docs, id_col, text_col).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard (verification stage after LSH, or
+    standalone for small blocks). Blocking column bounds the pair count;
+    at 100 TB the block should be an LSH bucket, not a category column.
+    """
+    toks = (
+        docs.select(id_col, block_col, F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.select(F.col(id_col).alias("doc1"), F.col(block_col).alias("blk"), "tok")
+    b = toks.select(F.col(id_col).alias("doc2"), F.col(block_col).alias("blk"), "tok")
+    inter = (
+        a.join(b, ["blk", "tok"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / F.nullif((F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double"), F.lit(0.0)),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")

@@ -1,0 +1,73 @@
+"""R1 — per-group 1-D regridding (the reference's isobar regrid).
+
+Reference ``regridADCPdata`` (process_adcp.py:876-981): for each ping and
+beam, linearly interpolate velocity from the per-cell true depths onto a
+fixed ladder of depth offsets; implemented there as
+``xr.apply_ufunc(interp1d_np, ..., vectorize=True)`` — a per-row Python
+loop (:928-946). The offset ladder itself comes from a tiny per-bin
+aggregate + argmin (:882-916), a driver-side computation.
+
+Spark-first: ``groupBy(group).applyInPandas`` — one shuffle keyed by the
+group (ping/profile/user), Arrow-batched numpy interp inside, NaN outside
+the hull and per-value null-skipping exactly like the reference ``interp``
+(:144-146). The group key (ping time) is high-cardinality and uniform →
+this parallelizes to any cluster width; state per group is O(bins), so
+executor memory is flat at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def regrid_interp(
+    df: DataFrame,
+    group_cols: list[str],
+    x: str,
+    values: list[str],
+    ladder: list[float],
+    x_name: str = "x_target",
+) -> DataFrame:
+    """For each group, interpolate every ``values`` column from its (x, v)
+    samples onto the fixed ``ladder`` of x targets.
+
+    Output: one row per (group, ladder point); value columns keep their
+    names. Ties on x are resolved by first occurrence in (x, input-order)
+    — callers should pre-sort deterministically or dedupe.
+    """
+    ladder_arr = np.asarray(ladder, dtype=np.float64)
+
+    fields = [df.schema[c] for c in group_cols]
+    schema = StructType(
+        list(fields)
+        + [StructField(x_name, DoubleType(), False)]
+        + [StructField(v, DoubleType(), True) for v in values]
+    )
+
+    def interp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [pdf[c].iloc[0]] * len(ladder_arr) for c in group_cols}
+        out[x_name] = ladder_arr
+        xs = pdf[x].to_numpy(dtype=np.float64)
+        order = np.argsort(xs, kind="stable")
+        xs = xs[order]
+        # drop duplicate x (keep first) — mirrors the dedup in the oracle
+        keep = np.concatenate(([True], np.diff(xs) > 0))
+        xs = xs[keep]
+        for v in values:
+            ys = pdf[v].to_numpy(dtype=np.float64)[order][keep]
+            gg = np.isfinite(xs) & np.isfinite(ys)
+            if gg.sum() == 0:
+                out[v] = np.full(len(ladder_arr), np.nan)
+                continue
+            xg, yg = xs[gg], ys[gg]
+            vi = np.interp(ladder_arr, xg, yg)
+            # reference interp (:144-146): NaN strictly outside the hull
+            vi[ladder_arr < xg[0]] = np.nan
+            vi[ladder_arr > xg[-1]] = np.nan
+            out[v] = vi
+        return pd.DataFrame(out)
+
+    return df.select(*group_cols, x, *values).groupBy(*group_cols).applyInPandas(interp_group, schema)

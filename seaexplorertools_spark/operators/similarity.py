@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (engine additions).
+
+- Brute-force cosine top-k: the exact baseline. Expressed with
+  ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF); the candidate set is
+  a crossJoin bounded by a blocking predicate, ranked per query with a
+  window.
+- LSH-bucketed variant (scale path): random-hyperplane signs bucket the
+  vectors; candidates only join within a bucket. At 100 TB the bucket join
+  replaces the cross join — recall is tunable via n_planes/bands.
+
+Determinism for oracle checks: dot products are computed left-to-right over
+the array (same order as DuckDB's list_dot_product); similarity is rounded
+before ranking and ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` has (query_id, embedding).
+
+    The N×M candidate matrix is a crossJoin — correct baseline at any
+    scale where M (queries per batch) is bounded; for large M use
+    ``lsh_topk``. Rank = row_number over (rounded sim desc, vec_id asc).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+    )
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    )
+    sim = (
+        qdf.crossJoin(e)
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "sim")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from fixed hyperplanes (random-projection LSH).
+    planes is a small driver-side list → pure expressions, no UDF."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (equi-join on bucket instead of crossJoin). Recall < 1; the
+    100 TB path — bucket cardinality 2^n_planes bounds each join group."""
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v_e"), planes))
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v_q"), planes))
+    sim = (
+        qdf.join(e, "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "sim")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines (engine additions).
+
+Language-ID (stopword voting), quality scoring (length/punct/token ratios),
+token counting, and document fingerprinting — all pure Column expressions
+(JVM codegen, no UDFs) so they run at scan speed and stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# tiny per-language stopword sets for the n-gram/stopword-vote heuristic;
+# deterministic and shared verbatim with the DuckDB oracle
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "es": ["el", "la", "de", "y", "un"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic vote order
+
+
+def _isin_filter(words: list[str]):
+    # NOTE: F.filter passes (element, index) to 2-arg lambdas — the closure
+    # must be built with exactly one parameter.
+    return lambda t: t.isin(*words)
+
+
+def lang_votes(text: Column) -> list[Column]:
+    """Stopword hit-count per language over the token array."""
+    toks = tokens(text)
+    return [F.size(F.filter(toks, _isin_filter(STOPWORDS[lang]))) for lang in LANGS]
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax language by stopword votes; ties → first in sorted LANGS order;
+    zero votes → 'und' (undetermined)."""
+    votes = lang_votes(text)
+    best = F.greatest(*votes)
+    guess = F.lit("und")
+    for lang, v in reversed(list(zip(LANGS, votes))):
+        guess = F.when(v == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of .,;:!? characters (identical char class in the oracle)."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features (length, tokens, type-token ratio, mean token
+    length, punctuation ratio)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    return docs.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tok,
+            "n_distinct_tokens": distinct_token_count(t),
+            "ttr": F.round(
+                distinct_token_count(t).cast("double")
+                / F.nullif(n_tok.cast("double"), F.lit(0.0)),
+                6,
+            ),
+            "mean_tok_len": F.round(
+                (n_chars - n_tok + 1).cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6
+            ),
+            "punct_ratio": F.round(
+                punct_count(t).cast("double") / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6
+            ),
+        }
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5. Robust to formatting-only edits."""
+    norm = F.regexp_replace(F.lower(text), r"[.,;:!?]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)
