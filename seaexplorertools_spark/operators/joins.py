@@ -132,6 +132,8 @@ def interp_join(
     if bucket is not None:
         out = out.filter(F.col(_BUCKET) == F.col(_HOME))
     drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
+    if suffix:
+        drop += values  # raw union copies of the sample columns (all-NULL on probes)
     return out.drop(*drop)
 
 
@@ -194,4 +196,6 @@ def asof_join(
     if bucket is not None:
         out = out.filter(F.col(_BUCKET) == F.col(_HOME))
     drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
+    if suffix:
+        drop += values
     return out.drop(*drop)

@@ -1,0 +1,344 @@
+"""Stage 3 — ``velocity_from_shear`` parity (reference process_adcp.py:
+2067-2083): reference the vertically-integrated shear against three
+independent constraints (dive-averaged current, surface drift, bottom
+track) and fit the scalar shear bias.
+
+    get_DAC          :1327-1432  (W3/W4 dead-reckon cumsum+reset, A8 per-dive
+                                  GPS rows, J1 interp of DAC back, W5 fills)
+    getSurfaceDrift  :1435-1477  (P4 filter + W2 gradients + A9 medians)
+    bottom_track     :1480-1597  (S3 + P5 QC + J2 nearest + A7 profile max +
+                                  F6 + F5 + scatter-back join)
+    reference_shear  :1658-1717  (A1 grids + W3 vertical integration + W6
+                                  demean + residence weighting + referencing)
+    calc_bias        :1954-1984  (O2 driver-side fmin on the small grid)
+
+The J3 positional re-read (:2068-2074) is avoided by projecting all glider
+columns at first read (SURVEY §7 risk 8 — documented deviation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import geodesy as G
+from ..functions import math as M
+from ..operators import windows as W
+from ..operators.grid import bucket
+from ..operators.joins import asof_join, interp_join
+from . import gridding
+
+
+def _lon2m(lat):
+    return F.lit(G.EARTH_CIRCUM_M) * F.cos(F.radians(lat)) / F.lit(360.0)
+
+
+def _lat2m():
+    return F.lit(G.M_PER_DEG_LAT)
+
+
+def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
+    """Dive-averaged current (reference get_DAC :1327-1432).
+
+    Dead-reckons the glider's through-water displacement (cumsum of
+    speed·Δt, re-zeroed at each GPS fix), compares it with the GPS-derived
+    displacement per dive, interpolates the resulting per-dive current back
+    onto the glider clock, and ffill/bfills the edges.
+    """
+    glider = interp_join(
+        ping_aug.select("time_us", "heading"),
+        glider,
+        on="time_us",
+        values=["heading"],
+        bucket=options.get("interp_bucket"),
+        suffix="_a",
+    )
+    t_sec = F.col("time_us").cast("double") / F.lit(1e6)
+    vg_e = F.coalesce(F.col("speed_horz") * M.sind(F.col("heading_a")), F.lit(0.0))
+    vg_n = F.coalesce(F.col("speed_horz") * M.cosd(F.col("heading_a")), F.lit(0.0))
+    glider = glider.withColumns({"t_sec": t_sec, "speed_e": vg_e, "speed_n": vg_n})
+
+    order = ["time_us"]
+    wseq = Window.orderBy(*order)
+    dt = F.col("t_sec") - F.lag("t_sec").over(wseq)
+    glider = glider.withColumns(
+        {
+            "de": W.cumsum(F.coalesce(F.col("speed_e") * dt, F.lit(0.0)), [], order),
+            "dn": W.cumsum(F.coalesce(F.col("speed_n") * dt, F.lit(0.0)), [], order),
+            "rn": F.row_number().over(wseq),
+            "_gps": (F.col("DeadReckoning") < 1) & (F.col("NAV_RESOURCE") == 116),
+        }
+    )
+    # reset at GPS (reference reset_transport_at_GPS :1329-1333): NULL before
+    # the first fix — faithful to arr - ffill(ref) with leading NaNs
+    for c in ("de", "dn"):
+        at_gps = F.when(F.col("_gps"), F.col(c))
+        glider = glider.withColumn(c, F.col(c) - W.ffill(at_gps, [], order))
+
+    # per-dive first/last GPS rows (A8, reference :1352-1369)
+    gps = glider.filter(F.col("_gps"))
+    key = F.struct(F.col("time_us"), F.col("rn"))
+    dives = gps.groupBy("diveNum").agg(
+        F.min_by(F.struct("rn", "latitude", "longitude", "t_sec"), key).alias("first"),
+        F.max_by(F.struct("rn", "latitude", "longitude", "t_sec"), key).alias("last"),
+    )
+    wd = Window.orderBy("diveNum")
+    dives = dives.select(
+        "diveNum",
+        F.col("last.latitude").alias("dive_lat"),
+        F.col("last.longitude").alias("dive_lon"),
+        F.col("last.t_sec").alias("dive_t"),
+        F.lead("first.rn").over(wd).alias("next_first_rn"),
+        F.lead("first.latitude").over(wd).alias("surf_lat"),
+        F.lead("first.longitude").over(wd).alias("surf_lon"),
+        F.lead("first.t_sec").over(wd).alias("surf_t"),
+    )
+    # dead-reckoned displacement at the row just before the next dive's
+    # first GPS fix (reference de[sidx[idx+1]-1], :1391-1396)
+    dr = glider.select(F.col("rn").alias("dr_rn"), F.col("de").alias("dr_e"), F.col("dn").alias("dr_n"))
+    dives = dives.join(
+        F.broadcast(dr.withColumn("dr_rn", F.col("dr_rn") + 1)), dives.next_first_rn == F.col("dr_rn"), "left"
+    )
+    dives = dives.withColumns(
+        {
+            "gps_e": (F.col("surf_lon") - F.col("dive_lon")) * _lon2m(F.col("dive_lat")),
+            "gps_n": (F.col("surf_lat") - F.col("dive_lat")) * _lat2m(),
+            "dt_d": F.col("surf_t") - F.col("dive_t"),
+            "meant": (F.col("surf_t") + F.col("dive_t")) / 2,
+        }
+    ).withColumns(
+        {
+            "dac_e": (F.col("gps_e") - F.col("dr_e")) / F.nullif(F.col("dt_d"), F.lit(0.0)),
+            "dac_n": (F.col("gps_n") - F.col("dr_n")) / F.nullif(F.col("dt_d"), F.lit(0.0)),
+        }
+    )
+    dac = dives.filter(F.col("meant").isNotNull()).select(
+        (F.col("meant") * 1e6).cast("long").alias("time_us"), "dac_e", "dac_n"
+    )
+    glider = interp_join(
+        dac, glider, on="time_us", values=["dac_e", "dac_n"],
+        bucket=None, suffix="",
+    )
+    # bfill then ffill (reference :1405-1406)
+    for c in ("dac_e", "dac_n"):
+        glider = glider.withColumn(c, F.coalesce(W.bfill(c, [], order), W.ffill(c, [], order)))
+    return glider.drop("rn", "heading_a")
+
+
+def surface_drift(glider: DataFrame, options: dict) -> DataFrame:
+    """Surface-drift velocities per dive (reference getSurfaceDrift
+    :1435-1477): central-difference drift of GPS fixes (np.gradient over the
+    fix sequence, unit spacing), gap-filtered (< 21 s), per-dive medians."""
+    gps = glider.filter((F.col("DeadReckoning") < 1) & (F.col("NAV_RESOURCE") == 116))
+    seq = F.row_number().over(Window.orderBy("time_us")).cast("double")
+    gps = gps.withColumns({"seq": seq, "t_sec": F.col("time_us").cast("double") / F.lit(1e6)})
+    order = ["seq"]
+    gps = gps.withColumns(
+        {
+            "dlon_m": W.central_diff("longitude", "seq", [], order) * _lon2m(F.col("latitude")),
+            "dlat_m": W.central_diff("latitude", "seq", [], order) * _lat2m(),
+            "dtimes": W.central_diff("t_sec", "seq", [], order),
+        }
+    )
+    return (
+        gps.filter(F.col("dtimes") < 21)
+        .groupBy("diveNum")
+        .agg(
+            F.median(F.col("dlon_m") / F.nullif(F.col("dtimes"), F.lit(0.0))).alias("drift_e"),
+            F.median(F.col("dlat_m") / F.nullif(F.col("dtimes"), F.lit(0.0))).alias("drift_n"),
+            F.avg("t_sec").alias("drift_t"),
+        )
+    )
+
+
+def _beam2xyz_fore() -> list[list[float]]:
+    a, b = np.radians(47.5), np.radians(25.0)
+    m = np.array(
+        [
+            [np.sin(a), 0, np.cos(a)],
+            [0, -np.sin(b), np.cos(b)],
+            [0, np.sin(b), np.cos(b)],
+        ]
+    )
+    return np.linalg.inv(m).tolist()
+
+
+def bottom_track(bt: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame:
+    """Bottom-track referencing (reference bottom_track :1480-1597):
+    QC (P5) → nearest-ping match (J2) → per-profile max-depth gate (A7) →
+    soundspeed re-correction (F6) → 3-beam fore solution → ENU (F5) →
+    scatter-back join. Returns ping_aug with bt_e/bt_n/bt_u columns.
+
+    Top-mounted instruments see no bottom → returns ping_aug with NULL BT
+    columns (reference refuses, :1481-1483)."""
+    nulls = {c: F.lit(None).cast("double") for c in ("bt_e", "bt_n", "bt_u")}
+    if options["top_mounted"]:
+        return ping_aug.withColumns(nulls)
+
+    thresh = 12.0
+    bt = bt.filter(
+        (F.col("velocity_beam1") > -2) & (F.col("velocity_beam2") > -2) & (F.col("velocity_beam4") > -2)
+        & (F.col("fom_beam1") < thresh) & (F.col("fom_beam2") < thresh) & (F.col("fom_beam4") < thresh)
+    )
+    wprof = Window.partitionBy("profile_number")
+    ping_matched = ping_aug.withColumn("profile_max_p", F.max("pressure").over(wprof)).select(
+        "time_us",
+        F.col("time_us").cast("double").alias("ping_t"),
+        "profile_max_p",
+        F.col("glider_soundspeed").alias("c_new"),
+    )
+    matched = asof_join(
+        ping_matched,
+        bt,
+        on="time_us",
+        values=["ping_t", "profile_max_p", "c_new"],
+        direction="nearest",
+    )
+    matched = matched.filter(F.abs(F.col("profile_max_p") - F.col("pressure")) < 15)
+
+    ratio = F.col("c_new") / F.nullif(F.col("speed_of_sound"), F.lit(0.0))
+    inv = _beam2xyz_fore()
+    v = [F.col(f"velocity_beam{b}") * ratio for b in (1, 2, 4)]
+    x4 = sum((F.lit(c) * vi for c, vi in zip(inv[0], v)), F.lit(0.0))
+    y4 = sum((F.lit(c) * vi for c, vi in zip(inv[1], v)), F.lit(0.0))
+    z4 = sum((F.lit(c) * vi for c, vi in zip(inv[2], v)), F.lit(0.0))
+    enu = M.xyz_to_enu(
+        x4, y4, z4, F.col("heading"), F.col("pitch"), F.col("roll"), top_mounted=options["top_mounted"]
+    )
+    matched = matched.withColumns(dict(zip(["bt_e", "bt_n", "bt_u"], enu)))
+    # scatter back onto the ping table at the matched ping time (J2 scatter,
+    # reference :1586-1595)
+    scatter = matched.select(
+        F.col("ping_t").cast("long").alias("time_us"), "bt_e", "bt_n", "bt_u"
+    ).groupBy("time_us").agg(
+        F.avg("bt_e").alias("bt_e"), F.avg("bt_n").alias("bt_n"), F.avg("bt_u").alias("bt_u")
+    )
+    return ping_aug.join(scatter, "time_us", "left")
+
+
+def reference_shear(
+    gridded_cells: DataFrame, glider: DataFrame, options: dict
+) -> DataFrame:
+    """Referencing (reference reference_shear :1658-1717): grid the shear,
+    integrate vertically (bottom of each profile = 0-mean baroclinic), and
+    add the DAC-derived reference offset weighted by per-bin residence
+    time. One gridding shuffle + window passes — no per-variable loops."""
+    y_res = float(options.get("y_res", 1.0))
+    sh = gridding.grid_cells(gridded_cells, y_res)
+    gl = (
+        glider.groupBy(
+            bucket(F.col("profile_number").cast("double"), 0.0, 1.0).alias("profile_num"),
+            bucket(F.col("pressure"), 0.0, y_res).alias("depth_bin"),
+        )
+        .agg(
+            F.avg("dac_e").alias("dac_e_g"),
+            F.avg("dac_n").alias("dac_n_g"),
+            F.avg("speed_vert").alias("dpdz_g"),
+            F.avg("speed_e").alias("speed_e_g"),
+            F.avg("speed_n").alias("speed_n_g"),
+            F.median("salinity").alias("salinity_g"),
+        )
+    )
+    g = sh.join(gl, ["profile_num", "depth_bin"], "full")
+
+    order = ["depth_bin"]
+    part = ["profile_num"]
+    out_cols = {}
+    for letter in ("E", "N"):
+        shear = F.col(f"Sh_{letter}")
+        v = W.cumsum(shear, part, order) * F.lit(y_res)
+        v = F.when(shear.isNotNull(), v)  # restore NaN placement (reference :1679-1682)
+        g = g.withColumn(f"v_{letter}", v)
+        g = g.withColumn(f"v_{letter}", W.demean(f"v_{letter}", part))
+        out_cols[letter] = f"v_{letter}"
+
+    # residence-time weighting SpB = y_res / dPdz, inf→0, clipped at 1σ
+    spb = F.when(
+        F.col("dpdz_g").isNull() | (F.col("dpdz_g") == 0), F.lit(0.0)
+    ).otherwise(F.lit(y_res) / F.col("dpdz_g"))
+    g = g.withColumn("spb", spb)
+    spb_std = g.agg(F.stddev("spb")).first()[0] or 0.0
+    g = g.withColumn(
+        "spb", F.when(F.abs(F.col("spb")) > spb_std, F.lit(spb_std)).otherwise(F.col("spb"))
+    )
+
+    wprof = Window.partitionBy("profile_num")
+    for letter in ("E", "N"):
+        dac_mean = F.avg(F.col(f"dac_{letter.lower()}_g")).over(wprof)
+        num = F.coalesce(F.sum(F.col(f"v_{letter}") * F.col("spb")).over(wprof), F.lit(0.0))
+        den = F.coalesce(F.sum(F.when(F.col(f"v_{letter}").isNotNull(), F.col("spb"))).over(wprof), F.lit(0.0))
+        ref = dac_mean - num / F.nullif(den, F.lit(0.0))
+        g = g.withColumn(f"ADCP_{letter}", F.col(f"v_{letter}") + ref)
+    return g
+
+
+def calc_bias(grid: DataFrame, options: dict) -> DataFrame:
+    """O2 (reference calc_bias :1954-1984): collect the small (depth ×
+    profile) grids, fmin the scalar bias coefficient driver-side, apply it
+    back in the lazy plan via the gridded glider speeds."""
+    from .driverside import apply_bias, fit_shear_bias
+
+    pdf = grid.select(
+        "profile_num", "depth_bin", "ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g"
+    ).toPandas()
+    # rows with NULL grid keys (out-of-range buckets from the full join)
+    # carry no velocity and cannot be keyed back — exclude from the fit
+    pdf = pdf.dropna(subset=["profile_num", "depth_bin"])
+    if len(pdf) == 0:
+        return grid
+    piv = {
+        c: pdf.pivot_table(index="depth_bin", columns="profile_num", values=c, dropna=False)
+        for c in ("ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g")
+    }
+    cols = piv["ADCP_E"].columns
+    idx = piv["ADCP_E"].index
+    mats = {c: piv[c].reindex(index=idx, columns=cols).to_numpy(float) for c in piv}
+    coeff = fit_shear_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"])
+    e, n = apply_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"], coeff)
+
+    rows = []
+    for i, d in enumerate(idx):
+        for j, p in enumerate(cols):
+            rows.append(
+                (
+                    int(p),
+                    int(d),
+                    None if np.isnan(e[i, j]) else float(e[i, j]),
+                    None if np.isnan(n[i, j]) else float(n[i, j]),
+                )
+            )
+    spark = grid.sparkSession
+    adj = spark.createDataFrame(
+        rows, "profile_num long, depth_bin long, ADCP_E_adj double, ADCP_N_adj double"
+    )
+    return (
+        grid.join(adj, ["profile_num", "depth_bin"], "left")
+        .withColumn("ADCP_E", F.col("ADCP_E_adj"))
+        .withColumn("ADCP_N", F.col("ADCP_N_adj"))
+        .drop("ADCP_E_adj", "ADCP_N_adj")
+    )
+
+
+def velocity_from_shear(
+    gridded_cells: DataFrame,
+    ping_aug: DataFrame,
+    glider: DataFrame,
+    bt: DataFrame | None,
+    options: dict,
+) -> DataFrame:
+    """Entry point 3 (reference velocity_from_shear :2067-2083): returns the
+    long gridded dataset with referenced, bias-corrected ADCP_E/ADCP_N."""
+    glider = get_dac(ping_aug, glider, options)
+    drift = surface_drift(glider, options)  # noqa: F841 — diagnostic constraint
+    if bt is not None:
+        ping_aug = bottom_track(bt, ping_aug, options)
+    g = reference_shear(gridded_cells, glider, options)
+    g = calc_bias(g, options)
+    # per-profile mean time → profile_datetime axis (reference make_dataset :2042)
+    gl_time = glider.groupBy(
+        bucket(F.col("profile_number").cast("double"), 0.0, 1.0).alias("profile_num")
+    ).agg(F.avg(F.col("time_us").cast("double")).alias("profile_mean_time_us"))
+    return g.join(gl_time, ["profile_num"], "left")
