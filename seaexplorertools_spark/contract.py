@@ -1305,6 +1305,17 @@ from .operators.similarity import brute_force_topk, lsh_topk  # noqa: E402
 
 _TOK_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
+# 3-token shingles over the token list (1-based list indexing in DuckDB,
+# matching Spark element_at) — see operators/dedup.py shingles()
+_SHINGLE_SQL = f"""
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [array_to_string(toks, ' ')] END) AS tok
+      FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents)
+"""
+
 
 @q(
     "dd_exact_dup",
@@ -1324,16 +1335,18 @@ def dd_exact_dup(spark, sf_dir):
     "dd_minhash_sig",
     f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+      SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})
     )
-    SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || tok)) AS mh
+    SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || md5(tok))) AS mh
     FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
     GROUP BY doc_id, s.seed
     """,
 )
 def dd_minhash_sig(spark, sf_dir):
-    """MinHash signatures (K=16) — md5-hex min per (doc, seed); engine-portable
-    uniform min-hash."""
+    """MinHash signatures (K=16) over 3-token shingles — md5-hex min per
+    (doc, seed); engine-portable uniform min-hash. Shingles (not unigrams)
+    so word ORDER matters: same-vocabulary word-salad documents don't
+    collapse into one bucket."""
     return minhash_signatures(table(spark, sf_dir, "documents"), k=16)
 
 
@@ -1341,10 +1354,10 @@ def dd_minhash_sig(spark, sf_dir):
     "dd_minhash_lsh_pairs",
     f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+      SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})
     ),
     sig AS (
-      SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || tok)) AS mh
+      SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || md5(tok))) AS mh
       FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
       GROUP BY doc_id, s.seed
     ),

@@ -40,6 +40,42 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles (word k-grams) from an ALREADY-MATERIALIZED token
+    array column. Order-sensitive — two documents with the same vocabulary
+    but different word order share few shingles, so shingle-minhash
+    discriminates where unigram-minhash collapses. Documents shorter than k
+    tokens yield their whole token-join as a single shingle.
+
+    ``toks`` must be a plain column reference, not the tokenization
+    expression itself: element_at inside the transform lambda re-evaluates
+    its input expression per element, so an inline regex split would run
+    O(shingles × k) times per row.
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def doc_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, distinct k-shingle)."""
+    toks = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    return (
+        toks.select(id_col, F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("tok"))
+        .distinct()
+    )
+
+
 def exact_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -61,19 +97,28 @@ def exact_duplicates(
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """K min-hashes per doc: h_i(doc) = min over tokens of md5(i || ':' || tok).
+    """K min-hashes per doc over 3-token shingles:
+    h_i(doc) = min over shingles of md5(i || ':' || shingle).
 
     One explode + one groupBy(doc, seed) with map-side partial min — shuffle
-    volume is K rows per doc regardless of document length.
+    volume is K rows per doc regardless of document length. Each shingle is
+    md5-digested ONCE; the per-seed hashes re-hash the short 32-char digest
+    (md5(seed || ':' || md5(shingle))) instead of the long shingle K times.
     """
-    toks = doc_tokens(docs, id_col, text_col)
+    toks = doc_shingles(docs, shingle_k, id_col, text_col).select(
+        id_col, F.md5(F.col("tok")).alias("tok_h")
+    )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
     return (
-        toks.select(id_col, "tok", seeds)
+        toks.select(id_col, "tok_h", seeds)
         .groupBy(id_col, "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok")))).alias("mh"))
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok_h")))).alias("mh"))
     )
 
 
