@@ -1,0 +1,77 @@
+"""Plan-quality assertions — the 100 TB properties, checked on real plans.
+
+Each test pins a property that must survive refactoring: filter pushdown,
+column pruning, broadcast joins for small dims, map-side partial
+aggregation, single-shuffle gridding.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark import contract
+from seaexplorertools_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+    has_pushed_filters,
+    read_schema_columns,
+    scan_info,
+    uses_broadcast_join,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = contract.QUERIES["s1_scan_project"](spark, sf_dir)
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    """The flagship grid2d projects 4 of lineitem's 11 columns — the scan
+    must read exactly those."""
+    df = contract.QUERIES["a1_grid2d_mean"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
+
+
+def test_grid2d_is_single_shuffle(spark, sf_dir):
+    df = contract.QUERIES["a1_grid2d_mean"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_grid2d_partial_aggregate(spark, sf_dir):
+    """Map-side combine before the shuffle (HashAggregate × 2)."""
+    txt = explain_str(contract.QUERIES["a1_grid2d_mean"](spark, sf_dir))
+    assert "partial_avg" in txt or "partial_count" in txt, txt
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = contract.QUERIES["j4_broadcast_dim"](spark, sf_dir)
+    assert uses_broadcast_join(df), explain_str(df, "simple")
+
+
+def test_equi_3way_broadcasts_both_dims(spark, sf_dir):
+    txt = explain_str(contract.QUERIES["j0_equi_3way"](spark, sf_dir), "simple")
+    assert txt.count("BroadcastHashJoin") == 2, txt
+
+
+def test_interp_join_one_sort_for_all_values(spark, sf_dir):
+    """J1 with N value columns must reuse ONE window sort, not N — check a
+    single Window node / single sort in the plan."""
+    from seaexplorertools_spark.operators.joins import interp_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn("ts_us", F.expr("ts div 1000"))
+    samples = ev.selectExpr("user_id", "ts_us", "value as v1", "value * 2 as v2", "value * 3 as v3")
+    probes = ev.select("event_id", "user_id", "ts_us")
+    out = interp_join(samples, probes, on="ts_us", values=["v1", "v2", "v3"], partition_by=["user_id"], suffix="_i")
+    txt = explain_str(out, "simple")
+    # one exchange for the union window (plus the union's child scans)
+    assert txt.count("Sort ") <= 2, txt
+    assert count_exchanges(out) <= 2, txt
+
+
+def test_qc_mask_stays_in_scan_projection(spark, sf_dir):
+    """P3 masking is pure projection — no exchange at all."""
+    df = contract.QUERIES["p3_qc_mask"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
