@@ -79,14 +79,14 @@ EV_ORDER = ["ts_us", "event_id"]
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            round(l_extendedprice * (1 - l_discount), 6) AS net_price
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate < TIMESTAMP '1998-06-01'
     """,
 )
 def s1_scan_project(spark, sf_dir):
     """S1/P1 — projection + derived column + pushdown filter
     (reference load(): process_adcp.py:80-114, sel_cols :83-92)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") < "1995-01-01").select(
+    return li.filter(F.col("l_shipdate") < "1998-06-01").select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
@@ -1614,3 +1614,185 @@ def st_windowed_counts(spark, sf_dir):
     return ev.groupBy(
         F.expr("ts_us div 3600000000").alias("hour_bucket"), "event_type"
     ).agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_v"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — Spark-native relational surface (set ops, top-k, pivot) and
+# composite reference-math queries
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the canonical multi-aggregate scan
+    (Spark-native surface; exercises the same partial-agg path as grid2d)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (F.lit(1) + F.col("l_tax"))), 4).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q_topk_orders",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    )
+    SELECT rank, o_orderkey, o_custkey, o_totalprice FROM r WHERE rank <= 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    """Top-k with deterministic tiebreak (engine-portable ordering)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@q(
+    "q_set_ops",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """Set operator surface (INTERSECT; UNION/EXCEPT are the same code
+    path). The reference has no set ops (SURVEY §2.5 note) — Spark-native."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    return recent.intersect(rich)
+
+
+@q(
+    "r2_pivot_export",
+    """
+    SELECT l_linenumber,
+           round(avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS A,
+           round(avg(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS N,
+           round(avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS R
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def r2_pivot_export(spark, sf_dir):
+    """R2 — long→wide pivot, the export-time densification (reference
+    make_dataset :2029-2043 assembles wide grids; mid-pipeline stays long)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(r6(F.avg("l_quantity")))
+    )
+
+
+@q(
+    "ref_vertical_integration",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             CAST(round(value * 10000.0) AS BIGINT) AS su
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, event_id, su,
+             sum(su) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+      FROM g
+    ),
+    p AS (
+      SELECT user_id, event_id, cum_u,
+             count(cum_u) OVER (PARTITION BY user_id) AS n,
+             sum(cum_u) OVER (PARTITION BY user_id) AS s,
+             sum(su) OVER (PARTITION BY user_id) AS dac_u
+      FROM v
+    )
+    SELECT user_id, event_id,
+           CAST(cum_u * n - s + dac_u AS BIGINT) AS referenced_num,
+           CAST(n * 10000 AS BIGINT) AS referenced_den
+    FROM p
+    """,
+)
+def ref_vertical_integration(spark, sf_dir):
+    """Composite reference-shear math (reference reference_shear :1676-1717):
+    cumulative integration of a shear proxy, per-profile demean, and a
+    DAC-style reference re-add — W3+W6 in one lineage on events.
+
+    The result is emitted as an EXACT rational (numerator, denominator) in
+    BIGINT µ-units of the shear proxy — float window-aggregation order
+    differs between engines, the tidy 2-decimal inputs land mid-aggregates
+    exactly on round-half boundaries, and even a final round() of identical
+    doubles can disagree (Spark rounds the exact decimal expansion via
+    BigDecimal; DuckDB multiplies by 10^k first) — found the hard way at
+    sf0.01. Integer arithmetic sidesteps the whole class."""
+    ev = events(spark, sf_dir)
+    ev = ev.withColumn("su", F.round(F.col("value") * 10000.0).cast("long"))
+    ev = ev.withColumn("cum_u", W.cumsum("su", ["user_id"], EV_ORDER, nan_as_zero=False))
+    wq = Window.partitionBy("user_id")
+    n = F.count("cum_u").over(wq)
+    s = F.sum("cum_u").over(wq)
+    dac_u = F.sum("su").over(wq)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("cum_u") * n - s + dac_u).alias("referenced_num"),
+        (n * F.lit(10000)).cast("long").alias("referenced_den"),
+    )
+
+
+@q(
+    "a2_orientation_detect",
+    """
+    SELECT CAST(avg(CASE WHEN event_type = 'error' THEN value END) < 50.0 AS BOOLEAN)
+             AS top_mounted_analog,
+           count(*) AS n
+    FROM events
+    """,
+)
+def a2_orientation_detect(spark, sf_dir):
+    """A2 — the orientation-detect control-flow scalar (reference :210-213
+    MagnetometerZ.mean() < 0) as a checkable aggregate."""
+    ev = events(spark, sf_dir)
+    return ev.agg(
+        (F.avg(F.when(F.col("event_type") == "error", F.col("value"))) < 50.0)
+        .cast("boolean")
+        .alias("top_mounted_analog"),
+        F.count("*").alias("n"),
+    )
