@@ -1796,3 +1796,165 @@ def a2_orientation_detect(spark, sf_dir):
         .alias("top_mounted_analog"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — relational completeness (semi/anti, rollup), UDF surface,
+# simhash pairs, sessionization
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_semi_anti_join",
+    """
+    SELECT 'with_orders' AS side, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS side, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_join(spark, sf_dir):
+    """Semi/anti join surface (Spark-native; the reference has no equi-joins
+    at all — SURVEY §2.3 note)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("side"), "n"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_orders").alias("side"), "n"
+    )
+    return semi.unionByName(anti)
+
+
+@q(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Hierarchical rollup (the 'hypertable rollup' analog): subtotals per
+    (flag, status), per flag, and grand total in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "udf_soundspeed_mackenzie",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(1448.96 + 4.591 * t - 5.304e-2 * t * t + 2.374e-4 * t * t * t
+                 + 1.340 * (s - 35.0) + 1.630e-2 * d + 1.675e-7 * d * d
+                 - 1.025e-2 * t * (s - 35.0) - 7.139e-13 * t * d * d * d, 6) AS c_ms
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity / 2.0 AS t,
+             34.0 + l_tax * 10.0 AS s, l_extendedprice / 100.0 AS d
+      FROM lineitem
+    )
+    """,
+)
+def udf_soundspeed_mackenzie(spark, sf_dir):
+    """UDF surface (SURVEY §2.9 / F7): Mackenzie (1981) soundspeed as an
+    Arrow-batched pandas UDF — numpy double arithmetic in the same operation
+    order as the SQL oracle, so results are bit-identical before rounding.
+    Demonstrates the vectorized-UDF escape hatch staying oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mackenzie(t, s, d):
+        return (
+            1448.96
+            + 4.591 * t
+            - 5.304e-2 * t * t
+            + 2.374e-4 * t * t * t
+            + 1.340 * (s - 35.0)
+            + 1.630e-2 * d
+            + 1.675e-7 * d * d
+            - 1.025e-2 * t * (s - 35.0)
+            - 7.139e-13 * t * d * d * d
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(
+            mackenzie(
+                F.col("l_quantity") / 2.0,
+                F.lit(34.0) + F.col("l_tax") * 10.0,
+                F.col("l_extendedprice") / 100.0,
+            )
+        ).alias("c_ms"),
+    )
+
+
+@q(
+    "dd_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sh AS (
+      SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming distance of 32-bit fingerprints <= 3.
+    At 100 TB the pair join blocks on a fingerprint prefix instead of the
+    full cross join (same banding idea as minhash-LSH)."""
+    sh = simhash32(table(spark, sf_dir, "documents"))
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    pairs = a.join(b, F.col("doc1") < F.col("doc2"))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return pairs.select("doc1", "doc2", hamming.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@q(
+    "q_sessionize",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER ({_EV_W_SQL}) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER ({_EV_W_SQL.replace("epoch_us(ts)", "tu")}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM t
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Session-gap sessionization (30-min gap): the batch equivalent of a
+    session_window streaming aggregation — new session whenever the gap to
+    the previous event exceeds the threshold (classic cumsum-of-boundaries,
+    same shape as the reference's GPS-reset W4)."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(*EV_ORDER)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "event_id", F.sum(boundary).over(wc).cast("long").alias("session_id")
+    )
