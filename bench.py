@@ -37,6 +37,9 @@ HEADLINE = [
     "txt_quality",          # text quality features
     "f5_enu_rotation",      # trig-heavy expression chain
     "st_windowed_counts",   # tumbling-window agg
+    "tpch_q1_pricing_summary",  # multi-aggregate scan
+    "q_sessionize",         # gap-cumsum sessionization
+    "udf_soundspeed_mackenzie",  # Arrow pandas-UDF path
 ]
 
 

@@ -97,11 +97,15 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
         F.lead("first.t_sec").over(wd).alias("surf_t"),
     )
     # dead-reckoned displacement at the row just before the next dive's
-    # first GPS fix (reference de[sidx[idx+1]-1], :1391-1396)
+    # first GPS fix (reference de[sidx[idx+1]-1], :1391-1396).
+    # dives is tiny (one row per dive) — broadcast IT against the big glider
+    # table, then re-group to one row per dive.
     dr = glider.select(F.col("rn").alias("dr_rn"), F.col("de").alias("dr_e"), F.col("dn").alias("dr_n"))
-    dives = dives.join(
-        F.broadcast(dr.withColumn("dr_rn", F.col("dr_rn") + 1)), dives.next_first_rn == F.col("dr_rn"), "left"
-    )
+    picked = dr.join(
+        F.broadcast(dives.select("diveNum", "next_first_rn")),
+        dr.dr_rn + 1 == F.col("next_first_rn"),
+    ).select("diveNum", "dr_e", "dr_n")
+    dives = dives.join(F.broadcast(picked), "diveNum", "left")
     dives = dives.withColumns(
         {
             "gps_e": (F.col("surf_lon") - F.col("dive_lon")) * _lon2m(F.col("dive_lat")),
