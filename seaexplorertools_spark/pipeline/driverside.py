@@ -13,10 +13,13 @@ import numpy as np
 import pandas as pd
 
 
-def _fmin(objective, x0: np.ndarray, maxiter: int = 400, ftol: float = 1e-5) -> np.ndarray:
+def _fmin(
+    objective, x0: np.ndarray, maxiter: int = 1000, ftol: float = 1e-6, xtol: float = 1e-6
+) -> np.ndarray:
     """Nelder–Mead simplex minimizer — drop-in for scipy.optimize.fmin when
     scipy is unavailable (standard reflection/expansion/contraction/shrink
-    scheme with scipy-compatible defaults)."""
+    scheme; converged when BOTH the simplex spread and the f-value spread
+    are small, like scipy's xtol+ftol pair)."""
     try:
         from scipy.optimize import fmin as _scipy_fmin  # type: ignore
 
@@ -37,7 +40,11 @@ def _fmin(objective, x0: np.ndarray, maxiter: int = 400, ftol: float = 1e-5) -> 
         order = np.argsort(fvals)
         simplex = [simplex[i] for i in order]
         fvals = [fvals[i] for i in order]
-        if abs(fvals[-1] - fvals[0]) <= ftol * (abs(fvals[0]) + ftol):
+        f_spread = abs(fvals[-1] - fvals[0])
+        x_spread = max(np.max(np.abs(np.asarray(p) - simplex[0])) for p in simplex[1:])
+        if f_spread <= ftol * (abs(fvals[0]) + ftol) and x_spread <= xtol * (
+            np.max(np.abs(simplex[0])) + xtol
+        ):
             break
         centroid = np.mean(simplex[:-1], axis=0)
         xr = centroid + (centroid - simplex[-1])
@@ -80,7 +87,11 @@ def fit_compass(mag: pd.DataFrame, target: float) -> list[float]:
         return np.sqrt(np.nanmean((mag_norm - target) ** 2))
 
     x0 = np.array([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0], dtype=float)
-    coeffs = _fmin(objective, x0)
+    # Nelder–Mead in 12-D needs restarts to make progress (scipy's fmin has
+    # the same weakness; the reference accepts its default convergence)
+    coeffs = x0
+    for _ in range(3):
+        coeffs = _fmin(objective, coeffs, maxiter=4000)
     return [float(c) for c in coeffs]
 
 
