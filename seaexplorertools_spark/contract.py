@@ -1958,3 +1958,75 @@ def q_sessionize(spark, sf_dir):
     return ev.select(
         "user_id", "event_id", F.sum(boundary).over(wc).cast("long").alias("session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — skew-safe aggregation, JSON extraction, time-range frames
+# ---------------------------------------------------------------------------
+
+from .operators.skew import salted_sum_count  # noqa: E402
+
+
+@q(
+    "q_salted_agg",
+    """
+    SELECT event_type, round(sum(value), 6) AS sum_v, count(value) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation — result identical to a plain
+    groupBy (the oracle), plan splits the hot key across n_salts reducers
+    before merging. The salt column derives from event_id (deterministic)."""
+    ev = events(spark, sf_dir)
+    out = salted_sum_count(
+        ev, ["event_type"], "value", n_salts=16, salt_from="event_id"
+    )
+    return out.select("event_type", r6(F.col("sum_v")).alias("sum_v"), "n")
+
+
+@q(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT)) AS n_same_k
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column handling: JSON field extraction from the
+    events ``props`` payload + a per-value frequency window."""
+    ev = events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = ev.withColumn("k", k)
+    return ev.select(
+        "event_id", "k", F.count("*").over(Window.partitionBy("k")).alias("n_same_k")
+    )
+
+
+@q(
+    "q_range_frame_trailing",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS trailing_1h_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_n
+    FROM events
+    """,
+)
+def q_range_frame_trailing(spark, sf_dir):
+    """Time-based RANGE frame: trailing 1-hour sum/count per user — the
+    value-range window (vs W1's row-count frame). At scale this is the
+    hot-path form of 'rolling metrics over event time'."""
+    ev = events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        r6(F.sum("value").over(w)).alias("trailing_1h_sum"),
+        F.count("*").over(w).alias("trailing_1h_n"),
+    )
