@@ -73,13 +73,25 @@ def decode_stub(payload: bytes) -> tuple[int, float, float]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — Arrow-batched,
-    partition-preserving, no shuffle."""
+    partition-preserving, no shuffle.
+
+    The decode step is a NESTED def (same logic as ``decode_stub``) so
+    cloudpickle ships it by value — Spark python workers don't inherit the
+    driver's sys.path, and a by-reference pickle of this module's functions
+    would fail to import on workers when the engine runs from a
+    non-PYTHONPATH checkout."""
+
+    def decode(payload: bytes) -> tuple[int, float, float]:
+        if payload is None or len(payload) == 0:
+            return 0, float("nan"), float("nan")
+        n = len(payload)
+        return n, sum(payload) / n, len(set(payload)) / 256.0
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                n, mean, ent = decode_stub(payload)
+                n, mean, ent = decode(payload)
                 rows.append((mid, kind, n, mean, ent))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "n_bytes", "byte_mean", "byte_entropy_proxy"]
