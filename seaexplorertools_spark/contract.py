@@ -2030,3 +2030,15 @@ def q_range_frame_trailing(spark, sf_dir):
         r6(F.sum("value").over(w)).alias("trailing_1h_sum"),
         F.count("*").over(w).alias("trailing_1h_n"),
     )
+
+
+@q("ann_topk_ivf")  # approximate (cell-restricted recall) → rows-only check
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-bucketed approximate ANN (coarse quantizer + inverted-list
+    equi-join) — the second scale path beside hyperplane LSH. Approximate ⇒
+    no SQL oracle; driver records rows-only."""
+    from .operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(e, qs, n_cells=8, k=5)

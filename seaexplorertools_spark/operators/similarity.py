@@ -87,6 +87,78 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "v") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    ``centroids`` is a small driver-side list [(cell_id, vector)].
+
+    The per-cell similarities are materialized ONCE into an array column and
+    the argmax is ``array_position(sims, array_max(sims))`` — a cascaded
+    when(best_sim < sim, ...) chain would re-inline every previous cosine
+    into each branch and blow the expression tree up exponentially
+    (observed 200× slowdown)."""
+    sims = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+            for _, cvec in centroids
+        ]
+    )
+    df = df.withColumn("__sims", sims)
+    # first maximal cell wins ties (deterministic); centroid order == cell id
+    cell = (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast("int")
+    return df.withColumn("ivf_cell", cell).drop("__sims")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer (the
+    first n_cells vectors serve as centroids — a real system would k-means
+    them; the partition/search plumbing is identical), candidates restricted
+    to the query's cell via equi-join.
+
+    At 100 TB: the inverted lists are just a partitioned table keyed by
+    ivf_cell; a query touches |cell| candidates instead of N. Recall is
+    tuned by n_cells / nprobe (single-probe here)."""
+    cent_rows = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
+    e = ivf_assign(
+        embeddings.select(
+            F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        centroids,
+        "v",
+    ).select("nbr_id", F.col("v").alias("v_e"), "ivf_cell")
+    qdf = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        centroids,
+        "v",
+    ).select("query_id", F.col("v").alias("v_q"), "ivf_cell")
+    sim = (
+        qdf.join(e, "ivf_cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "sim")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
