@@ -1920,7 +1920,7 @@ def dd_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: hamming distance of 32-bit fingerprints <= 3.
     At 100 TB the pair join blocks on a fingerprint prefix instead of the
     full cross join (same banding idea as minhash-LSH)."""
-    sh = simhash32(table(spark, sf_dir, "documents"))
+    sh = simhash32(table(spark, sf_dir, "documents")).cache()  # self-joined
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
     pairs = a.join(b, F.col("doc1") < F.col("doc2"))

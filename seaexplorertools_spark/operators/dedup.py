@@ -146,6 +146,9 @@ def lsh_candidate_pairs(
             ).alias("bsig")
         )
     )
+    # tiny table (n_bands rows per doc) self-joined below — cache so the
+    # shingle→md5→signature lineage isn't recomputed for both join sides
+    bands = bands.cache()
     a = bands.select(F.col(id_col).alias("doc1"), "band", "bsig")
     b = bands.select(F.col(id_col).alias("doc2"), "band", "bsig")
     return (
@@ -196,7 +199,7 @@ def ngram_jaccard_pairs(
     """
     toks = (
         docs.select(id_col, block_col, F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    )
+    ).cache()  # self-joined below
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.select(F.col(id_col).alias("doc1"), F.col(block_col).alias("blk"), "tok")
     b = toks.select(F.col(id_col).alias("doc2"), F.col(block_col).alias("blk"), "tok")
