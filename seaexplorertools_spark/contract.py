@@ -1672,13 +1672,17 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q_topk_orders(spark, sf_dir):
-    """Top-k with deterministic tiebreak (engine-portable ordering)."""
+    """Top-k with deterministic tiebreak (engine-portable ordering).
+
+    Physical strategy: ``orderBy().limit(k)`` executes as a distributed
+    TakeOrdered (per-partition top-k, then merge) — a global row_number
+    window would move ALL rows to one partition. The rank column is then a
+    window over the already-collected k rows (trivial)."""
     o = table(spark, sf_dir, "orders")
+    top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 
@@ -2042,3 +2046,81 @@ def ann_topk_ivf(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(e, qs, n_cells=8, k=5)
+
+
+@q(
+    "dd_dedup_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})
+    ),
+    sig AS (
+      SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || md5(tok))) AS mh
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, string_agg(mh, '|' ORDER BY seed) AS bsig
+      FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc1, c.doc2, count(*) AS n_inter
+      FROM cand c JOIN toks ta ON ta.doc_id = c.doc1 JOIN toks tb
+        ON tb.doc_id = c.doc2 AND tb.tok = ta.tok
+      GROUP BY c.doc1, c.doc2
+    )
+    SELECT c.doc1, c.doc2,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0), 6)
+             AS jaccard,
+           (CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+            / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0)) >= 0.8
+             AS is_duplicate
+    FROM cand c
+    LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+    JOIN sizes sa ON sa.doc_id = c.doc1
+    JOIN sizes sb ON sb.doc_id = c.doc2
+    """,
+)
+def dd_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup pipeline: shingle-MinHash-LSH candidate
+    generation → exact shingle-Jaccard verification → duplicate verdict.
+    The canonical two-stage dedup (cheap recall stage, exact precision
+    stage) as ONE lineage; candidates bound the expensive exact join."""
+    from .operators.dedup import doc_shingles, lsh_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
+    toks = doc_shingles(docs).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("doc1"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc2"), "tok")
+    inter = (
+        cand.join(ta, "doc1")
+        .join(tb, ["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    out = (
+        cand.join(inter, ["doc1", "doc2"], "left")
+        .join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("n_i", F.coalesce(F.col("n_inter"), F.lit(0)).cast("double"))
+        .withColumn(
+            "jac_raw",
+            F.col("n_i") / F.nullif(F.col("sz1") + F.col("sz2") - F.col("n_i"), F.lit(0.0)),
+        )
+    )
+    return out.select(
+        "doc1",
+        "doc2",
+        r6(F.col("jac_raw")).alias("jaccard"),
+        (F.col("jac_raw") >= 0.8).alias("is_duplicate"),
+    )
