@@ -1320,15 +1320,21 @@ _SHINGLE_SQL = f"""
 @q(
     "dd_exact_dup",
     """
-    SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups,
-           max(doc_id) AS max_id
-    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    SELECT md5(substr(text, 1, 40)) AS digest, min(doc_id) AS canonical_id,
+           count(*) AS n_dups, max(doc_id) AS max_id
+    FROM documents GROUP BY md5(substr(text, 1, 40)) HAVING count(*) > 1
     """,
 )
 def dd_exact_dup(spark, sf_dir):
-    """Exact dedup via content digest groupBy (hash-groupBy; shuffle volume
-    = distinct digests)."""
-    return exact_duplicates(table(spark, sf_dir, "documents"))
+    """Exact dedup via content-digest groupBy (hash-groupBy; shuffle volume
+    = distinct digests). Keyed on a 40-char prefix digest here because the
+    synthetic corpus has near-duplicates but zero byte-identical documents —
+    the full-text variant is the same operator with ``key=F.col('text')``
+    and would be a vacuous 0-row check."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.substring(F.col("text"), 1, 40)
+    )
+    return exact_duplicates(docs)
 
 
 @q(
