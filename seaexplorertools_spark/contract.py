@@ -2130,3 +2130,42 @@ def dd_dedup_pipeline(spark, sf_dir):
         r6(F.col("jac_raw")).alias("jaccard"),
         (F.col("jac_raw") >= 0.8).alias("is_duplicate"),
     )
+
+
+@q(
+    "txt_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def txt_bpe_tokens(spark, sf_dir):
+    """Token counting, both flavors: whitespace tokens and BPE-ish
+    pre-tokens (letter runs / digits / punctuation — the GPT-2 pre-tokenizer
+    shape) for LLM token budgeting."""
+    from .operators.text import bpe_ish_token_count, token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@q("mm_resize_frames")  # binary payloads → rows-only check
+def mm_resize_frames(spark, sf_dir):
+    """Multimodal resize + frame-sample plumbing (stub decode): documents as
+    fake media → resize to 64x64 payloads → 4 sampled frames each. Binary
+    outputs ⇒ rows-only driver check; shapes asserted in tests."""
+    from .operators.multimodal import documents_as_media, resize_images, sample_frames
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    resized = resize_images(media, 64, 64)
+    frames = sample_frames(resized, 4)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("total_frame_bytes"),
+    )

@@ -100,6 +100,68 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing (decode/encode STUBBED): real code would
+    PIL-decode, resize, re-encode; the stub deterministically truncates/pads
+    the payload to width*height bytes so batch shapes, schema and
+    partition-preservation are exercised end-to-end."""
+    target = width * height
+
+    def do_resize(batches):
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    out.append((mid, kind, None, None, None))
+                    continue
+                b = bytes(payload)
+                resized = (b * (target // max(len(b), 1) + 1))[:target]
+                out.append((mid, kind, resized, width, height))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "width", "height"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing (decode STUBBED): real code would
+    ffmpeg-seek; the stub slices the payload into n_frames even chunks —
+    one output row per (media, frame), the explode-shaped schema a training
+    pipeline feeds to per-frame feature extraction."""
+
+    def do_sample(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    out.append((mid, i, b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return media.select("media_id", "payload").mapInPandas(do_sample, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as fake media payloads so the
     multimodal plumbing can be exercised against the synthetic tables."""

@@ -51,6 +51,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer: word pieces, numbers, and single punctuation marks
+# as separate tokens (the GPT-2 pre-tokenizer shape, simplified to a
+# portable character-class regex shared verbatim with the DuckDB oracle)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens: letter runs, single digits, single
+    punctuation. A cheap, deterministic proxy for LLM token budgeting
+    (letter runs then subdivide ~4 chars/token downstream)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
