@@ -47,12 +47,19 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
     speed·Δt, re-zeroed at each GPS fix), compares it with the GPS-derived
     displacement per dive, interpolates the resulting per-dive current back
     onto the glider clock, and ffill/bfills the edges.
+
+    Scale: with ``options['mission_col']`` set, every ordered window / dive
+    lookup partitions by that key — N missions process independently (the
+    100 TB shape is many missions, not one long one). Without it the
+    windows are global (single-mission semantics, like the reference).
     """
+    part = [options["mission_col"]] if options.get("mission_col") else []
     glider = interp_join(
-        ping_aug.select("time_us", "heading"),
+        ping_aug.select(*part, "time_us", "heading"),
         glider,
         on="time_us",
         values=["heading"],
+        partition_by=part,
         bucket=options.get("interp_bucket"),
         suffix="_a",
     )
@@ -62,12 +69,12 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
     glider = glider.withColumns({"t_sec": t_sec, "speed_e": vg_e, "speed_n": vg_n})
 
     order = ["time_us"]
-    wseq = Window.orderBy(*order)
+    wseq = (Window.partitionBy(*part) if part else Window.partitionBy()).orderBy(*order)
     dt = F.col("t_sec") - F.lag("t_sec").over(wseq)
     glider = glider.withColumns(
         {
-            "de": W.cumsum(F.coalesce(F.col("speed_e") * dt, F.lit(0.0)), [], order),
-            "dn": W.cumsum(F.coalesce(F.col("speed_n") * dt, F.lit(0.0)), [], order),
+            "de": W.cumsum(F.coalesce(F.col("speed_e") * dt, F.lit(0.0)), part, order),
+            "dn": W.cumsum(F.coalesce(F.col("speed_n") * dt, F.lit(0.0)), part, order),
             "rn": F.row_number().over(wseq),
             "_gps": (F.col("DeadReckoning") < 1) & (F.col("NAV_RESOURCE") == 116),
         }
@@ -76,17 +83,18 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
     # the first fix — faithful to arr - ffill(ref) with leading NaNs
     for c in ("de", "dn"):
         at_gps = F.when(F.col("_gps"), F.col(c))
-        glider = glider.withColumn(c, F.col(c) - W.ffill(at_gps, [], order))
+        glider = glider.withColumn(c, F.col(c) - W.ffill(at_gps, part, order))
 
     # per-dive first/last GPS rows (A8, reference :1352-1369)
     gps = glider.filter(F.col("_gps"))
     key = F.struct(F.col("time_us"), F.col("rn"))
-    dives = gps.groupBy("diveNum").agg(
+    dives = gps.groupBy(*part, "diveNum").agg(
         F.min_by(F.struct("rn", "latitude", "longitude", "t_sec"), key).alias("first"),
         F.max_by(F.struct("rn", "latitude", "longitude", "t_sec"), key).alias("last"),
     )
-    wd = Window.orderBy("diveNum")
+    wd = (Window.partitionBy(*part) if part else Window.partitionBy()).orderBy("diveNum")
     dives = dives.select(
+        *part,
         "diveNum",
         F.col("last.latitude").alias("dive_lat"),
         F.col("last.longitude").alias("dive_lon"),
@@ -100,12 +108,17 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
     # first GPS fix (reference de[sidx[idx+1]-1], :1391-1396).
     # dives is tiny (one row per dive) — broadcast IT against the big glider
     # table, then re-group to one row per dive.
-    dr = glider.select(F.col("rn").alias("dr_rn"), F.col("de").alias("dr_e"), F.col("dn").alias("dr_n"))
-    picked = dr.join(
-        F.broadcast(dives.select("diveNum", "next_first_rn")),
-        dr.dr_rn + 1 == F.col("next_first_rn"),
-    ).select("diveNum", "dr_e", "dr_n")
-    dives = dives.join(F.broadcast(picked), "diveNum", "left")
+    dr = glider.select(
+        *part, F.col("rn").alias("dr_rn"), F.col("de").alias("dr_e"), F.col("dn").alias("dr_n")
+    )
+    join_cond = dr.dr_rn + 1 == F.col("next_first_rn")
+    for c in part:
+        join_cond = join_cond & (dr[c] == F.col(f"__d_{c}"))
+    dives_keys = dives.select(
+        *[F.col(c).alias(f"__d_{c}") for c in part], "diveNum", "next_first_rn"
+    )
+    picked = dr.join(F.broadcast(dives_keys), join_cond).select(*part, "diveNum", "dr_e", "dr_n")
+    dives = dives.join(F.broadcast(picked), [*part, "diveNum"], "left")
     dives = dives.withColumns(
         {
             "gps_e": (F.col("surf_lon") - F.col("dive_lon")) * _lon2m(F.col("dive_lat")),
@@ -120,15 +133,15 @@ def get_dac(ping_aug: DataFrame, glider: DataFrame, options: dict) -> DataFrame:
         }
     )
     dac = dives.filter(F.col("meant").isNotNull()).select(
-        (F.col("meant") * 1e6).cast("long").alias("time_us"), "dac_e", "dac_n"
+        *part, (F.col("meant") * 1e6).cast("long").alias("time_us"), "dac_e", "dac_n"
     )
     glider = interp_join(
         dac, glider, on="time_us", values=["dac_e", "dac_n"],
-        bucket=None, suffix="",
+        partition_by=part, bucket=None, suffix="",
     )
     # bfill then ffill (reference :1405-1406)
     for c in ("dac_e", "dac_n"):
-        glider = glider.withColumn(c, F.coalesce(W.bfill(c, [], order), W.ffill(c, [], order)))
+        glider = glider.withColumn(c, F.coalesce(W.bfill(c, part, order), W.ffill(c, part, order)))
     return glider.drop("rn", "heading_a")
 
 
@@ -136,20 +149,22 @@ def surface_drift(glider: DataFrame, options: dict) -> DataFrame:
     """Surface-drift velocities per dive (reference getSurfaceDrift
     :1435-1477): central-difference drift of GPS fixes (np.gradient over the
     fix sequence, unit spacing), gap-filtered (< 21 s), per-dive medians."""
+    part = [options["mission_col"]] if options.get("mission_col") else []
     gps = glider.filter((F.col("DeadReckoning") < 1) & (F.col("NAV_RESOURCE") == 116))
-    seq = F.row_number().over(Window.orderBy("time_us")).cast("double")
+    wseq = (Window.partitionBy(*part) if part else Window.partitionBy()).orderBy("time_us")
+    seq = F.row_number().over(wseq).cast("double")
     gps = gps.withColumns({"seq": seq, "t_sec": F.col("time_us").cast("double") / F.lit(1e6)})
     order = ["seq"]
     gps = gps.withColumns(
         {
-            "dlon_m": W.central_diff("longitude", "seq", [], order) * _lon2m(F.col("latitude")),
-            "dlat_m": W.central_diff("latitude", "seq", [], order) * _lat2m(),
-            "dtimes": W.central_diff("t_sec", "seq", [], order),
+            "dlon_m": W.central_diff("longitude", "seq", part, order) * _lon2m(F.col("latitude")),
+            "dlat_m": W.central_diff("latitude", "seq", part, order) * _lat2m(),
+            "dtimes": W.central_diff("t_sec", "seq", part, order),
         }
     )
     return (
         gps.filter(F.col("dtimes") < 21)
-        .groupBy("diveNum")
+        .groupBy(*part, "diveNum")
         .agg(
             F.median(F.col("dlon_m") / F.nullif(F.col("dtimes"), F.lit(0.0))).alias("drift_e"),
             F.median(F.col("dlat_m") / F.nullif(F.col("dtimes"), F.lit(0.0))).alias("drift_n"),

@@ -1,0 +1,95 @@
+"""Multi-mission partitioning: two missions with OVERLAPPING clocks in one
+DataFrame, processed with options['mission_col'], must reproduce each
+single-mission result exactly (no cross-mission window leakage) — the
+100 TB shape is many missions, not one long one."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.pipeline import default_options, shear_from_adcp
+from seaexplorertools_spark.pipeline.velocity import get_dac, surface_drift
+from tests.mission_fixture import make_mission
+
+
+def _mission(spark, seed, mission_id, prof_offset):
+    glider_pd, ping_pd, cells_pd, bt_pd, attrs = make_mission(n_dives=3, seed=seed)
+    glider_pd = glider_pd.copy()
+    glider_pd["profile_number"] += prof_offset
+    glider = spark.createDataFrame(glider_pd).withColumn("mission", F.lit(mission_id))
+    ping = spark.createDataFrame(ping_pd).withColumn("mission", F.lit(mission_id))
+    cells = spark.createDataFrame(cells_pd)
+    return glider, ping, cells, attrs
+
+
+@pytest.fixture(scope="module")
+def two_missions(spark):
+    a = _mission(spark, 7, "A", 0)
+    b = _mission(spark, 11, "B", 1000)
+    return a, b
+
+
+def _dac_map(df, with_mission):
+    cols = ["time_us", "dac_e", "dac_n", "speed_e"]
+    if with_mission:
+        cols = ["mission"] + cols
+    out = {}
+    for r in df.select(*cols).collect():
+        key = (r["mission"], r["time_us"]) if with_mission else r["time_us"]
+        out[key] = (r["dac_e"], r["dac_n"], r["speed_e"])
+    return out
+
+
+def test_get_dac_mission_isolation(spark, two_missions):
+    (ga, pa, ca, attrs), (gb, pb, cb, _) = two_missions
+    base = default_options()
+    base["correctADCPHeading"] = False
+
+    # single-mission runs (global windows)
+    _, ping_a, opts_a = shear_from_adcp(ca, pa.drop("mission"), ga.drop("mission"), attrs, dict(base))
+    _, ping_b, opts_b = shear_from_adcp(cb, pb.drop("mission"), gb.drop("mission"), attrs, dict(base))
+    solo_a = _dac_map(get_dac(ping_a, ga.drop("mission"), opts_a), False)
+    solo_b = _dac_map(get_dac(ping_b, gb.drop("mission"), opts_b), False)
+
+    # combined run partitioned by mission (clocks overlap!)
+    combined_glider = ga.unionByName(gb)
+    combined_ping = ping_a.withColumn("mission", F.lit("A")).unionByName(
+        ping_b.withColumn("mission", F.lit("B"))
+    )
+    opts = dict(opts_a)
+    opts["mission_col"] = "mission"
+    both = _dac_map(get_dac(combined_ping, combined_glider, opts), True)
+
+    assert len(both) == len(solo_a) + len(solo_b)
+    for t, want in solo_a.items():
+        got = both[("A", t)]
+        for g, w in zip(got, want):
+            assert (g is None and w is None) or g == pytest.approx(w, rel=1e-12), t
+    for t, want in solo_b.items():
+        got = both[("B", t)]
+        for g, w in zip(got, want):
+            assert (g is None and w is None) or g == pytest.approx(w, rel=1e-12), t
+
+
+def test_surface_drift_mission_isolation(spark, two_missions):
+    (ga, pa, ca, attrs), (gb, pb, cb, _) = two_missions
+    base = default_options()
+    base["correctADCPHeading"] = False
+    _, ping_a, opts_a = shear_from_adcp(ca, pa.drop("mission"), ga.drop("mission"), attrs, dict(base))
+    solo = {
+        r["diveNum"]: (r["drift_e"], r["drift_n"])
+        for r in surface_drift(ga.drop("mission"), opts_a).collect()
+    }
+    combined = ga.unionByName(gb)
+    opts = dict(opts_a)
+    opts["mission_col"] = "mission"
+    both = {
+        (r["mission"], r["diveNum"]): (r["drift_e"], r["drift_n"])
+        for r in surface_drift(combined, opts).collect()
+    }
+    for d, want in solo.items():
+        got = both[("A", d)]
+        for g, w in zip(got, want):
+            assert (g is None and w is None) or g == pytest.approx(w, rel=1e-12), d
