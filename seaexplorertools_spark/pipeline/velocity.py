@@ -197,13 +197,15 @@ def bottom_track(bt: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame
     if options["top_mounted"]:
         return ping_aug.withColumns(nulls)
 
+    part = [options["mission_col"]] if options.get("mission_col") else []
     thresh = 12.0
     bt = bt.filter(
         (F.col("velocity_beam1") > -2) & (F.col("velocity_beam2") > -2) & (F.col("velocity_beam4") > -2)
         & (F.col("fom_beam1") < thresh) & (F.col("fom_beam2") < thresh) & (F.col("fom_beam4") < thresh)
     )
-    wprof = Window.partitionBy("profile_number")
+    wprof = Window.partitionBy("profile_number")  # profile ids are mission-unique
     ping_matched = ping_aug.withColumn("profile_max_p", F.max("pressure").over(wprof)).select(
+        *part,
         "time_us",
         F.col("time_us").cast("double").alias("ping_t"),
         "profile_max_p",
@@ -214,6 +216,7 @@ def bottom_track(bt: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame
         bt,
         on="time_us",
         values=["ping_t", "profile_max_p", "c_new"],
+        partition_by=part,
         direction="nearest",
     )
     matched = matched.filter(F.abs(F.col("profile_max_p") - F.col("pressure")) < 15)
@@ -231,11 +234,11 @@ def bottom_track(bt: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame
     # scatter back onto the ping table at the matched ping time (J2 scatter,
     # reference :1586-1595)
     scatter = matched.select(
-        F.col("ping_t").cast("long").alias("time_us"), "bt_e", "bt_n", "bt_u"
-    ).groupBy("time_us").agg(
+        *part, F.col("ping_t").cast("long").alias("time_us"), "bt_e", "bt_n", "bt_u"
+    ).groupBy(*part, "time_us").agg(
         F.avg("bt_e").alias("bt_e"), F.avg("bt_n").alias("bt_n"), F.avg("bt_u").alias("bt_u")
     )
-    return ping_aug.join(scatter, "time_us", "left")
+    return ping_aug.join(scatter, [*part, "time_us"], "left")
 
 
 def reference_shear(
@@ -246,6 +249,7 @@ def reference_shear(
     add the DAC-derived reference offset weighted by per-bin residence
     time. One gridding shuffle + window passes — no per-variable loops."""
     y_res = float(options.get("y_res", 1.0))
+    part = [options["mission_col"]] if options.get("mission_col") else []
     sh = gridding.grid_cells(gridded_cells, y_res)
     gl = (
         glider.groupBy(
@@ -259,6 +263,9 @@ def reference_shear(
             F.avg("speed_e").alias("speed_e_g"),
             F.avg("speed_n").alias("speed_n_g"),
             F.median("salinity").alias("salinity_g"),
+            # mission tag per profile (profile_number is mission-unique by
+            # convention when combining missions — documented)
+            *([F.min(options["mission_col"]).alias(options["mission_col"])] if part else []),
         )
     )
     g = sh.join(gl, ["profile_num", "depth_bin"], "full")
@@ -274,14 +281,18 @@ def reference_shear(
         g = g.withColumn(f"v_{letter}", W.demean(f"v_{letter}", part))
         out_cols[letter] = f"v_{letter}"
 
-    # residence-time weighting SpB = y_res / dPdz, inf→0, clipped at 1σ
+    # residence-time weighting SpB = y_res / dPdz, inf→0, clipped at 1σ.
+    # The σ is a WINDOW aggregate (global, or per mission when partitioned)
+    # rather than a collect boundary — one less driver round-trip, and
+    # missions don't share the clip scale.
     spb = F.when(
         F.col("dpdz_g").isNull() | (F.col("dpdz_g") == 0), F.lit(0.0)
     ).otherwise(F.lit(y_res) / F.col("dpdz_g"))
     g = g.withColumn("spb", spb)
-    spb_std = g.agg(F.stddev("spb")).first()[0] or 0.0
+    w_all = Window.partitionBy(*part) if part else Window.partitionBy()
+    spb_std = F.coalesce(F.stddev("spb").over(w_all), F.lit(0.0))
     g = g.withColumn(
-        "spb", F.when(F.abs(F.col("spb")) > spb_std, F.lit(spb_std)).otherwise(F.col("spb"))
+        "spb", F.when(F.abs(F.col("spb")) > spb_std, spb_std).otherwise(F.col("spb"))
     )
 
     wprof = Window.partitionBy("profile_num")
