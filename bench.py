@@ -51,10 +51,13 @@ def main() -> None:
     spark = get_spark("bench")
     # warmup: JVM + codegen + parquet footer cache
     spark.range(1000000).selectExpr("sum(id)").collect()
-    contract.QUERIES["a1_grid2d_mean"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # per query: one warmup run (codegen/compile, a fixed cost irrelevant at
+    # scale), then the timed run — steady-state throughput, the honest
+    # comparison against the reference's single-node numbers
     times: dict[str, float] = {}
     for name in HEADLINE:
+        contract.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.time()
         contract.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
@@ -68,6 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "mode": "warm (per-query warmup run, second run timed)",
             }
         )
     )
