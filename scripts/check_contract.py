@@ -35,8 +35,8 @@ def canon_cell(v):
         f = float(v)
         if math.isnan(f):
             return "∅"
-        if f == 0.0:
-            f = 0.0  # normalize -0.0
+        # deliberately NOT normalizing -0.0: repr keeps the sign, making this
+        # harness stricter than any plausible driver canonicalization
         return repr(f)
     if isinstance(v, (int, np.integer)):
         return str(int(v))

@@ -952,10 +952,10 @@ def _xyzz_sql() -> str:
     f"""
     WITH ch AS ({_CH_SQL})
     SELECT l_orderkey, l_linenumber,
-           round({M.BEAM2XYZZ[0][0]!r} * b1 + {M.BEAM2XYZZ[0][2]!r} * b3, 6) AS x4,
-           round({M.BEAM2XYZZ[1][1]!r} * b2 + {M.BEAM2XYZZ[1][3]!r} * b4, 6) AS y4,
-           round({M.BEAM2XYZZ[2][0]!r} * b1 + {M.BEAM2XYZZ[2][2]!r} * b3, 6) AS z4,
-           round({M.BEAM2XYZZ[3][1]!r} * b2 + {M.BEAM2XYZZ[3][3]!r} * b4, 6) AS zz4
+           round({M.BEAM2XYZZ[0][0]!r} * b1 + {M.BEAM2XYZZ[0][2]!r} * b3, 6) + 0.0 AS x4,
+           round({M.BEAM2XYZZ[1][1]!r} * b2 + {M.BEAM2XYZZ[1][3]!r} * b4, 6) + 0.0 AS y4,
+           round({M.BEAM2XYZZ[2][0]!r} * b1 + {M.BEAM2XYZZ[2][2]!r} * b3, 6) + 0.0 AS z4,
+           round({M.BEAM2XYZZ[3][1]!r} * b2 + {M.BEAM2XYZZ[3][3]!r} * b4, 6) + 0.0 AS zz4
     FROM ch
     """,
 )
@@ -971,8 +971,13 @@ def f3_beam2xyzz(spark, sf_dir):
     ch = _channels(spark, sf_dir)
     xyzz = M.beam2xyzz(F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"))
     names = ["x4", "y4", "z4", "zz4"]
+    # + 0.0 normalizes IEEE -0.0 to +0.0 on BOTH sides: DuckDB's round()
+    # preserves the sign of a rounded-to-zero tiny negative, Spark's
+    # BigDecimal round never emits -0.0 — a sign-sensitive value hash would
+    # see '0.0' vs '-0.0' (x + 0.0 == x for every other value)
     return ch.select(
-        "l_orderkey", "l_linenumber", *[r6(c).alias(n) for c, n in zip(xyzz, names)]
+        "l_orderkey", "l_linenumber",
+        *[(r6(c) + F.lit(0.0)).alias(n) for c, n in zip(xyzz, names)]
     )
 
 
