@@ -2174,3 +2174,26 @@ def mm_resize_frames(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.sum(F.length("frame_payload")).alias("total_frame_bytes"),
     )
+
+
+@q(
+    "w1b_running_median_minmax",
+    f"""
+    SELECT event_id,
+           round(median(value) OVER ({_EV_W_SQL} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+             AS run_med,
+           max(value) OVER ({_EV_W_SQL} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS run_max,
+           min(value) OVER ({_EV_W_SQL} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS run_min
+    FROM events
+    """,
+)
+def w1b_running_median_minmax(spark, sf_dir):
+    """W1 variants — centered running median/max/min (reference notebook
+    RunningMedian/RunningMax/RunningMin, ProcessADCPSeaExplorer cell 10)."""
+    ev = events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        r6(W.centered_median("value", 3, ["user_id"], EV_ORDER)).alias("run_med"),
+        W.centered_max("value", 3, ["user_id"], EV_ORDER).alias("run_max"),
+        W.centered_min("value", 3, ["user_id"], EV_ORDER).alias("run_min"),
+    )

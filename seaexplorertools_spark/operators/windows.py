@@ -39,6 +39,25 @@ def centered_mean(
     return F.avg(col).over(_w(partition_by, order_by).rowsBetween(-n, n))
 
 
+def centered_median(col: Column | str, n: int, partition_by: list, order_by: list) -> Column:
+    """W1 variant — running median over 2N+1 centered rows (reference
+    notebook ProcessADCPSeaExplorer cell 10 RunningMedian). Exact
+    interpolated median via ``percentile`` (Spark's ``median`` refuses
+    window frames; percentile(0.5) is the same exact computation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(0.5)).over(_w(partition_by, order_by).rowsBetween(-n, n))
+
+
+def centered_max(col: Column | str, n: int, partition_by: list, order_by: list) -> Column:
+    """W1 variant — running max (notebook RunningMax)."""
+    return F.max(col).over(_w(partition_by, order_by).rowsBetween(-n, n))
+
+
+def centered_min(col: Column | str, n: int, partition_by: list, order_by: list) -> Column:
+    """W1 variant — running min (notebook RunningMin)."""
+    return F.min(col).over(_w(partition_by, order_by).rowsBetween(-n, n))
+
+
 def central_diff(
     v: Column | str,
     x: Column | str,
