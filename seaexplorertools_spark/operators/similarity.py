@@ -50,18 +50,24 @@ def brute_force_topk(
     scale where M (queries per batch) is bounded; for large M use
     ``lsh_topk``. Rank = row_number over (rounded sim desc, vec_id asc).
     """
+    # norms are precomputed per side (NOT per candidate pair — the naive
+    # cosine() recomputes each norm |candidates| times; precomputation is
+    # bit-identical since the arithmetic is unchanged, just not repeated)
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("v_e"),
-    )
+    ).withColumn("n_e", norm(F.col("v_e")))
     qdf = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v_q"),
+    ).withColumn("n_q", norm(F.col("v_q")))
+    sim_expr = dot(F.col("v_q"), F.col("v_e")) / F.nullif(
+        F.col("n_q") * F.col("n_e"), F.lit(0.0)
     )
     sim = (
         qdf.crossJoin(e)
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
+        .withColumn("sim", F.round(sim_expr, 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
     return (
