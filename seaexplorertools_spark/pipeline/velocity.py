@@ -308,38 +308,54 @@ def reference_shear(
 def calc_bias(grid: DataFrame, options: dict) -> DataFrame:
     """O2 (reference calc_bias :1954-1984): collect the small (depth ×
     profile) grids, fmin the scalar bias coefficient driver-side, apply it
-    back in the lazy plan via the gridded glider speeds."""
+    back in the lazy plan via the gridded glider speeds.
+
+    With ``mission_col`` set, the coefficient is fitted PER MISSION — the
+    bias is an instrument/attitude property of one deployment, and a single
+    global coefficient would couple unrelated missions."""
     from .driverside import apply_bias, fit_shear_bias
 
-    pdf = grid.select(
-        "profile_num", "depth_bin", "ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g"
-    ).toPandas()
+    mission_col = options.get("mission_col")
+    sel = ["profile_num", "depth_bin", "ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g"]
+    if mission_col:
+        sel.append(mission_col)
+    pdf = grid.select(*sel).toPandas()
     # rows with NULL grid keys (out-of-range buckets from the full join)
     # carry no velocity and cannot be keyed back — exclude from the fit
     pdf = pdf.dropna(subset=["profile_num", "depth_bin"])
     if len(pdf) == 0:
         return grid
-    piv = {
-        c: pdf.pivot_table(index="depth_bin", columns="profile_num", values=c, dropna=False)
-        for c in ("ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g")
-    }
-    cols = piv["ADCP_E"].columns
-    idx = piv["ADCP_E"].index
-    mats = {c: piv[c].reindex(index=idx, columns=cols).to_numpy(float) for c in piv}
-    coeff = fit_shear_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"])
-    e, n = apply_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"], coeff)
+
+    def fit_group(sub):
+        piv = {
+            c: sub.pivot_table(index="depth_bin", columns="profile_num", values=c, dropna=False)
+            for c in ("ADCP_E", "ADCP_N", "speed_e_g", "speed_n_g")
+        }
+        cols = piv["ADCP_E"].columns
+        idx = piv["ADCP_E"].index
+        mats = {c: piv[c].reindex(index=idx, columns=cols).to_numpy(float) for c in piv}
+        coeff = fit_shear_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"])
+        e, n = apply_bias(mats["ADCP_E"], mats["ADCP_N"], mats["speed_e_g"], mats["speed_n_g"], coeff)
+        rows = []
+        for i, d in enumerate(idx):
+            for j, p in enumerate(cols):
+                rows.append(
+                    (
+                        int(p),
+                        int(d),
+                        None if np.isnan(e[i, j]) else float(e[i, j]),
+                        None if np.isnan(n[i, j]) else float(n[i, j]),
+                    )
+                )
+        return rows
 
     rows = []
-    for i, d in enumerate(idx):
-        for j, p in enumerate(cols):
-            rows.append(
-                (
-                    int(p),
-                    int(d),
-                    None if np.isnan(e[i, j]) else float(e[i, j]),
-                    None if np.isnan(n[i, j]) else float(n[i, j]),
-                )
-            )
+    if mission_col:
+        for _, sub in pdf.groupby(mission_col, sort=False):
+            rows.extend(fit_group(sub))
+    else:
+        rows = fit_group(pdf)
+
     spark = grid.sparkSession
     adj = spark.createDataFrame(
         rows, "profile_num long, depth_bin long, ADCP_E_adj double, ADCP_N_adj double"

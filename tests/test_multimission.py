@@ -93,3 +93,58 @@ def test_surface_drift_mission_isolation(spark, two_missions):
         got = both[("A", d)]
         for g, w in zip(got, want):
             assert (g is None and w is None) or g == pytest.approx(w, rel=1e-12), d
+
+
+def test_velocity_from_shear_mission_isolation(spark, two_missions):
+    """Full stage 3 end-to-end with mission_col: per-mission ADCP_E/N equal
+    the single-mission runs exactly (incl. per-mission bias fits and
+    partitioned bottom-track matching with overlapping clocks)."""
+    from seaexplorertools_spark.pipeline import velocity_from_shear
+
+    (ga, pa, ca, attrs), (gb, pb, cb, _) = two_missions
+    base = default_options()
+    base["correctADCPHeading"] = False
+
+    grids, pings = {}, {}
+    solo = {}
+    for mid, (g, p, c) in {"A": (ga, pa, ca), "B": (gb, pb, cb)}.items():
+        gridded, ping_aug, opts = shear_from_adcp(
+            c, p.drop("mission"), g.drop("mission"), attrs, dict(base)
+        )
+        gridded = gridded.cache()
+        grids[mid], pings[mid] = gridded, ping_aug
+        out = velocity_from_shear(gridded, ping_aug, g.drop("mission"), None, opts)
+        solo[mid] = {
+            (r["profile_num"], r["depth_bin"]): (r["ADCP_E"], r["ADCP_N"])
+            for r in out.select("profile_num", "depth_bin", "ADCP_E", "ADCP_N").collect()
+        }
+
+    combined_glider = ga.unionByName(gb)
+    combined_ping = pings["A"].withColumn("mission", F.lit("A")).unionByName(
+        pings["B"].withColumn("mission", F.lit("B"))
+    )
+    combined_cells = grids["A"].unionByName(grids["B"])
+    opts = dict(base)
+    opts["top_mounted"] = False
+    opts["mission_col"] = "mission"
+    both = velocity_from_shear(combined_cells, combined_ping, combined_glider, None, opts)
+    got = {
+        (r["profile_num"], r["depth_bin"]): (r["ADCP_E"], r["ADCP_N"])
+        for r in both.select("profile_num", "depth_bin", "ADCP_E", "ADCP_N").collect()
+    }
+
+    want = {**solo["A"], **solo["B"]}
+    assert got.keys() == want.keys()
+    n_checked = 0
+    for k, (we, wn) in want.items():
+        ge, gn = got[k]
+        if we is None:
+            assert ge is None, k
+        else:
+            assert ge == pytest.approx(we, rel=1e-9, abs=1e-12), k
+            n_checked += 1
+        if wn is None:
+            assert gn is None, k
+        else:
+            assert gn == pytest.approx(wn, rel=1e-9, abs=1e-12), k
+    assert n_checked > 50
