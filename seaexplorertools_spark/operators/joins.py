@@ -99,6 +99,10 @@ def interp_join(
     (use an epoch-seconds column for timestamps). NULL outside the sample
     hull, exact value at exact time matches, per-value NULL-pair skipping —
     the reference's interp1d semantics.
+
+    Caveat: a probe column whose name collides with an entry in ``values``
+    is excluded from the output (the union needs the name for the sample
+    side) — pass a ``suffix`` and rename, or alias the probe column first.
     """
     partition_by = partition_by or []
     u, part_cols = _prep(samples, probes, on, values, partition_by, bucket)
@@ -175,16 +179,21 @@ def asof_join(
     else:  # nearest: earlier sample wins ties (np.argmin first-minimum)
         use_prev = prev_t.isNotNull() & (next_t.isNull() | (d_prev <= d_next))
 
+    # The matched row's values travel as ONE struct keyed to the matched
+    # time: a struct of NULL fields is still non-NULL, so ignorenulls picks
+    # the nearest SAMPLE ROW — not the nearest non-null value per column
+    # (the reference takes the argmin ping's value even when it is NaN,
+    # :1503-1507).
+    record = F.when(is_sample, F.struct(*[F.col(v) for v in values]))
+    prev_rec = F.last(record, ignorenulls=True).over(w_prev)
+    next_rec = F.first(record, ignorenulls=True).over(w_next)
     out = u
     result_cols = []
     for v in values:
-        sample_v = F.when(is_sample, F.col(v))
-        prev_v = F.last(sample_v, ignorenulls=True).over(w_prev)
-        next_v = F.first(sample_v, ignorenulls=True).over(w_next)
         if direction == "backward":
-            picked = F.when(use_prev, prev_v)
+            picked = F.when(use_prev, prev_rec[v])
         else:
-            picked = F.when(use_prev, prev_v).otherwise(next_v)
+            picked = F.when(use_prev, prev_rec[v]).otherwise(next_rec[v])
         if tolerance is not None:
             dist = F.when(use_prev, d_prev).otherwise(d_next)
             picked = F.when(dist <= F.lit(float(tolerance)), picked)

@@ -92,3 +92,16 @@ def test_asof_backward_and_tolerance(spark):
     assert back[-1.0] is None and back[4.0] == 1.0 and back[9.0] == 1.0 and back[100.0] == 3.0
     tol = {r["t"]: r["v"] for r in asof_join(samples, probes, "t", ["v"], tolerance=5.0).collect()}
     assert tol[-1.0] == 1.0 and tol[4.0] == 1.0 and tol[9.0] == 3.0 and tol[100.0] is None
+
+
+def test_asof_nearest_takes_nearest_rows_value_even_if_null(spark):
+    """Reference argmin (:1503-1507) picks the nearest PING's value even
+    when that value is NaN — not the nearest non-null value."""
+    samples = spark.createDataFrame(
+        [(0.0, 1.0), (10.0, None), (20.0, 3.0)], "t double, v double"
+    )
+    probes = spark.createDataFrame([(9.0,), (11.0,), (19.0,)], "t double")
+    got = {r["t"]: r["v"] for r in asof_join(samples, probes, "t", ["v"]).collect()}
+    assert got[9.0] is None  # nearest sample t=10 has NULL value
+    assert got[11.0] is None
+    assert got[19.0] == 3.0
