@@ -54,6 +54,18 @@ def r6(c):
     return F.round(c, 6)
 
 
+def r6p(c):
+    """Portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — the SAME IEEE ops in
+    Spark and DuckDB, so results are bit-identical even on exact round-half
+    ties (where Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round
+    disagree) and never -0.0. Used where tie-prone arithmetic (2-decimal
+    money/value inputs through divisions) feeds the rounded output."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+
+
+R6P_SQL = "floor({} * 1000000.0 + 0.5) / 1000000.0"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -570,8 +582,8 @@ _T0_US = 1704067200000000  # 2024-01-01 epoch µs; events start here
     "a9_filtered_group_median",
     f"""
     SELECT user_id, round(median(value), 6) AS med_v,
-           round(CAST(sum(epoch_us(ts) - {_T0_US}) AS DOUBLE) / count(*) / 1000000.0, 6)
-             AS mean_t_rel,
+           floor(CAST(sum(epoch_us(ts) - {_T0_US}) AS DOUBLE) / count(*) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_t_rel,
            count(*) AS n
     FROM events WHERE event_type = 'click' AND value < 50.0
     GROUP BY user_id
@@ -588,7 +600,7 @@ def a9_filtered_group_median(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             r6(F.median("value")).alias("med_v"),
-            r6(
+            r6p(
                 F.sum(F.col("ts_us") - F.lit(_T0_US)).cast("double")
                 / F.count("*")
                 / F.lit(1000000.0)
@@ -681,14 +693,14 @@ def w1_centered_mean(spark, sf_dir):
       FROM events
     )
     SELECT event_id,
-           round(CASE
+           floor(CASE
              WHEN xp IS NULL AND xn IS NULL THEN NULL
              WHEN xp IS NULL THEN (vn - value) / nullif(xn - x, 0)
              WHEN xn IS NULL THEN (value - vp) / nullif(x - xp, 0)
              ELSE ((x - xp) * (x - xp) * vn + ((xn - x) * (xn - x) - (x - xp) * (x - xp)) * value
                    - (xn - x) * (xn - x) * vp)
                   / nullif((x - xp) * (xn - x) * ((x - xp) + (xn - x)), 0)
-           END, 6) AS dvdt
+           END * 1000000.0 + 0.5) / 1000000.0 AS dvdt
     FROM t
     """,
 )
@@ -697,7 +709,7 @@ def w2_central_diff(spark, sf_dir):
     differentiate :1171 — second-order nonuniform scheme, one-sided edges)."""
     ev = events(spark, sf_dir).withColumn("x_sec", F.col("ts_us") / F.lit(1000000.0))
     return ev.select(
-        "event_id", r6(W.central_diff("value", "x_sec", ["user_id"], EV_ORDER)).alias("dvdt")
+        "event_id", r6p(W.central_diff("value", "x_sec", ["user_id"], EV_ORDER)).alias("dvdt")
     )
 
 
@@ -952,10 +964,14 @@ def _xyzz_sql() -> str:
     f"""
     WITH ch AS ({_CH_SQL})
     SELECT l_orderkey, l_linenumber,
-           round({M.BEAM2XYZZ[0][0]!r} * b1 + {M.BEAM2XYZZ[0][2]!r} * b3, 6) + 0.0 AS x4,
-           round({M.BEAM2XYZZ[1][1]!r} * b2 + {M.BEAM2XYZZ[1][3]!r} * b4, 6) + 0.0 AS y4,
-           round({M.BEAM2XYZZ[2][0]!r} * b1 + {M.BEAM2XYZZ[2][2]!r} * b3, 6) + 0.0 AS z4,
-           round({M.BEAM2XYZZ[3][1]!r} * b2 + {M.BEAM2XYZZ[3][3]!r} * b4, 6) + 0.0 AS zz4
+           floor(({M.BEAM2XYZZ[0][0]!r} * b1 + {M.BEAM2XYZZ[0][2]!r} * b3) * 1000000.0 + 0.5)
+             / 1000000.0 AS x4,
+           floor(({M.BEAM2XYZZ[1][1]!r} * b2 + {M.BEAM2XYZZ[1][3]!r} * b4) * 1000000.0 + 0.5)
+             / 1000000.0 AS y4,
+           floor(({M.BEAM2XYZZ[2][0]!r} * b1 + {M.BEAM2XYZZ[2][2]!r} * b3) * 1000000.0 + 0.5)
+             / 1000000.0 AS z4,
+           floor(({M.BEAM2XYZZ[3][1]!r} * b2 + {M.BEAM2XYZZ[3][3]!r} * b4) * 1000000.0 + 0.5)
+             / 1000000.0 AS zz4
     FROM ch
     """,
 )
@@ -971,13 +987,12 @@ def f3_beam2xyzz(spark, sf_dir):
     ch = _channels(spark, sf_dir)
     xyzz = M.beam2xyzz(F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"))
     names = ["x4", "y4", "z4", "zz4"]
-    # + 0.0 normalizes IEEE -0.0 to +0.0 on BOTH sides: DuckDB's round()
-    # preserves the sign of a rounded-to-zero tiny negative, Spark's
-    # BigDecimal round never emits -0.0 — a sign-sensitive value hash would
-    # see '0.0' vs '-0.0' (x + 0.0 == x for every other value)
+    # r6p: the beam combinations of 2-decimal-derived channels land exactly
+    # on round-half boundaries (and tiny negatives round to DuckDB -0.0) —
+    # the portable floor-rounding is bit-identical in both engines
     return ch.select(
         "l_orderkey", "l_linenumber",
-        *[(r6(c) + F.lit(0.0)).alias(n) for c, n in zip(xyzz, names)]
+        *[r6p(c).alias(n) for c, n in zip(xyzz, names)]
     )
 
 
