@@ -614,8 +614,8 @@ def a9_filtered_group_median(spark, sf_dir):
     "a10_histogram",
     """
     WITH h AS (
-      SELECT CAST(floor(l_quantity / 2.0) AS BIGINT) AS bin, count(*) AS n
-      FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0 AND l_quantity < 50
+      SELECT CAST(least(floor(l_quantity / 2.0), 24) AS BIGINT) AS bin, count(*) AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0 AND l_quantity <= 50
       GROUP BY 1
     )
     SELECT bin, n, round(n / (sum(n) OVER () * 2.0), 6) AS pdf FROM h
@@ -623,7 +623,8 @@ def a9_filtered_group_median(spark, sf_dir):
 )
 def a10_histogram(spark, sf_dir):
     """A10 — histogram/PDF aggregation (reference verify_depth_bias
-    :1884-1896 np.histogram(density=True))."""
+    :1884-1896 np.histogram(density=True); right edge closed like
+    np.histogram — l_quantity == 50 lands in the last bin)."""
     li = table(spark, sf_dir, "lineitem")
     out = histogram(li, "l_quantity", 0, 50, 25)
     return out.select("bin", "n", r6(F.col("pdf")).alias("pdf"))

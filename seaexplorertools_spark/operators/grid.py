@@ -118,15 +118,16 @@ def histogram(
     density_name: str = "pdf",
 ) -> DataFrame:
     """1-D histogram (reference ``verify_depth_bias`` np.histogram,
-    process_adcp.py:1884-1896). Clipped to [lo, hi) like np.histogram's
-    range= argument drops out-of-range values; density normalizes by
+    process_adcp.py:1884-1896). Matches np.histogram's range semantics:
+    values outside [lo, hi] are dropped, and the LAST bin is right-CLOSED —
+    c == hi lands in bin nbins-1, not out of range; density normalizes by
     total*binwidth.
     """
     width = (hi - lo) / nbins
     c = F.col(col) if isinstance(col, str) else col
-    b = bucket(c, lo, width).alias(bin_name)
+    b = F.least(bucket(c, lo, width), F.lit(nbins - 1).cast("long")).alias(bin_name)
     counts = (
-        df.filter(c.isNotNull() & (c >= lo) & (c < hi))
+        df.filter(c.isNotNull() & (c >= lo) & (c <= hi))
         .groupBy(b)
         .agg(F.count("*").alias(count_name))
     )

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.window import Window
 
 from ..functions import geodesy as G  # noqa: F401
 from ..functions import gsw as GSW
@@ -147,46 +148,98 @@ def remove_outliers(df: DataFrame, options: dict) -> DataFrame:
 
 
 def correct_shear(df: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame:
-    """O3 — optional speed-conditioned shear-profile correction (reference
+    """O3 — optional shear-profile correction, reference-parity (reference
     correct_shear :771-784, _shear_correction :682-768). Default-off like
     the reference golden test.
 
-    beam→XYZZ (F3) → per (speed-class, bin) mean of the bin-difference of the
-    target component, cumulative-summed into a per-bin correction profile →
-    broadcast-join subtract (J4) → XYZZ→beam.
+    Per enabled component (ZZ4, Z4, Y4, X4 — reference flag order :776-779):
+    beam→XYZZ (F3), select pings whose through-water speed at the FIRST bin
+    (sqrt(X4² + Y4² + ((Z4+ZZ4)/2)²), ``.values[:, 0]`` at :687-689) lies in
+    the open band (0.2, 0.29) (``full_range[0]``/``full_range[-1]`` of
+    ``np.arange(0.2, 0.3, 0.01)``, :758-759), average the per-ping bin
+    difference of the component over those pings, cumulative-sum with a
+    leading 0 (``np.cumsum(np.insert(..., 0, 0))``), demean
+    (``ref -= np.nanmean(ref)``), and subtract that ONE profile from every
+    ping. np.cumsum propagates NaN — a bin with no selected data poisons all
+    deeper bins, reproduced with a running null flag.
+
+    Scale: the correction profile is |bins| rows (tiny) → broadcast join;
+    the selection aggregate is one groupBy(ping) with map-side combine.
     """
     flags = [
-        ("correctZZshear", 3),
-        ("correctZshear", 2),
-        ("correctYshear", 1),
-        ("correctXshear", 0),
+        ("correctZZshear", "zz4"),
+        ("correctZshear", "z4"),
+        ("correctYshear", "y4"),
+        ("correctXshear", "x4"),
     ]
     if not any(options.get(k) for k, _ in flags):
         return df
 
-    xyzz = M.beam2xyzz(*[F.col(f"velocity_beam{b}") for b in BEAMS])
+    band = np.arange(0.2, 0.3, 0.01)  # reference :691-692
+    lo, hi = float(band[0]), float(band[-1])
     names = ["x4", "y4", "z4", "zz4"]
+    mission_part = [options["mission_col"]] if options.get("mission_col") else []
+
+    xyzz = M.beam2xyzz(*[F.col(f"velocity_beam{b}") for b in BEAMS])
     df = df.withColumns(dict(zip(names, xyzz)))
 
-    spd_class = F.round(F.col("speed_horz") * 10).cast("long")  # ~0.1 m/s classes
-    for flag, comp_idx in flags:
+    for flag, comp in flags:
         if not options.get(flag):
             continue
-        comp = names[comp_idx]
-        diff = W.diff(comp, ["time_us"], ["bin"])
-        per_bin = (
-            df.withColumn("spd_class", spd_class)
-            .withColumn("dv", diff)
-            .groupBy("spd_class", "bin")
-            .agg(F.avg("dv").alias("mean_dv"))
+        # through-water speed at the first bin of each ping, from the
+        # CURRENT (possibly already-corrected) XYZZ — the reference
+        # recomputes beam2xyzz before each component (:776-779)
+        spd = F.sqrt(
+            F.col("x4") ** 2
+            + F.col("y4") ** 2
+            + ((F.col("z4") + F.col("zz4")) / F.lit(2.0)) ** 2
         )
-        wcum = W.cumsum("mean_dv", ["spd_class"], ["bin"])
-        corr = per_bin.withColumn("corr", wcum).select("spd_class", "bin", "corr")
+        spd0 = (
+            df.withColumn("__spd", spd)
+            .groupBy(*mission_part, "time_us")
+            .agg(F.min_by("__spd", F.col("bin")).alias("__spd0"))
+        )
+        sel = df.join(
+            spd0.filter((F.col("__spd0") > lo) & (F.col("__spd0") < hi)).drop("__spd0"),
+            [*mission_part, "time_us"],
+            "inner",
+        )
+        dv = W.diff(comp, [*mission_part, "time_us"], ["bin"])
+        sel_agg = (
+            sel.withColumn("__dv", dv)
+            .groupBy(*mission_part, "bin")
+            .agg(F.avg("__dv").alias("__mean_dv"))
+        )
+        # keep the FULL bin axis (xarray keeps all bins; mean over an empty
+        # selection is NaN per bin, first bin still gets the inserted 0)
+        per_bin = (
+            df.select(*mission_part, "bin")
+            .distinct()
+            .join(sel_agg, [*mission_part, "bin"], "left")
+        )
+        # cumsum with leading 0 + NaN propagation + demean, over |bins| rows
+        wb = (
+            (Window.partitionBy(*mission_part) if mission_part else Window.partitionBy())
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*mission_part) if mission_part else Window.partitionBy()
+        first_bin = F.min("bin").over(w_all)
+        csum = F.sum(F.coalesce("__mean_dv", F.lit(0.0))).over(wb)
+        poisoned = F.max(
+            F.when(F.col("__mean_dv").isNull() & (F.col("bin") > first_bin), 1).otherwise(0)
+        ).over(wb)
+        corr = per_bin.withColumn(
+            "__corr_raw", F.when(poisoned == 1, F.lit(None)).otherwise(csum)
+        )
+        corr = corr.withColumn(
+            "__corr", F.col("__corr_raw") - F.avg("__corr_raw").over(w_all)
+        ).select(*mission_part, "bin", "__corr")
+        # NULL correction propagates (reference: NaN - NaN), so no coalesce
         df = (
-            df.withColumn("spd_class", spd_class)
-            .join(F.broadcast(corr), ["spd_class", "bin"], "left")
-            .withColumn(comp, F.col(comp) - F.coalesce(F.col("corr"), F.lit(0.0)))
-            .drop("corr", "spd_class")
+            df.join(F.broadcast(corr), [*mission_part, "bin"], "left")
+            .withColumn(comp, F.col(comp) - F.col("__corr"))
+            .drop("__corr")
         )
     beams_back = M.xyzz2beam(*[F.col(n) for n in names])
     df = df.withColumns({f"velocity_beam{b}": e for b, e in zip(BEAMS, beams_back)})

@@ -232,11 +232,24 @@ def bottom_track(bt: DataFrame, ping_aug: DataFrame, options: dict) -> DataFrame
     )
     matched = matched.withColumns(dict(zip(["bt_e", "bt_n", "bt_u"], enu)))
     # scatter back onto the ping table at the matched ping time (J2 scatter,
-    # reference :1586-1595)
-    scatter = matched.select(
-        *part, F.col("ping_t").cast("long").alias("time_us"), "bt_e", "bt_n", "bt_u"
-    ).groupBy(*part, "time_us").agg(
-        F.avg("bt_e").alias("bt_e"), F.avg("bt_n").alias("bt_n"), F.avg("bt_u").alias("bt_u")
+    # reference :1586-1595). The reference's fancy assignment
+    # bt_e[matching] = BT_E is last-write-wins when two BT rows map to one
+    # ping — the LATEST BT row (array = time order) wins; max_by on the BT
+    # timestamp reproduces that deterministically.
+    scatter = (
+        matched.select(
+            *part,
+            F.col("ping_t").cast("long").alias("__ping_us"),
+            F.col("time_us").alias("__bt_us"),
+            "bt_e", "bt_n", "bt_u",
+        )
+        .groupBy(*part, "__ping_us")
+        .agg(
+            F.max_by("bt_e", "__bt_us").alias("bt_e"),
+            F.max_by("bt_n", "__bt_us").alias("bt_n"),
+            F.max_by("bt_u", "__bt_us").alias("bt_u"),
+        )
+        .withColumnRenamed("__ping_us", "time_us")
     )
     return ping_aug.join(scatter, [*part, "time_us"], "left")
 
@@ -249,7 +262,8 @@ def reference_shear(
     add the DAC-derived reference offset weighted by per-bin residence
     time. One gridding shuffle + window passes — no per-variable loops."""
     y_res = float(options.get("y_res", 1.0))
-    part = [options["mission_col"]] if options.get("mission_col") else []
+    mission_part = [options["mission_col"]] if options.get("mission_col") else []
+    part = mission_part
     sh = gridding.grid_cells(gridded_cells, y_res)
     gl = (
         glider.groupBy(
@@ -281,16 +295,19 @@ def reference_shear(
         g = g.withColumn(f"v_{letter}", W.demean(f"v_{letter}", part))
         out_cols[letter] = f"v_{letter}"
 
-    # residence-time weighting SpB = y_res / dPdz, inf→0, clipped at 1σ.
-    # The σ is a WINDOW aggregate (global, or per mission when partitioned)
-    # rather than a collect boundary — one less driver round-trip, and
-    # missions don't share the clip scale.
-    spb = F.when(
-        F.col("dpdz_g").isNull() | (F.col("dpdz_g") == 0), F.lit(0.0)
-    ).otherwise(F.lit(y_res) / F.col("dpdz_g"))
+    # residence-time weighting SpB = y_res / dPdz, inf→0, clipped at 1σ
+    # (reference :1708-1711). SpB stays NULL where dPdz is NULL — the
+    # reference's SpB is NaN there, and np.nanstd SKIPS those cells, so
+    # mapping them to 0 would deflate the clip scale. The σ is a WINDOW
+    # aggregate (GLOBAL, or per mission when partitioned — NOT per profile:
+    # np.nanstd(SpB.flatten()) flattens the whole grid) and population
+    # stddev (np.nanstd ddof=0), not sample stddev.
+    spb = F.when(F.col("dpdz_g") == 0, F.lit(0.0)).otherwise(
+        F.lit(y_res) / F.col("dpdz_g")
+    )
     g = g.withColumn("spb", spb)
-    w_all = Window.partitionBy(*part) if part else Window.partitionBy()
-    spb_std = F.coalesce(F.stddev("spb").over(w_all), F.lit(0.0))
+    w_all = Window.partitionBy(*mission_part) if mission_part else Window.partitionBy()
+    spb_std = F.stddev_pop("spb").over(w_all)
     g = g.withColumn(
         "spb", F.when(F.abs(F.col("spb")) > spb_std, spb_std).otherwise(F.col("spb"))
     )
@@ -298,8 +315,12 @@ def reference_shear(
     wprof = Window.partitionBy("profile_num")
     for letter in ("E", "N"):
         dac_mean = F.avg(F.col(f"dac_{letter.lower()}_g")).over(wprof)
+        # num/den mirror nansum(V*SpB)/nansum(SpB) (reference :1714): the
+        # denominator sums SpB over the WHOLE profile, including bins where
+        # the shear grid has no data — NULL SpB (NaN) is skipped by F.sum
+        # like np.nansum, NULL·V products likewise.
         num = F.coalesce(F.sum(F.col(f"v_{letter}") * F.col("spb")).over(wprof), F.lit(0.0))
-        den = F.coalesce(F.sum(F.when(F.col(f"v_{letter}").isNotNull(), F.col("spb"))).over(wprof), F.lit(0.0))
+        den = F.coalesce(F.sum("spb").over(wprof), F.lit(0.0))
         ref = dac_mean - num / F.nullif(den, F.lit(0.0))
         g = g.withColumn(f"ADCP_{letter}", F.col(f"v_{letter}") + ref)
     return g

@@ -67,6 +67,4 @@ def test_histogram_density(spark):
         else:
             n, pdf = got[i]
             assert n == want_n[i]
-            # np.histogram includes the right edge of the last bin; we use
-            # [lo, hi) everywhere — tolerate ±1 count in the last bin
-            assert pdf == pytest.approx(want_pdf[i], rel=1e-6) or i == 11
+            assert pdf == pytest.approx(want_pdf[i], rel=1e-6)

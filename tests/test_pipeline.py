@@ -177,6 +177,89 @@ def test_velocity_from_shear_runs(stage1, mission):
     assert np.nanmax(np.abs(pdf["ADCP_E"].to_numpy(float))) < 5.0
 
 
+def test_reference_shear_matches_numpy(stage1, mission):
+    """reference_shear vs a literal numpy replication of the reference
+    formulas (:1658-1717): V = per-profile demeaned cumsum of gridded shear;
+    SpB = y_res/dPdz with inf→0, NaN preserved, clipped at the GLOBAL
+    population σ (np.nanstd ddof=0, flattened grid); Ref = nanmean(DAC) −
+    nansum(V·SpB)/nansum(SpB) with the denominator summed unconditionally.
+    Independent of the engine's own window formulation — catches clip-scope
+    or denominator drift the self-consistent golden cannot."""
+    gridded, ping_aug, options = stage1
+    glider = mission[5]
+    from seaexplorertools_spark.pipeline import gridding
+    from seaexplorertools_spark.pipeline.velocity import get_dac, reference_shear
+
+    y_res = float(options.get("y_res", 1.0))
+    gl_aug = get_dac(ping_aug, glider, options).cache()
+    out = reference_shear(gridded, gl_aug, options).toPandas()
+    out = out.dropna(subset=["profile_num", "depth_bin"])
+
+    sh = gridding.grid_cells(gridded, y_res).toPandas()
+    glp = gl_aug.select(
+        "profile_number", "pressure", "dac_e", "dac_n", "speed_vert"
+    ).toPandas()
+    glp["p"] = np.floor(glp["profile_number"].to_numpy(float))
+    glp["d"] = np.floor(glp["pressure"].to_numpy(float) / y_res)
+    gg = glp.groupby(["p", "d"]).agg(
+        dac_e=("dac_e", "mean"), dac_n=("dac_n", "mean"), dpdz=("speed_vert", "mean")
+    )
+
+    profs = sorted(set(sh["profile_num"].dropna()) | {int(p) for p, _ in gg.index})
+    depths = sorted(set(sh["depth_bin"].dropna()) | {int(d) for _, d in gg.index})
+    pi = {p: j for j, p in enumerate(profs)}
+    di = {d: i for i, d in enumerate(depths)}
+    shape = (len(depths), len(profs))
+    Sh = {L: np.full(shape, np.nan) for L in "EN"}
+    DAC = {L: np.full(shape, np.nan) for L in "EN"}
+    dPdz = np.full(shape, np.nan)
+    for r in sh.dropna(subset=["profile_num", "depth_bin"]).itertuples():
+        Sh["E"][di[r.depth_bin], pi[r.profile_num]] = (
+            np.nan if r.Sh_E is None else r.Sh_E
+        )
+        Sh["N"][di[r.depth_bin], pi[r.profile_num]] = (
+            np.nan if r.Sh_N is None else r.Sh_N
+        )
+    for (p, d), row in gg.iterrows():
+        DAC["E"][di[int(d)], pi[int(p)]] = row["dac_e"]
+        DAC["N"][di[int(d)], pi[int(p)]] = row["dac_n"]
+        dPdz[di[int(d)], pi[int(p)]] = row["dpdz"]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        SpB = y_res / dPdz
+    SpB[np.isinf(SpB)] = 0
+    SpB_std = np.nanstd(SpB)
+    SpB[np.abs(SpB) > SpB_std] = SpB_std
+
+    want = {}
+    for L in "EN":
+        bad = ~np.isfinite(Sh[L])
+        V = np.cumsum(np.nan_to_num(Sh[L]), axis=0) * y_res
+        V[bad] = np.nan
+        with np.errstate(invalid="ignore"):
+            V = V - np.nanmean(V, axis=0)
+            ref = np.nanmean(DAC[L], axis=0) - np.nansum(V * SpB, axis=0) / np.nansum(
+                SpB, axis=0
+            )
+        want[L] = V + ref
+
+    n_checked = 0
+    for r in out.itertuples():
+        i, j = di[int(r.depth_bin)], pi[int(r.profile_num)]
+        for L in "EN":
+            got = getattr(r, f"ADCP_{L}")
+            exp = want[L][i, j]
+            if got is None or (isinstance(got, float) and np.isnan(got)):
+                assert not np.isfinite(exp), (r.profile_num, r.depth_bin, L, exp)
+            else:
+                assert np.isfinite(exp), (r.profile_num, r.depth_bin, L, got)
+                assert got == pytest.approx(exp, rel=1e-6, abs=1e-9), (
+                    r.profile_num, r.depth_bin, L,
+                )
+                n_checked += 1
+    assert n_checked > 100
+
+
 def test_dac_against_numpy(mission, stage1):
     """get_DAC vs a numpy mini-implementation of the reference math
     (:1327-1410) using the engine's geodesy constants."""
