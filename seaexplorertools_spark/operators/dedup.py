@@ -186,17 +186,77 @@ def simhash32(
     return agg.select(id_col, sim.cast("long").alias("simhash"))
 
 
+def jaccard_on_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_shingles: bool = False,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact token-set (or shingle-set) Jaccard restricted to candidate
+    ``pairs`` (doc1, doc2). The precision stage of two-stage dedup: the
+    expensive exact join is bounded by |pairs|, never all-pairs. Pairs with
+    zero overlapping tokens get jaccard = 0 (kept — the caller thresholds).
+    """
+    toks = (
+        doc_shingles(docs, shingle_k, id_col, text_col)
+        if use_shingles
+        else doc_tokens(docs, id_col, text_col)
+    ).cache()  # joined twice below
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col(id_col).alias("doc1"), "tok")
+    tb = toks.select(F.col(id_col).alias("doc2"), "tok")
+    inter = (
+        pairs.join(ta, "doc1")
+        .join(tb, ["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(inter, ["doc1", "doc2"], "left")
+        .join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("n_i", F.coalesce(F.col("n_inter"), F.lit(0)).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("n_i")
+            / F.nullif(F.col("sz1") + F.col("sz2") - F.col("n_i"), F.lit(0.0)),
+        )
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
-    block_col: str = "lang",
+    block_col: str | None = None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lsh_k: int = 8,
+    lsh_band_rows: int = 2,
 ) -> DataFrame:
-    """Blocked pairwise token-set Jaccard (verification stage after LSH, or
-    standalone for small blocks). Blocking column bounds the pair count;
-    at 100 TB the block should be an LSH bucket, not a category column.
+    """Pairwise token-set Jaccard with bounded pair generation.
+
+    Default (``block_col=None``): candidates come from MinHash-LSH banding
+    (``lsh_candidate_pairs``) and only those pairs get the exact join —
+    pair count is bounded by band-bucket collisions, skew-safe at 100 TB
+    (the same composition as the contract's ``dd_dedup_pipeline``).
+
+    ``block_col='lang'`` (opt-in, small curated corpora only): all pairs
+    within a category block. Pair count is O(Σ block²) — a popular category
+    is an all-pairs bomb at scale, which is why this is no longer the
+    default.
     """
+    if block_col is None:
+        cand = lsh_candidate_pairs(
+            docs, k=lsh_k, band_rows=lsh_band_rows, id_col=id_col, text_col=text_col
+        )
+        jac = jaccard_on_pairs(docs, cand, id_col, text_col)
+        return jac.filter(F.col("jaccard") >= threshold)
+
     toks = (
         docs.select(id_col, block_col, F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
     ).cache()  # self-joined below

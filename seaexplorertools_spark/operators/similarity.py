@@ -4,17 +4,33 @@
   ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF); the candidate set is
   a crossJoin bounded by a blocking predicate, ranked per query with a
   window.
-- LSH-bucketed variant (scale path): random-hyperplane signs bucket the
-  vectors; candidates only join within a bucket. At 100 TB the bucket join
-  replaces the cross join — recall is tunable via n_planes/bands.
+- Banded hyperplane-LSH (scale path 1): OR-amplified random-projection
+  signatures — ``n_bands`` independent bands of ``band_width`` sign bits
+  each; a candidate pair needs ONE band collision (same construction as the
+  MinHash banding in ``dedup.lsh_candidate_pairs``). Recall per neighbor at
+  angular similarity p is 1 − (1 − p^r)^B — tunable, measured by
+  ``tests/test_similarity_recall.py`` against the exact baseline.
+- IVF (scale path 2): spherical k-means centroids trained driver-side on a
+  DETERMINISTIC bounded sample, vectors assigned to their nearest cell
+  (inverted lists = a table partitioned by ``ivf_cell``), queries probe
+  their ``nprobe`` nearest cells.
+
+At 100 TB the bucket/cell equi-joins replace the cross join; candidate
+volume per query is Σ|colliding buckets| / Σ|probed cells|, not N. The
+synthetic test fixture is UNIFORM-RANDOM (no cluster structure — the
+adversarial case for ANN), so the default parameters are tuned for recall
+≥ 0.9 there; on real clustered corpora the same mechanisms reach that
+recall with far smaller candidate volume (n_cells ≈ √N, nprobe ≪ n_cells).
 
 Determinism for oracle checks: dot products are computed left-to-right over
 the array (same order as DuckDB's list_dot_product); similarity is rounded
-before ranking and ties break on vec_id.
+before ranking and ties break on vec_id; planes/centroids derive from fixed
+seeds and a hash-ordered sample, never from partition order.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -93,12 +109,149 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "v") -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF coarse quantizer).
-    ``centroids`` is a small driver-side list [(cell_id, vector)].
+def gaussian_planes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for random-projection LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).tolist()
 
-    The per-cell similarities are materialized ONCE into an array column and
-    the argmax is ``array_position(sims, array_max(sims))`` — a cascaded
+
+def banded_signature(
+    df: DataFrame, vec_col: str, planes: list[list[float]], band_width: int
+) -> DataFrame:
+    """Add ``__bands`` — an array of per-band bucket ids (OR-amplified LSH).
+
+    ``len(planes)`` must be ``n_bands * band_width``; band b's bucket is the
+    integer formed by the sign bits of planes [b·r, (b+1)·r). All JVM-side:
+    the plane matrix is ONE literal array-of-arrays column, the dots one
+    ``transform``, the banding one ``transform`` over ``slice`` — the bit
+    array is materialized as a column first so it is computed once, not
+    re-evaluated per band (Spark re-runs a lambda's input expression per
+    element)."""
+    n_bands, rem = divmod(len(planes), band_width)
+    if rem:
+        raise ValueError("len(planes) must be a multiple of band_width")
+    planes_col = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    df = df.withColumn("__planes", planes_col)
+    dots = F.transform(F.col("__planes"), lambda p: dot(F.col(vec_col), p))
+    bits = F.transform(dots, lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
+    df = df.withColumn("__bits", bits).drop("__planes")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("__bits"), b * band_width + 1, band_width),
+            F.lit(0),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
+    return df.withColumn("__bands", bands).drop("__bits")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    band_width: int = 4,
+    n_bands: int = 20,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via banded (OR-amplified) hyperplane LSH.
+
+    Candidate pairs = same bucket in ANY of the ``n_bands`` bands (explode
+    band index → equi-join on (band, bucket) → distinct pair), exact cosine
+    only on candidates, window top-k. Single-band AND-construction (the old
+    design) gives one N/2^r-sized bucket join with unmeasured recall; the
+    banded construction makes recall 1 − (1 − p^r)^B and each band's bucket
+    ~N/2^r — skew-safe by construction, same shape as
+    ``dedup.lsh_candidate_pairs``. Defaults (r=4, B=20) measure recall@5 ≈
+    0.94 on the uniform-random fixture (see tests/test_similarity_recall.py);
+    clustered real data needs far fewer bands.
+    """
+    planes = gaussian_planes(n_bands * band_width, dim, seed)
+    e = banded_signature(
+        embeddings.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("v_e"),
+        ),
+        "v_e",
+        planes,
+        band_width,
+    ).select("nbr_id", "v_e", F.posexplode("__bands").alias("band", "bucket"))
+    qdf = banded_signature(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("v_q"),
+        ),
+        "v_q",
+        planes,
+        band_width,
+    ).select("query_id", "v_q", F.posexplode("__bands").alias("band", "bucket"))
+    cand = (
+        qdf.join(e, ["band", "bucket"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", "v_q", "v_e")
+        .distinct()  # a pair colliding in several bands scores ONCE
+    )
+    sim = cand.withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "sim")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+    seed: int = 7,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids from a DETERMINISTIC bounded sample.
+
+    Sample = first ``sample_n`` rows by xxhash64(id) (stable across runs and
+    partitionings — never partition order), sorted by id driver-side, unit-
+    normalized; init = seeded first pick + farthest-point; ``iters`` Lloyd
+    rounds with cosine assignment. The collect is bounded by ``sample_n``
+    rows × dim doubles regardless of table size — the standard IVF training
+    shape (train on a sample, assign the full table with broadcast
+    centroids)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["id"])
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(len(X)))]
+    for _ in range(n_cells - 1):
+        d = np.min([((X - X[i]) ** 2).sum(axis=1) for i in idx], axis=0)
+        idx.append(int(np.argmax(d)))
+    C = X[idx].copy()
+    for _ in range(iters):
+        sims = X @ C.T / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        a = np.argmax(sims, axis=1)
+        for j in range(n_cells):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    return [(i, C[i].tolist()) for i in range(n_cells)]
+
+
+def _cell_sims(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> DataFrame:
+    """Materialize per-cell cosine sims ONCE into ``__sims`` — a cascaded
     when(best_sim < sim, ...) chain would re-inline every previous cosine
     into each branch and blow the expression tree up exponentially
     (observed 200× slowdown)."""
@@ -108,36 +261,63 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col:
             for _, cvec in centroids
         ]
     )
-    df = df.withColumn("__sims", sims)
+    return df.withColumn("__sims", sims)
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "v") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer)."""
+    df = _cell_sims(df, centroids, vec_col)
     # first maximal cell wins ties (deterministic); centroid order == cell id
     cell = (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast("int")
     return df.withColumn("ivf_cell", cell).drop("__sims")
+
+
+def ivf_probe(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int, vec_col: str = "v"
+) -> DataFrame:
+    """Explode each row to its ``nprobe`` nearest cells (multi-probe search).
+    Top-nprobe is JVM-side: sort (−sim, idx) structs, slice, extract idx."""
+    df = _cell_sims(df, centroids, vec_col)
+    pairs = F.zip_with(
+        F.col("__sims"),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct((-s).alias("ns"), i.alias("idx")),
+    )
+    probes = F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda st: st["idx"])
+    return (
+        df.withColumn("__probe", probes)
+        .drop("__sims")
+        .withColumn("ivf_cell", F.explode("__probe"))
+        .withColumn("ivf_cell", F.col("ivf_cell").cast("int"))
+        .drop("__probe")
+    )
 
 
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     n_cells: int = 8,
+    nprobe: int = 6,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    sample_n: int = 1024,
+    seed: int = 7,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a deterministic coarse quantizer (the
-    first n_cells vectors serve as centroids — a real system would k-means
-    them; the partition/search plumbing is identical), candidates restricted
-    to the query's cell via equi-join.
+    """IVF approximate top-k: sampled spherical-k-means coarse quantizer,
+    inverted lists via equi-join on cell, queries probe their ``nprobe``
+    nearest cells.
 
-    At 100 TB: the inverted lists are just a partitioned table keyed by
-    ivf_cell; a query touches |cell| candidates instead of N. Recall is
-    tuned by n_cells / nprobe (single-probe here)."""
-    cent_rows = (
-        embeddings.orderBy(id_col)
-        .limit(n_cells)
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
+    At 100 TB: the inverted lists are a table partitioned by ``ivf_cell``;
+    a query touches Σ|probed cells| ≈ nprobe·N/n_cells candidates instead of
+    N, and training cost is bounded by ``sample_n``. Defaults (8 cells,
+    nprobe=6) measure recall@5 ≈ 0.93 on the uniform-random fixture (the
+    no-structure worst case — see tests/test_similarity_recall.py); real
+    clustered corpora use n_cells ≈ √N with nprobe ≪ n_cells."""
+    centroids = train_ivf_centroids(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col, sample_n=sample_n, seed=seed
     )
-    centroids = [(i, list(r["v"])) for i, r in enumerate(cent_rows)]
     e = ivf_assign(
         embeddings.select(
             F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -145,48 +325,16 @@ def ivf_topk(
         centroids,
         "v",
     ).select("nbr_id", F.col("v").alias("v_e"), "ivf_cell")
-    qdf = ivf_assign(
+    qdf = ivf_probe(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
         ),
         centroids,
+        nprobe,
         "v",
     ).select("query_id", F.col("v").alias("v_q"), "ivf_cell")
     sim = (
         qdf.join(e, "ivf_cell")
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", "sim")
-    )
-
-
-def lsh_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    planes: list[list[float]],
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket (equi-join on bucket instead of crossJoin). Recall < 1; the
-    100 TB path — bucket cardinality 2^n_planes bounds each join group."""
-    e = embeddings.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).cast("array<double>").alias("v_e"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("v_e"), planes))
-    qdf = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("v_q"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("v_q"), planes))
-    sim = (
-        qdf.join(e, "bucket")
         .filter(F.col("nbr_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("v_q"), F.col("v_e")), 6))
     )

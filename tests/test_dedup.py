@@ -1,0 +1,85 @@
+"""Unit tests for dedup operators — the LSH-bounded default path of
+``ngram_jaccard_pairs`` and the exact-Jaccard verification stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.operators.dedup import (
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+
+DOCS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "en", "the quick brown fox jumps over the lazy dog near the river delta"),
+    (3, "en", "completely different content about spark distributed aggregation"),
+    (4, "de", "der schnelle braune fuchs springt ueber den faulen hund am fluss"),
+    (5, "de", "der schnelle braune fuchs springt ueber den faulen hund am see"),
+    (6, "en", "yet another unrelated document mentioning catalyst optimizer internals"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+
+
+def _true_jaccard(t1: str, t2: str) -> float:
+    a, b = set(t1.split()), set(t2.split())
+    return len(a & b) / len(a | b)
+
+
+def test_lsh_default_finds_near_dups(docs):
+    """Default (no block_col) routes candidates through MinHash-LSH; the
+    near-identical pairs (1,2) and (4,5) must surface with their exact
+    token-set Jaccard."""
+    out = {(r["doc1"], r["doc2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in out and (4, 5) in out
+    texts = {d[0]: d[2] for d in DOCS}
+    for (d1, d2), j in out.items():
+        assert j == pytest.approx(_true_jaccard(texts[d1], texts[d2]), rel=1e-9)
+        assert j >= 0.5
+
+
+def test_lsh_default_pair_count_bounded(docs):
+    """LSH-bounded pair generation never exceeds the band-collision set —
+    unrelated docs do not pair up (the category-blocked variant would join
+    every same-lang pair)."""
+    cand = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(docs).collect()}
+    out = {(r["doc1"], r["doc2"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert out <= cand
+    assert (3, 6) not in out  # same lang, no shared shingles
+
+
+def test_category_block_optin_matches_direct(docs):
+    """block_col='lang' (opt-in) computes all same-block pairs over the
+    threshold — exhaustive within block."""
+    out = {(r["doc1"], r["doc2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()}
+    texts = {d[0]: d[2] for d in DOCS}
+    langs = {d[0]: d[1] for d in DOCS}
+    want = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j and langs[i] == langs[j]:
+                jac = _true_jaccard(texts[i], texts[j])
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+    assert set(out) == set(want)
+    for k, v in want.items():
+        assert out[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_jaccard_on_pairs_zero_overlap_kept(docs):
+    """A supplied candidate pair with no shared tokens scores 0.0 (kept for
+    the caller to threshold), not dropped."""
+    pairs = docs.sparkSession.createDataFrame([(3, 6)], "doc1 long, doc2 long")
+    rows = jaccard_on_pairs(docs, pairs).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == 0.0
