@@ -1,13 +1,19 @@
-"""Glider Parquet source (S1) and gridded sink (S6) round-trips."""
+"""Glider Parquet source (S1) and gridded sink (S6) round-trips, plus the
+NetCDF AD2CP ingestion path (S2/S3) exercised end-to-end through the
+pure-python classic backend."""
 
 from __future__ import annotations
 
+import json
 import tempfile
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
+from seaexplorertools_spark.sources.netcdf import ingest_ad2cp
+from seaexplorertools_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
 from seaexplorertools_spark.sources.parquet import load_glider, write_gridded
 
 
@@ -60,3 +66,103 @@ def test_write_gridded_partitioned_roundtrip(spark):
         # partition pruning works on the layout
         pruned = back.filter(F.col("profile_num") == 3)
         assert pruned.count() == 10
+
+
+def test_netcdf3_roundtrip():
+    """Writer/reader agree bit-for-bit on dims, numeric vars, and attrs."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/t.nc"
+        t = np.arange(9, dtype=np.float64) * 1e6
+        m = np.arange(27, dtype=np.float64).reshape(9, 3) / 7.0
+        s = np.arange(27, dtype=np.float32).reshape(9, 3)
+        i = np.arange(9, dtype=np.int32)
+        write_netcdf3(
+            path,
+            {"time": 9, "bin": 3},
+            {"t": (("time",), t), "m": (("time", "bin"), m),
+             "s": (("time", "bin"), s), "i": (("time",), i)},
+            {"a_f": 2.5, "a_s": "hello", "a_i": 7},
+        )
+        dims, vars_, attrs = read_netcdf3(path)
+    assert dims == {"time": 9, "bin": 3}
+    assert np.array_equal(vars_["t"], t) and np.array_equal(vars_["m"], m)
+    assert np.array_equal(vars_["s"], s) and np.array_equal(vars_["i"], i)
+    assert attrs == {"a_f": 2.5, "a_s": "hello", "a_i": 7}
+
+
+def _write_ad2cp_fixture(tmp: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two classic AD2CP files (multi-file mission): Data/Average group via
+    the Data_Average_* flattening, BT group in file 1 only, Config attrs."""
+    rng = np.random.default_rng(3)
+    t0 = 1_700_000_000_000_000
+    times, vels = [], []
+    for fi in range(2):
+        T, B = 6, 4
+        t = t0 + (fi * T + np.arange(T, dtype=np.float64)) * 1e6
+        v = rng.normal(0, 0.3, (T, B))
+        times.append(t)
+        vels.append(v)
+        variables = {
+            "Data_Average_time": (("time",), t),
+            "Data_Average_Pressure": (("time",), np.linspace(5, 40, T)),
+            "Data_Average_Pitch": (("time",), np.full(T, 17.4)),
+            "Data_Average_Roll": (("time",), np.zeros(T)),
+            "Data_Average_Heading": (("time",), np.full(T, 40.0)),
+            "Data_Average_SpeedOfSound": (("time",), np.full(T, 1481.0)),
+        }
+        for b in (1, 2, 3, 4):
+            variables[f"Data_Average_VelocityBeam{b}"] = (("time", "bin"), v + b)
+            variables[f"Data_Average_CorrelationBeam{b}"] = (
+                ("time", "bin"), np.full((T, B), 90.0))
+            variables[f"Data_Average_AmplitudeBeam{b}"] = (
+                ("time", "bin"), np.full((T, B), 60.0))
+        dims = {"time": T, "bin": B}
+        if fi == 0:
+            bt_t = t[:2] + 5e5
+            dims["bt_time"] = 2
+            variables["Data_AverageBT_time"] = (("bt_time",), bt_t)
+            for b in (1, 2, 4):
+                variables[f"Data_AverageBT_VelocityBeam{b}"] = (
+                    ("bt_time",), np.array([0.1 * b, -0.05 * b]))
+                variables[f"Data_AverageBT_FOMBeam{b}"] = (
+                    ("bt_time",), np.array([3.0, 4.0]))
+            variables["Data_AverageBT_Pressure"] = (("bt_time",), np.array([38.0, 39.0]))
+        write_netcdf3(
+            f"{tmp}/mission_{fi}.nc", dims, variables,
+            {"Config_avg_cellSize": 2.0, "Config_avg_blankingDistance": 0.5},
+        )
+    return np.concatenate(times), np.vstack(vels), np.array([t0 + 5e5, t0 + 15e5])
+
+
+def test_ingest_ad2cp_end_to_end(spark):
+    """S2/S3: the group→long-parquet mapping runs without netCDF4/xarray —
+    multi-file concat along time, (time × bin) matrices to long cells rows,
+    sparse BT group, Config attrs to attrs.json."""
+    with tempfile.TemporaryDirectory() as tmp:
+        all_t, all_v, bt_t = _write_ad2cp_fixture(tmp)
+        out = f"{tmp}/out"
+        ingest_ad2cp(spark, f"{tmp}/mission_*.nc", out)
+
+        ping = spark.read.parquet(f"{out}/adcp_ping.parquet").orderBy("time_us").toPandas()
+        cells = spark.read.parquet(f"{out}/adcp_cells.parquet").orderBy("time_us", "bin").toPandas()
+        bt = spark.read.parquet(f"{out}/adcp_bt.parquet").orderBy("time_us").toPandas()
+        attrs = json.load(open(f"{out}/attrs.json"))
+
+    assert attrs == {"avg_cellSize": 2.0, "avg_blankingDistance": 0.5}
+    assert len(ping) == 12 and list(ping["time_us"]) == sorted(all_t.astype("int64"))
+    assert ping["pitch"].eq(17.4).all()
+    assert len(cells) == 12 * 4
+    # spot-check: velocity_beam3 at (ping i, bin j) == fixture v[i, j] + 3
+    got = cells["velocity_beam3"].to_numpy().reshape(12, 4)
+    assert np.allclose(got, all_v + 3)
+    assert cells["bin"].to_numpy().reshape(12, 4).tolist() == [[0, 1, 2, 3]] * 12
+    # BT: sparse rows from file 1 only, beams 1/2/4 + FOM
+    assert list(bt["time_us"]) == sorted(bt_t.astype("int64"))
+    assert np.allclose(bt["velocity_beam4"], [0.4, -0.2])
+    assert {"fom_beam1", "fom_beam2", "fom_beam4", "pressure"} <= set(bt.columns)
+
+
+def test_ingest_missing_glob_raises(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        with pytest.raises(FileNotFoundError):
+            ingest_ad2cp(spark, f"{tmp}/nope_*.nc", f"{tmp}/out")
