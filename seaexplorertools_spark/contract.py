@@ -1610,18 +1610,22 @@ def txt_fingerprint(spark, sf_dir):
     "mm_media_features",
     """
     SELECT doc_id AS media_id, 'image' AS kind,
-           octet_length(encode(text)) AS n_bytes
+           33 + octet_length(encode(text)) AS n_bytes,
+           CAST(1 + doc_id % 64 AS BIGINT) AS width,
+           CAST(1 + doc_id % 48 AS BIGINT) AS height
     FROM documents
     """,
 )
 def mm_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → mapInPandas feature
-    extraction (decode STUBBED — deterministic byte stats stand in for the
-    absent media libs; schema/partitioning/batching are the real thing).
-    Oracle checks the SQL-expressible slice (payload byte length)."""
+    """Multimodal feature extraction over binary payloads (mapInPandas,
+    Arrow-batched). The payload is a PNG-shaped container (33-byte real
+    signature+IHDR wrapping the text bytes, dimensions derived from
+    doc_id), so width/height come from the REAL pure-python PNG header
+    parse and the oracle can recompute them arithmetically; deeper pixel
+    decode stays gated on the absent media libs."""
     media = documents_as_media(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes")
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
 
 @q(

@@ -3,11 +3,16 @@
 Images/audio/video are opaque ``binary`` payloads with typed metadata
 columns. The Spark-side plumbing — schema, partition-preserving
 ``mapInPandas`` with Arrow batches, deterministic batch shapes — is real
-and tested; the actual media decode is STUBBED (the decode libraries are
-not in this container): ``decode_stub`` computes deterministic fake
-features from the bytes so the pipeline shape can be exercised end-to-end,
-and ``decode_real`` raises NotImplementedError where a PIL/ffmpeg call
-would go.
+and tested. Decode depth is layered:
+
+- **Header parse (real, pure-python)**: PNG/GIF/BMP/JPEG container headers
+  are parsed for width/height (``parse_image_header``) — genuine features
+  from genuine files, no decode library needed. ``encode_png`` writes a
+  spec-valid PNG (stdlib zlib) for tests.
+- **Pixel/audio/video decode (gated)**: ``decode_real`` raises
+  NotImplementedError beyond the header layer — PIL/soundfile/ffmpeg are
+  not in this container. ``decode_stub`` computes deterministic byte stats
+  so the pipeline shape is exercised end-to-end regardless.
 
 At 100 TB: payloads stay in the executor (never collected); mapInPandas
 streams Arrow record batches so peak memory is one batch of payloads;
@@ -16,6 +21,8 @@ feature extraction is embarrassingly parallel with zero shuffle.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,15 +56,83 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), True),
         StructField("byte_mean", DoubleType(), True),
         StructField("byte_entropy_proxy", DoubleType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
     ]
 )
 
 
-def decode_real(payload: bytes, kind: str):
-    """Placeholder for the real decoder (PIL / soundfile / ffmpeg)."""
+def parse_image_header(payload: bytes | None) -> tuple[int | None, int | None]:
+    """(width, height) from PNG / GIF / BMP / JPEG container headers —
+    pure-python byte parsing of the public formats, (None, None) when the
+    payload is not a recognized image."""
+    if payload is None or len(payload) < 10:
+        return None, None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return w, abs(h)  # negative BMP height = top-down rows
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the SOF frame header
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seglen
+    return None, None
+
+
+def encode_png(width: int, height: int, rgb: bytes | None = None) -> bytes:
+    """Spec-valid minimal PNG (8-bit RGB, stdlib zlib) — real files for
+    testing the real header parse; also usable as a tiny image sink."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = width * 3
+    raw = b"".join(
+        b"\x00" + (rgb[y * row : (y + 1) * row] if rgb else b"\x00" * row)
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_real(payload: bytes, kind: str) -> dict:
+    """Real decode, as deep as pure python goes: image container headers →
+    {width, height}. Pixel rasters / audio samples / video frames need
+    PIL / soundfile / ffmpeg (absent in this container) and raise."""
+    if kind == "image":
+        w, h = parse_image_header(payload)
+        if w is not None:
+            return {"width": w, "height": h}
     raise NotImplementedError(
-        "media decode libraries are not available in this container; "
-        "use decode_stub for pipeline testing"
+        "full pixel/audio/video decode requires PIL/soundfile/ffmpeg (absent "
+        "in this container); header parse covers PNG/GIF/BMP/JPEG dimensions"
     )
 
 
@@ -73,28 +148,65 @@ def decode_stub(payload: bytes) -> tuple[int, float, float]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — Arrow-batched,
-    partition-preserving, no shuffle.
+    partition-preserving, no shuffle. Byte stats (always) + REAL image
+    dimensions from PNG/GIF/BMP/JPEG header parse (NULL for unrecognized
+    payloads).
 
-    The decode step is a NESTED def (same logic as ``decode_stub``) so
-    cloudpickle ships it by value — Spark python workers don't inherit the
-    driver's sys.path, and a by-reference pickle of this module's functions
-    would fail to import on workers when the engine runs from a
-    non-PYTHONPATH checkout."""
+    All helpers are NESTED defs so cloudpickle ships them by value — Spark
+    python workers don't inherit the driver's sys.path, and a by-reference
+    pickle of this module's functions would fail to import on workers when
+    the engine runs from a non-PYTHONPATH checkout."""
 
-    def decode(payload: bytes) -> tuple[int, float, float]:
+    def parse_dims(payload):
+        # worker-side copy of parse_image_header (PNG/GIF/BMP/JPEG)
+        if payload is None or len(payload) < 10:
+            return None, None
+        b = bytes(payload)
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+        if b[:2] == b"BM" and len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return w, abs(h)
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                    i += 2
+                    continue
+                seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + seglen
+        return None, None
+
+    def decode(payload):
         if payload is None or len(payload) == 0:
-            return 0, float("nan"), float("nan")
+            return 0, float("nan"), float("nan"), None, None
         n = len(payload)
-        return n, sum(payload) / n, len(set(payload)) / 256.0
+        w, h = parse_dims(payload)
+        return n, sum(payload) / n, len(set(payload)) / 256.0, w, h
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                n, mean, ent = decode(payload)
-                rows.append((mid, kind, n, mean, ent))
+                n, mean, ent, w, h = decode(payload)
+                rows.append((mid, kind, n, mean, ent, w, h))
             yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "n_bytes", "byte_mean", "byte_entropy_proxy"]
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "byte_mean",
+                    "byte_entropy_proxy", "width", "height",
+                ],
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
@@ -163,14 +275,35 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
-    """Adapter: treat document text bytes as fake media payloads so the
-    multimodal plumbing can be exercised against the synthetic tables."""
+    """Adapter: wrap document text bytes in a PNG-shaped container (real
+    signature + IHDR with doc-derived dimensions, text as body) so the
+    multimodal plumbing — including the REAL header parse — can be
+    exercised against the synthetic tables. Width/height are deterministic
+    functions of doc_id, making the parsed dimensions oracle-checkable.
+    The container is built with JVM expressions (concat of binary columns;
+    unhex(lpad(hex(x))) is a 4-byte big-endian int), no UDF."""
+
+    def be4(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    width = F.lit(1) + F.col("doc_id") % 64
+    height = F.lit(1) + F.col("doc_id") % 48
+    payload = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A")),  # PNG signature
+        F.lit(bytes.fromhex("0000000D")),  # IHDR length = 13
+        F.lit(b"IHDR"),
+        be4(width),
+        be4(height),
+        F.lit(bytes.fromhex("0802000000")),  # bit depth 8, RGB
+        F.lit(bytes.fromhex("00000000")),  # CRC (not validated by header parse)
+        F.encode(F.col("text"), "utf-8"),
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit(None).cast("long").alias("width"),
-        F.lit(None).cast("long").alias("height"),
+        payload.alias("payload"),
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
         F.lit(None).cast("long").alias("sample_rate"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
