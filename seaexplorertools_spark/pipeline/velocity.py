@@ -283,6 +283,15 @@ def reference_shear(
         )
     )
     g = sh.join(gl, ["profile_num", "depth_bin"], "full")
+    if mission_part:
+        # the glider never occupies every grid bin (deep bins beyond the
+        # dive), so the join leaves the mission tag NULL there — backfill
+        # per profile (profile ids are mission-unique by convention)
+        mcol = options["mission_col"]
+        g = g.withColumn(
+            mcol,
+            F.first(mcol, ignorenulls=True).over(Window.partitionBy("profile_num")),
+        )
 
     order = ["depth_bin"]
     part = ["profile_num"]
