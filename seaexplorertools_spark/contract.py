@@ -1045,19 +1045,24 @@ def f4_three_beam_xyz(spark, sf_dir):
       FROM ch
     )
     SELECT l_orderkey, l_linenumber,
-           round((cos(hh) * cos(pp)) * vx
+           {R6P_SQL.format('''((cos(hh) * cos(pp)) * vx
                  + (-cos(hh) * sin(pp) * sin(rr) + sin(hh) * cos(rr)) * vy
-                 + (-cos(hh) * sin(pp) * cos(rr) - sin(hh) * sin(rr)) * vz, 6) AS e,
-           round((-sin(hh) * cos(pp)) * vx
+                 + (-cos(hh) * sin(pp) * cos(rr) - sin(hh) * sin(rr)) * vz)''')} AS e,
+           {R6P_SQL.format('''((-sin(hh) * cos(pp)) * vx
                  + (sin(hh) * sin(pp) * sin(rr) + cos(hh) * cos(rr)) * vy
-                 + (sin(hh) * sin(pp) * cos(rr) - cos(hh) * sin(rr)) * vz, 6) AS n,
-           round(sin(pp) * vx + (cos(pp) * sin(rr)) * vy + (cos(pp) * cos(rr)) * vz, 6) AS u
+                 + (sin(hh) * sin(pp) * cos(rr) - cos(hh) * sin(rr)) * vz)''')} AS n,
+           {R6P_SQL.format('(sin(pp) * vx + (cos(pp) * sin(rr)) * vy + (cos(pp) * cos(rr)) * vz)')} AS u
     FROM ang
     """,
 )
 def f5_enu_rotation(spark, sf_dir):
     """F5 — XYZ→ENU heading/pitch/roll rotation (reference M_xyz2enu
-    :1134-1146, applied :1156-1158; top-mounted → direction=+1)."""
+    :1134-1146, applied :1156-1158; top-mounted → direction=+1).
+
+    Rounded with r6p, not F.round: BigDecimal HALF_UP rounding dominated the
+    runtime (1.09 s vs 0.46 s warm at sf0.1 for the same plan) — floor-based
+    rounding stays in pure-double codegen, and the ENU outputs are finite
+    bounded trig products (the r6p safety domain)."""
     ch = _channels(spark, sf_dir)
     heading = M.wrap360(F.col("pitch") * 29.0)
     enu = M.xyz_to_enu(
@@ -1065,7 +1070,7 @@ def f5_enu_rotation(spark, sf_dir):
     )
     return ch.select(
         "l_orderkey", "l_linenumber",
-        r6(enu[0]).alias("e"), r6(enu[1]).alias("n"), r6(enu[2]).alias("u"),
+        r6p(enu[0]).alias("e"), r6p(enu[1]).alias("n"), r6p(enu[2]).alias("u"),
     )
 
 
@@ -1559,7 +1564,7 @@ def txt_langid(spark, sf_dir):
     """Language-ID heuristic: stopword votes, argmax with deterministic
     sorted-language tiebreak, 'und' when no votes."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", T.lang_guess(F.col("text")).alias("lang_guess"))
+    return T.langid(docs).select("doc_id", "lang", "lang_guess")
 
 
 @q(
