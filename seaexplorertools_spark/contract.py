@@ -1655,6 +1655,34 @@ def st_windowed_counts(spark, sf_dir):
     ).agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_v"))
 
 
+@q(
+    "st_first_seen",
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def st_first_seen(spark, sf_dir):
+    """First-seen dedup per (user, event_type) — the batch twin of the
+    streaming dropDuplicatesWithinWatermark operator
+    (streaming/dedup.py; equivalence pinned by
+    tests/test_streaming_dedup.py). min_by with a (ts, id) struct key:
+    one groupBy, map-side partial min."""
+    from .streaming.dedup import first_seen
+
+    ev = events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us", "value"
+    )
+    out = first_seen(ev, ["user_id", "event_type"], time_col="ts_us")
+    return out.select("event_id", "user_id", "event_type", "ts_us", "value")
+
+
 # ---------------------------------------------------------------------------
 # Batch 4 — Spark-native relational surface (set ops, top-k, pivot) and
 # composite reference-math queries
@@ -2147,6 +2175,94 @@ def dd_dedup_pipeline(spark, sf_dir):
 
 
 @q(
+    "dd_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dd_dedup_pipeline"]}),
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs WHERE is_duplicate
+      UNION
+      SELECT doc2 AS a, doc1 AS b FROM pairs WHERE is_duplicate
+    ),
+    reach(node, x) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.x
+    )
+    SELECT node AS doc_id, min(x) AS cluster_id, (node = min(x)) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def dd_dup_clusters(spark, sf_dir):
+    """Dedup endgame: verified duplicate PAIRS → transitive CLUSTERS →
+    keep/drop decisions. Connected components over the is_duplicate graph
+    via iterative min-label propagation (operators/graph.py) — cluster_id
+    is the component's minimum doc id, ``keep`` marks the canonical
+    survivor. The oracle is a DuckDB recursive CTE over the same pipeline
+    SQL, so the whole chain (LSH recall → Jaccard precision → closure) is
+    exactly checked."""
+    from .operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
+    from .operators.graph import dup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
+    jac = jaccard_on_pairs(docs, cand, use_shingles=True)
+    return dup_clusters(jac.filter(F.col("jaccard") >= 0.8))
+
+
+@q(
+    "q_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    WHERE u < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 0.5 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data rebalancing):
+    per-language hash-threshold fractions — downsample dominant 'en' to
+    0.3, upweight 'zh' to 0.8, 0.5 elsewhere. A pure map-side filter from
+    md5(doc_id): reproducible across runs/engines (the oracle recomputes
+    the identical draw), no RNG state, no shuffle — unlike df.sample(),
+    whose per-partition RNG changes under repartitioning."""
+    from .operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.3, "zh": 0.8}, default=0.5
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "txt_tfidf",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+    FROM tf JOIN dfq USING (tok) CROSS JOIN n
+    """,
+)
+def txt_tfidf(spark, sf_dir):
+    """Corpus TF-IDF vectors: per-(doc, token) term frequency × ln(N/df)
+    inverse document frequency. Two aggregations + a 1-row corpus-size
+    broadcast; shuffle volume is |distinct (doc, token)|."""
+    from .operators.text import tfidf
+
+    docs = table(spark, sf_dir, "documents")
+    out = tfidf(docs)
+    return out.select("doc_id", "tok", "tf", "df", r6(F.col("tfidf")).alias("tfidf"))
+
+
+@q(
     "txt_bpe_tokens",
     r"""
     SELECT doc_id,
@@ -2228,6 +2344,8 @@ _DRIVER_FIRST = [
     "udf_soundspeed_mackenzie", "dd_simhash_pairs", "q_sessionize",
     "q_salted_agg", "q_json_extract", "q_range_frame_trailing",
     "dd_dedup_pipeline", "w1b_running_median_minmax",
+    # new in round 2 — no driver row yet
+    "dd_dup_clusters", "q_stratified_sample", "txt_tfidf", "st_first_seen",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Distributed connected components — the dedup-cluster endgame.
+
+LSH/Jaccard stages emit duplicate *pairs*; turning pairs into keep/drop
+decisions needs the transitive closure (a~b, b~c ⇒ one cluster {a,b,c},
+keep one). This is a training-data-pipeline engine addition (not part of
+the reference's surface).
+
+Algorithm: iterative min-label propagation entirely in DataFrame ops —
+every node starts labeled with its own id; each round every node takes the
+min of its label and its neighbors' labels; converged when no label
+changes. Rounds needed = graph diameter, and near-dup graphs are
+band-collision cliques plus short chains (diameter ≤ ~3 in practice), so
+the loop is short. Each round is one equi-join + one groupBy (two
+shuffles) over |edges| + |nodes| rows; `localCheckpoint` truncates the
+lineage so plans don't grow with iterations, and the symmetric edge list
+is checkpointed once and reused.
+
+At larger diameters (social graphs, web graphs) the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") converges in O(log² n) rounds and would slot into
+the same driver loop; min-propagation is the right tool for the bounded
+dedup topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the minimum
+    node id of its connected component.
+
+    Returns (node, component) — one row per distinct node appearing in any
+    edge. Raises ``RuntimeError`` if not converged within ``max_iter``
+    rounds (diameter bound exceeded) rather than returning wrong labels.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # computed once, reused every round
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), F.col("component")), "b"
+        ).select(F.col("a").alias("node"), "component")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the graph diameter exceeds the dedup-topology bound — raise "
+        "max_iter or use a large-star/small-star variant"
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment from verified duplicate pairs:
+    (doc_id, cluster_id, keep) where cluster_id is the minimum doc id of
+    the connected component and ``keep`` marks the one document per
+    cluster that survives dedup (the canonical minimum)."""
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

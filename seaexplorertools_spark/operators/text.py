@@ -128,6 +128,40 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__toks", "__n_tok", "__n_dis")
 
 
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus-level TF-IDF: (doc, token, tf, df, tfidf = tf · ln(N/df)).
+
+    Two aggregations over the exploded token stream — per-(doc, token)
+    term frequency, then per-token document frequency — plus a 1-row
+    broadcast of the corpus size (the j5 scalar-broadcast pattern, no
+    collect). Shuffle volume is |distinct (doc, token)| rows; nothing is
+    quadratic and nothing touches the driver, so the same plan runs on a
+    100 TB corpus. ``min_df`` prunes the long hapax tail before the join
+    when set > 1."""
+    tk = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tk.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n))
+        .select(
+            id_col,
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: lowercase, collapse whitespace,
     strip punctuation, md5. Robust to formatting-only edits."""

@@ -1,0 +1,52 @@
+"""connected_components / dup_clusters: min-label propagation must produce
+the exact transitive closure (chains, merged cliques, isolated pairs),
+converge in ~diameter rounds, and fail loudly rather than mislabel when
+the iteration cap is exceeded."""
+
+from __future__ import annotations
+
+import pytest
+
+from seaexplorertools_spark.operators.graph import connected_components, dup_clusters
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3,4} is a chain (diameter 3); {10,11} an isolated pair
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_clique_merge_via_bridge(spark):
+    # two triangles bridged by one edge collapse to one component
+    edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 6
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for min propagation
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_dup_clusters_keep_flag(spark):
+    pairs = spark.createDataFrame([(5, 3), (3, 9), (20, 21)], "doc1 long, doc2 long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dup_clusters(pairs).collect()}
+    assert out == {
+        3: (3, True), 5: (3, False), 9: (3, False),
+        20: (20, True), 21: (20, False),
+    }
