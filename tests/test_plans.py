@@ -75,3 +75,29 @@ def test_qc_mask_stays_in_scan_projection(spark, sf_dir):
     """P3 masking is pure projection — no exchange at all."""
     df = contract.QUERIES["p3_qc_mask"](spark, sf_dir)
     assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_stratified_sample_is_mapside_only(spark, sf_dir):
+    """Hash-threshold sampling must stay a pure map-side filter: no
+    exchange, pruned 2-column scan."""
+    df = contract.QUERIES["q_stratified_sample"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    cols = read_schema_columns(df)
+    assert cols == {"doc_id", "lang"}, cols
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    """The 1-row corpus-size join must broadcast (never shuffle the token
+    stream against it) and the aggregates must partial-combine map-side."""
+    df = contract.QUERIES["txt_tfidf"](spark, sf_dir)
+    txt = explain_str(df)
+    assert uses_broadcast_join(df), explain_str(df, "simple")
+    assert "partial_count" in txt, txt
+
+
+def test_first_seen_single_shuffle(spark, sf_dir):
+    """Streaming-twin first-seen dedup is one groupBy: exactly one exchange,
+    with a map-side partial min_by."""
+    df = contract.QUERIES["st_first_seen"](spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+    assert "partial_min_by" in explain_str(df), explain_str(df)
