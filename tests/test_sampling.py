@@ -1,0 +1,65 @@
+"""Hash-threshold sampling: determinism, nesting (monotone fractions give
+supersets), stratified rates, and salt decorrelation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.operators.sampling import (
+    hash_uniform,
+    sample_fraction,
+    stratified_sample,
+)
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_deterministic_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s30a = _ids(sample_fraction(docs, "doc_id", 0.3))
+    s30b = _ids(sample_fraction(docs, "doc_id", 0.3))
+    s60 = _ids(sample_fraction(docs, "doc_id", 0.6))
+    assert s30a == s30b  # same keys → same sample, every run
+    assert s30a <= s60  # thresholds nest: smaller fraction is a subset
+    n = docs.count()
+    assert 0.15 * n < len(s30a) < 0.45 * n  # rate in the right ballpark
+
+
+def test_repartition_invariance(spark, sf_dir):
+    """The draw depends only on the key — physical layout must not matter
+    (the property df.sample() does NOT have)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = _ids(sample_fraction(docs, "doc_id", 0.4))
+    b = _ids(sample_fraction(docs.repartition(7, "lang"), "doc_id", 0.4))
+    assert a == b
+
+
+def test_stratified_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", "doc_id", {"en": 0.1, "zh": 0.9}, default=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("en", 0) / tot["en"] < 0.25
+    assert got["zh"] / tot["zh"] > 0.7
+
+
+def test_salt_decorrelates(spark, sf_dir):
+    """Different salts give (near-)independent draws: train/val splits from
+    the same key must not be the same subset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = _ids(sample_fraction(docs, "doc_id", 0.5, salt="train"))
+    b = _ids(sample_fraction(docs, "doc_id", 0.5, salt="val"))
+    n = docs.count()
+    overlap = len(a & b)
+    # independent 0.5 draws overlap ~0.25·n; identical draws would be ~0.5·n
+    assert overlap < 0.4 * n
+    assert a != b
+
+
+def test_uniform_range(spark):
+    df = spark.range(1000).select(hash_uniform(F.col("id")).alias("u"))
+    row = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")).collect()[0]
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+    assert 0.4 < row["m"] < 0.6
