@@ -53,26 +53,30 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    # labels are monotone non-increasing, so the exact sum is unchanged IFF
+    # no label changed — one 1-row aggregate per round instead of a
+    # join+count change detector (decimal(38,0): exact, no int64 overflow)
+    def _sig(lbl):
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    sig = _sig(labels)
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(F.col("node").alias("b"), F.col("component")), "b"
         ).select(F.col("a").alias("node"), "component")
-        new_labels = (
+        labels = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sig = _sig(labels)
+        if new_sig == sig:
             return labels
+        sig = new_sig
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the graph diameter exceeds the dedup-topology bound — raise "
