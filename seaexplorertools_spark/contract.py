@@ -1656,6 +1656,86 @@ def st_windowed_counts(spark, sf_dir):
 
 
 @q(
+    "txt_repetition",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+    ),
+    bg AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END) AS t
+        FROM tk)
+    ),
+    tokc AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS tok_total, max(n) AS tok_top_n FROM (
+        SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term)
+      GROUP BY doc_id
+    ),
+    bgc AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS bigram_total, max(n) AS bigram_top_n FROM (
+        SELECT doc_id, term, count(*) AS n FROM bg GROUP BY doc_id, term)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.tok_total, t.tok_top_n,
+           round(CAST(t.tok_top_n AS DOUBLE)
+                 / nullif(CAST(t.tok_total AS DOUBLE), 0.0), 6) AS top_token_frac,
+           coalesce(b.bigram_total, 0) AS bigram_total,
+           coalesce(b.bigram_top_n, 0) AS bigram_top_n,
+           round(CAST(b.bigram_top_n AS DOUBLE)
+                 / nullif(CAST(b.bigram_total AS DOUBLE), 0.0), 6) AS top_bigram_frac
+    FROM tokc t LEFT JOIN bgc b USING (doc_id)
+    """,
+)
+def txt_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: fraction of the token
+    stream consumed by the most frequent token / bigram (boilerplate and
+    spam score high; pre-training filters threshold on these). Only max
+    COUNTS are emitted, so term-frequency ties can't make results
+    engine-dependent."""
+    from .operators.text import repetition_features
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+@q(
+    "q_interval_join",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+           epoch_us(a.ts) AS t_left, epoch_us(b.ts) AS t_right
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+     AND a.event_id <> b.event_id
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Range join: pairs of events of the same user within ±10 minutes —
+    the batch form of a watermarked stream-stream interval join. Bucketed
+    by t div tol with a 3-bucket probe so the planner sees a bounded
+    equi-join, never an unbounded per-key theta join
+    (operators/joins.py::interval_join)."""
+    from .operators.joins import interval_join
+
+    ev = events(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    left = ev.select(F.col("event_id").alias("left_id"), "user_id", F.col("ts_us"))
+    right = ev.select(F.col("event_id").alias("right_id"), "user_id", "ts_us")
+    out = interval_join(left, right, on=["user_id"], time_col="ts_us", tol=600000000)
+    return out.filter(F.col("left_id") != F.col("right_id")).select(
+        "left_id",
+        "right_id",
+        "user_id",
+        F.col("ts_us").alias("t_left"),
+        F.col("ts_us_right").alias("t_right"),
+    )
+
+
+@q(
     "st_first_seen",
     """
     SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
@@ -2346,6 +2426,7 @@ _DRIVER_FIRST = [
     "dd_dedup_pipeline", "w1b_running_median_minmax",
     # new in round 2 — no driver row yet
     "dd_dup_clusters", "q_stratified_sample", "txt_tfidf", "st_first_seen",
+    "txt_repetition", "q_interval_join",
 ]
 
 

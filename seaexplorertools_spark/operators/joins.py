@@ -208,3 +208,44 @@ def asof_join(
     if suffix:
         drop += values
     return out.drop(*drop)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    time_col: str,
+    tol: float,
+    right_time_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: pair rows sharing ``on`` keys whose times differ by at
+    most ``tol`` (|t_left − t_right| ≤ tol). The batch form of a
+    watermarked stream-stream interval join.
+
+    A naive key-equi-join + range filter degenerates at scale: one key's
+    whole history lands in one task and the range predicate runs over the
+    full cross product per key. Instead both sides are bucketed by
+    ``time_col div tol`` and the LEFT side probes its own bucket and both
+    neighbors (3-row explode) — every candidate pair shares an exact
+    (keys, bucket) equi-join key, so the pair space per task is bounded by
+    rows-per-bucket and the planner sees a plain shuffled equi-join
+    (AQE-splittable, skew-salvageable), never an unbounded theta join.
+    Candidates are then filtered exactly; each true pair is produced once
+    (its matching bucket pairing is unique).
+
+    ``right_time_col`` defaults to ``time_col``; right's time surfaces as
+    ``<time_col>_right`` alongside every right value column.
+    """
+    rt = right_time_col or time_col
+    l = left.withColumn("__b0", F.floor(F.col(time_col) / F.lit(tol))).withColumn(
+        "__b", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1))
+    )
+    rren = right.withColumnRenamed(rt, f"{time_col}_right") if rt == time_col else (
+        right.withColumn(f"{time_col}_right", F.col(rt)).drop(rt)
+    )
+    r = rren.withColumn("__b", F.floor(F.col(f"{time_col}_right") / F.lit(tol)))
+    out = l.join(r, [*on, "__b"], how).filter(
+        F.abs(F.col(time_col) - F.col(f"{time_col}_right")) <= F.lit(tol)
+    )
+    return out.drop("__b", "__b0")

@@ -162,6 +162,62 @@ def tfidf(
     )
 
 
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of the token stream
+    consumed by the single most frequent token and by the most frequent
+    bigram (high values ⇒ boilerplate/spam; the standard pre-training
+    quality filters threshold on them).
+
+    Shape: explode tokens/bigrams → two-level aggregate (count per term,
+    then max/total per doc) — all map-side-combinable groupBys, shuffle
+    volume |distinct (doc, term)|. Only the max COUNT is emitted (not the
+    argmax term), so ties cannot make results engine-dependent."""
+    staged = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    big = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", i), F.element_at("__toks", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array())
+    staged = staged.withColumn("__bigrams", big)
+
+    def top_frac(col, out_prefix):
+        term = staged.select(id_col, F.explode(col).alias("t"))
+        per_term = term.groupBy(id_col, "t").agg(F.count("*").alias("n"))
+        return per_term.groupBy(id_col).agg(
+            F.sum("n").alias(f"{out_prefix}_total"),
+            F.max("n").alias(f"{out_prefix}_top_n"),
+        )
+
+    tok = top_frac(F.col("__toks"), "tok")
+    bg = top_frac(F.col("__bigrams"), "bigram")
+    return (
+        tok.join(bg, id_col, "left")
+        .select(
+            id_col,
+            "tok_total",
+            "tok_top_n",
+            F.round(
+                F.col("tok_top_n").cast("double")
+                / F.nullif(F.col("tok_total").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("top_token_frac"),
+            F.coalesce("bigram_total", F.lit(0)).alias("bigram_total"),
+            F.coalesce("bigram_top_n", F.lit(0)).alias("bigram_top_n"),
+            F.round(
+                F.col("bigram_top_n").cast("double")
+                / F.nullif(F.col("bigram_total").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: lowercase, collapse whitespace,
     strip punctuation, md5. Robust to formatting-only edits."""

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from seaexplorertools_spark.operators.joins import asof_join, interp_join
 
@@ -105,3 +106,37 @@ def test_asof_nearest_takes_nearest_rows_value_even_if_null(spark):
     assert got[9.0] is None  # nearest sample t=10 has NULL value
     assert got[11.0] is None
     assert got[19.0] == 3.0
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed 3-probe interval join == naive key-join + range filter,
+    including exact-tolerance boundaries and cross-bucket pairs."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), int(rng.integers(0, 6)), float(rng.integers(0, 2000)))
+        for i in range(300)
+    ]
+    # force exact-boundary and bucket-edge cases
+    rows += [(1000, 9, 100.0), (1001, 9, 200.0), (1002, 9, 300.5), (1003, 9, 99.5)]
+    df = spark.createDataFrame(rows, "id long, k long, t double")
+    left = df.select(F.col("id").alias("lid"), "k", "t")
+    right = df.select(F.col("id").alias("rid"), "k", "t")
+    tol = 100.0
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, on=["k"], time_col="t", tol=tol).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(right.withColumnRenamed("t", "t2"), "k")
+        .filter(F.abs(F.col("t") - F.col("t2")) <= tol)
+        .collect()
+    }
+    assert got == naive
+    assert (1000, 1001) in got  # exactly tol apart
+    assert (1001, 1002) not in got  # 100.5 apart
