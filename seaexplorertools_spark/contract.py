@@ -1656,6 +1656,43 @@ def st_windowed_counts(spark, sf_dir):
 
 
 @q(
+    "dd_contamination",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})),
+    hold AS (SELECT doc_id AS h_id, tok FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, tok FROM sh WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id, count(DISTINCT t.tok) AS n_shared_shingles,
+           count(DISTINCT h.h_id) AS n_holdout_docs
+    FROM train t JOIN hold h ON t.tok = h.tok
+    GROUP BY t.doc_id
+    """,
+)
+def dd_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 3-token
+    shingle with the holdout/eval slice (doc_id % 50 == 0 stands in for
+    the eval set). The holdout shingle set is small by construction →
+    broadcast join against the train shingle stream; shuffle volume is
+    |contaminated (doc, shingle)| only. The standard n-gram-overlap
+    decontamination pass (à la GPT-3/PaLM appendix methodology)."""
+    from .operators.dedup import doc_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, 3)
+    hold = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("h_id"), "tok"
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(hold), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("tok").alias("n_shared_shingles"),
+            F.count_distinct("h_id").alias("n_holdout_docs"),
+        )
+    )
+
+
+@q(
     "txt_repetition",
     f"""
     WITH tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
@@ -2426,7 +2463,7 @@ _DRIVER_FIRST = [
     "dd_dedup_pipeline", "w1b_running_median_minmax",
     # new in round 2 — no driver row yet
     "dd_dup_clusters", "q_stratified_sample", "txt_tfidf", "st_first_seen",
-    "txt_repetition", "q_interval_join",
+    "txt_repetition", "q_interval_join", "dd_contamination",
 ]
 
 

