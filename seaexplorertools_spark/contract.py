@@ -2441,6 +2441,179 @@ def w1b_running_median_minmax(spark, sf_dir):
     )
 
 
+@q(
+    "txt_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com from 10.' ||
+             (doc_id % 256) || '.0.' || (doc_id % 100) || ' call +1-555-123-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_fp
+    FROM aug
+    """,
+)
+def txt_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone numbers → typed tags) with
+    per-type counts — the standard pre-training redaction pass. The fixture
+    text contains no PII, so deterministic synthetic PII is appended per doc
+    (same expression in the oracle) to make the check non-vacuous; the
+    redacted text is fingerprinted (md5) for the value hash. Patterns stay
+    in the Java-regex ∩ RE2 common subset so both engines match identically."""
+    from .operators.text import pii_redact
+
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call +1-555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    out = pii_redact(aug, text_col="t")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5("redacted").alias("red_fp"),
+    )
+
+
+@q(
+    "txt_entropy",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents),
+    c AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t),
+    a AS (SELECT doc_id, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nlogn
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_types, n_tokens,
+           round(ln(CAST(n_tokens AS DOUBLE)) - nlogn / CAST(n_tokens AS DOUBLE), 6) AS entropy
+    FROM a
+    """,
+)
+def txt_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution (lexical-diversity
+    quality signal). Engine side uses H = ln N − (Σ n·ln n)/N so it's one
+    explode + two partial-combine aggregations, no window/join."""
+    from .operators.text import token_entropy
+
+    return token_entropy(table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_percentile_filter",
+    """
+    WITH p AS (SELECT lang, quantile_cont(n_chars, 0.9) AS p90
+               FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars, round(p.p90, 6) AS p90
+    FROM documents d JOIN p USING (lang)
+    WHERE CAST(d.n_chars AS DOUBLE) > p.p90
+    """,
+)
+def q_percentile_filter(spark, sf_dir):
+    """Distribution-based quality filtering: keep docs above their
+    language's exact 90th-percentile length. Per-key percentiles are a tiny
+    aggregate (|langs| rows) broadcast back against the corpus — the
+    groupBy+broadcast shape survives 100 TB where a per-row percentile
+    window would not. Exact interpolated percentile (Spark `percentile` ==
+    DuckDB `quantile_cont`), filter on the unrounded value so the boundary
+    is engine-deterministic."""
+    d = table(spark, sf_dir, "documents")
+    p = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.9)).alias("p90"))
+    return (
+        d.join(F.broadcast(p), "lang")
+        .filter(F.col("n_chars").cast("double") > F.col("p90"))
+        .select("doc_id", "lang", "n_chars", r6(F.col("p90")).alias("p90"))
+    )
+
+
+@q(
+    "ann_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    y AS (SELECT vec_id, nrm, list_transform(v, x -> x / nullif(nrm, 0.0)) AS y FROM n),
+    s AS (SELECT vec_id, nrm, y,
+                 list_max(list_transform(y, x -> abs(x))) AS sc FROM y)
+    SELECT vec_id, round(nrm, 6) AS l2_norm, round(sc, 6) AS q_scale,
+           array_to_string(
+             list_transform(y, x -> CAST(CAST(floor(x * 127.0 / sc + 0.5) AS BIGINT) AS VARCHAR)),
+             ',') AS qstr
+    FROM s
+    """,
+)
+def ann_quantize_int8(spark, sf_dir):
+    """Embedding int8 quantization (normalize → symmetric scale → floor+0.5)
+    — 4x storage cut for the 100 TB vector column; pure JVM array exprs.
+    The quantized vector is emitted as a joined string so every element is
+    value-hashed without exploding 64 rows per vector."""
+    from .operators.similarity import quantize_int8
+
+    e = table(spark, sf_dir, "embeddings")
+    out = quantize_int8(e, "embedding")
+    return out.select(
+        "vec_id",
+        r6(F.col("l2_norm")).alias("l2_norm"),
+        r6(F.col("q_scale")).alias("q_scale"),
+        F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",").alias("qstr"),
+    )
+
+
+@q(
+    "q_salted_join",
+    """
+    WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, d.type_avg,
+           round(e.value - d.type_avg, 6) AS dev
+    FROM events e JOIN d USING (event_type)
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-safe replicate-fragment join: events have only a handful of
+    event_type values (maximal key skew), so the per-type dim is replicated
+    across 8 deterministic salts and the join key becomes (type, salt) —
+    each hot key spreads over 8 reducers. Result identical to the plain
+    equi-join (the oracle). For a dim this small you'd broadcast; the query
+    pins the pattern for when the build side is too big to broadcast."""
+    from .operators.skew import salted_join
+
+    ev = events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(r6(F.avg("value")).alias("type_avg"))
+    out = salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        ["event_type"],
+        n_salts=8,
+        salt_from="event_id",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "type_avg",
+        r6(F.col("value") - F.col("type_avg")).alias("dev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -2464,6 +2637,8 @@ _DRIVER_FIRST = [
     # new in round 2 — no driver row yet
     "dd_dup_clusters", "q_stratified_sample", "txt_tfidf", "st_first_seen",
     "txt_repetition", "q_interval_join", "dd_contamination",
+    "txt_pii_redact", "txt_entropy", "q_percentile_filter",
+    "ann_quantize_int8", "q_salted_join",
 ]
 
 

@@ -44,3 +44,26 @@ def salted_sum_count(
     return partial.groupBy(*keys).agg(
         F.sum("__s").alias(sum_name), F.sum("__c").alias(count_name)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    salt_from: str | Column = "",
+) -> DataFrame:
+    """Skew-safe replicate-fragment equi-join: the big (probe) side gets a
+    deterministic salt from a well-spread column; the dim (build) side is
+    replicated once per salt value; the join key becomes (key..., salt) so
+    a hot key's rows spread across ``n_salts`` reducers instead of stalling
+    one. Use when the dim side is too large to broadcast AND the key
+    distribution is hot (few distinct values / power-law keys) — the
+    replication cost is |dim| x n_salts, so keep n_salts modest. Result is
+    identical to ``big.join(dim, on)`` (the oracle checks exactly that)."""
+    s = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    big2 = big.withColumn("__salt", F.pmod(F.hash(s), F.lit(n_salts)))
+    dim2 = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big2.join(dim2, [*on, "__salt"]).drop("__salt")

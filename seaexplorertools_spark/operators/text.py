@@ -233,3 +233,66 @@ def fingerprint(text: Column) -> Column:
     norm = F.regexp_replace(F.lower(text), r"[.,;:!?]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+# PII patterns shared verbatim with the DuckDB oracle. Kept to the regex
+# subset Java's engine and RE2 interpret identically (char classes, bounded
+# repetition, \d, \b) — no lookarounds or backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4 addresses /
+    international-format phone numbers with typed placeholder tags and count
+    each. Pure ``regexp_replace`` / ``regexp_extract_all`` Column
+    expressions — scan-speed, whole-stage codegen, no UDF. Redaction order
+    (email → ip → phone) is fixed so overlapping matches resolve
+    deterministically."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)),
+            "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)),
+            out_col: red,
+        }
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the whitespace-token
+    distribution — a lexical-diversity quality signal (low entropy ⇒
+    repetitive/boilerplate text; complements the Gopher-style top-fraction
+    signals in :func:`repetition_features`). Uses the identity
+    H = ln N − (Σ n·ln n)/N so the whole thing is one explode and two
+    ordinary aggregations (both with map-side partial combine) — no window,
+    no join; shuffle volume is distinct (doc, token), same as any per-doc
+    term stat."""
+    term = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+    per_term = term.groupBy(id_col, "t").agg(F.count("*").alias("n"))
+    n = F.col("n").cast("double")
+    agg = per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(n * F.log(n)).alias("__nlogn"),
+    )
+    tot = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_types",
+        "n_tokens",
+        F.round(F.log(tot) - F.col("__nlogn") / tot, 6).alias("entropy"),
+    )
