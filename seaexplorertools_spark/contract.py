@@ -2614,6 +2614,54 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+@q(
+    "q_kmeans_assign",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.c_id,
+                 round(list_dot_product(e.v, e.v)
+                       - 2.0 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 6) AS d2
+          FROM e CROSS JOIN c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+          FROM d)
+    SELECT vec_id, c_id AS cluster, d2 FROM r WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step under deterministic init (k = 8 lowest-id
+    vectors): broadcast the centroids, arg-min squared distance via the
+    dot-product identity, centroid-id tiebreak on the rounded distance.
+    The SQL-expressible slice of the iterative k-means in
+    operators/clustering.py (full multi-iteration run: q_kmeans_iterate)."""
+    from .operators.clustering import assign_clusters
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    return assign_clusters(e, c)
+
+
+@q("q_kmeans_iterate")  # iterative (driver-looped) — no single SQL oracle; rows-only
+def q_kmeans_iterate(spark, sf_dir):
+    """Three full Lloyd iterations (assign → per-dim mean update →
+    re-broadcast): cluster sizes and within-cluster SSE after convergence
+    progress. Iterative driver-coordinated algorithm ⇒ not expressible as
+    one SQL statement; the driver records a rows-only check and
+    tests/test_clustering.py pins SSE monotonicity + determinism."""
+    from .operators.clustering import kmeans_lloyd
+
+    e = table(spark, sf_dir, "embeddings")
+    assign, _, _ = kmeans_lloyd(e, k=8, n_iter=3)
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n"), r6(F.sum("d2")).alias("sse")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -2638,7 +2686,7 @@ _DRIVER_FIRST = [
     "dd_dup_clusters", "q_stratified_sample", "txt_tfidf", "st_first_seen",
     "txt_repetition", "q_interval_join", "dd_contamination",
     "txt_pii_redact", "txt_entropy", "q_percentile_filter",
-    "ann_quantize_int8", "q_salted_join",
+    "ann_quantize_int8", "q_salted_join", "q_kmeans_assign", "q_kmeans_iterate",
 ]
 
 

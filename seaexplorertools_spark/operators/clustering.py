@@ -1,0 +1,94 @@
+"""Iterative k-means (Lloyd) over the embedding column — the engine's
+iterative-algorithm surface, and the quality upgrade path for IVF ANN
+centroids (`operators/similarity.py` uses hash-sampled centroids by
+default; `kmeans_lloyd` output plugs into the same bucketed search).
+
+Spark shape (the standard distributed Lloyd iteration):
+
+- assignment: broadcast the k centroids (k x dim rows — tiny) and take the
+  arg-min squared distance per vector with a window; distance uses the
+  dot-product identity ||v-c||^2 = v.v - 2 v.c + c.c so the JVM array
+  aggregate from `similarity.dot` is reused and v.v can be computed once.
+- update: posexplode the assigned vectors, average per (cluster, dim) —
+  one shuffle of |N| x dim rows with map-side partial combine — and
+  collect k x dim means back to the driver for the next broadcast.
+
+The only driver-side data is the centroid set (k x dim) and the SSE
+scalar per iteration — the collect boundary every distributed k-means has.
+Determinism: init is the k lowest-id vectors, distances are rounded to
+6 dp before the arg-min (engine-portable), ties break on centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import dot
+
+
+def assign_clusters(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    c_id_col: str = "c_id",
+    c_vec_col: str = "cv",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast cross join (|N| x k rows,
+    never materialized wider than the window) + per-vector arg-min on the
+    ROUNDED squared distance with centroid-id tiebreak. Returns
+    (id, cluster, d2)."""
+    v = F.col(vec_col)
+    cv = F.col(c_vec_col)
+    d2 = dot(v, v) - F.lit(2.0) * dot(v, cv) + dot(cv, cv)
+    joined = vecs.crossJoin(F.broadcast(centroids)).withColumn("__d2", F.round(d2, 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col(c_id_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col(c_id_col).alias("cluster"), F.col("__d2").alias("d2"))
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means: ``n_iter`` rounds of broadcast-assign +
+    per-dimension mean update. Returns (assignments DataFrame, centroids
+    list[list[float]], sse_history list[float]). SSE is non-increasing
+    across iterations (pinned in tests/test_clustering.py)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    spark = embeddings.sparkSession
+    init = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    cent_rows = [(i, r["cv"]) for i, r in enumerate(init.collect())]
+    sse_history: list[float] = []
+    assign = None
+    for _ in range(n_iter):
+        centroids = spark.createDataFrame(cent_rows, "c_id long, cv array<double>")
+        assign = assign_clusters(e, centroids)
+        with_v = assign.join(e, "vec_id")
+        sse_history.append(with_v.agg(F.sum("d2")).collect()[0][0])
+        dims = with_v.select("cluster", F.posexplode("v").alias("i", "x"))
+        means = (
+            dims.groupBy("cluster", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select("cluster", F.col("im.m").alias("cv"))
+        )
+        new_cent = {r["cluster"]: r["cv"] for r in means.collect()}
+        # empty clusters keep their previous centroid (standard Lloyd detail)
+        cent_rows = [(cid, new_cent.get(cid, cv)) for cid, cv in cent_rows]
+    return assign, [cv for _, cv in cent_rows], sse_history
