@@ -2327,6 +2327,55 @@ def dd_dup_clusters(spark, sf_dir):
 
 
 @q(
+    "dd_canonical_pick",
+    f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dd_dedup_pipeline"]}),
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs WHERE is_duplicate
+      UNION
+      SELECT doc2 AS a, doc1 AS b FROM pairs WHERE is_duplicate
+    ),
+    reach(node, x) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.x
+    ),
+    cl AS (SELECT node AS doc_id, min(x) AS cluster_id FROM reach GROUP BY node),
+    j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+          FROM cl JOIN documents d USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM j)
+    SELECT cluster_id, doc_id AS canonical_id, n_chars FROM r WHERE rn = 1
+    """,
+)
+def dd_canonical_pick(spark, sf_dir):
+    """Content-aware canonical selection per duplicate cluster: keep the
+    LONGEST member (ties → lowest doc id) rather than the min-id member —
+    the policy real corpus dedup uses (longest version of a boilerplate
+    family retains the most content). Cluster membership is tiny relative
+    to the corpus, so the docs join is the only wide touch."""
+    from .operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
+    from .operators.graph import dup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
+    jac = jaccard_on_pairs(docs, cand, use_shingles=True)
+    cl = dup_clusters(jac.filter(F.col("jaccard") >= 0.8))
+    j = cl.select("doc_id", "cluster_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_chars")
+    )
+
+
+@q(
     "q_stratified_sample",
     """
     SELECT doc_id, lang FROM (
@@ -2687,6 +2736,7 @@ _DRIVER_FIRST = [
     "txt_repetition", "q_interval_join", "dd_contamination",
     "txt_pii_redact", "txt_entropy", "q_percentile_filter",
     "ann_quantize_int8", "q_salted_join", "q_kmeans_assign", "q_kmeans_iterate",
+    "dd_canonical_pick",
 ]
 
 

@@ -101,3 +101,41 @@ def test_first_seen_single_shuffle(spark, sf_dir):
     df = contract.QUERIES["st_first_seen"](spark, sf_dir)
     assert count_exchanges(df) == 1, explain_str(df, "simple")
     assert "partial_min_by" in explain_str(df), explain_str(df)
+
+
+def test_pii_redact_no_shuffle(spark, sf_dir):
+    """PII redaction is pure projection over the scan — zero exchanges."""
+    df = contract.QUERIES["txt_pii_redact"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_percentile_filter_broadcasts_per_lang_stats(spark, sf_dir):
+    """The per-language p90 aggregate (|langs| rows) must come back as a
+    broadcast, not a shuffled join."""
+    df = contract.QUERIES["q_percentile_filter"](spark, sf_dir)
+    assert uses_broadcast_join(df), explain_str(df, "simple")
+
+
+def test_contamination_broadcasts_holdout(spark, sf_dir):
+    """Decontamination joins the big train shingle stream against the small
+    holdout set — the holdout side must broadcast."""
+    df = contract.QUERIES["dd_contamination"](spark, sf_dir)
+    assert uses_broadcast_join(df), explain_str(df, "simple")
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    df = contract.QUERIES["q_kmeans_assign"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+
+
+def test_quantize_int8_no_shuffle(spark, sf_dir):
+    """int8 quantization is per-row array math — zero exchanges."""
+    df = contract.QUERIES["ann_quantize_int8"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_entropy_partial_aggregates(spark, sf_dir):
+    """Both token-entropy aggregations must partial-combine map-side."""
+    txt = explain_str(contract.QUERIES["txt_entropy"](spark, sf_dir))
+    assert "partial_count" in txt or "partial_sum" in txt, txt
