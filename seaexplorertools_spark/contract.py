@@ -2376,6 +2376,61 @@ def dd_canonical_pick(spark, sf_dir):
 
 
 @q(
+    "pipe_corpus_prep",
+    f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dd_dedup_pipeline"]}),
+    sym AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs WHERE is_duplicate
+      UNION
+      SELECT doc2 AS a, doc1 AS b FROM pairs WHERE is_duplicate
+    ),
+    reach(node, x) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.x
+    ),
+    nd_losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(x)),
+    ex AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+                                             ORDER BY doc_id) AS rn
+           FROM documents),
+    ex_losers AS (SELECT doc_id FROM ex WHERE rn > 1),
+    sh AS (SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})),
+    hold AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    contam AS (SELECT t.doc_id FROM sh t JOIN hold h ON t.tok = h.tok
+               WHERE t.doc_id % 50 <> 0
+               GROUP BY t.doc_id HAVING count(DISTINCT t.tok) >= 3),
+    lid AS (SELECT doc_id, lang_guess FROM ({ORACLES["txt_langid"]})),
+    qual AS (SELECT doc_id, n_tokens, ttr FROM ({ORACLES["txt_quality"]}))
+    SELECT d.doc_id, l.lang_guess, q.n_tokens, q.ttr
+    FROM documents d
+    JOIN lid l ON l.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+    WHERE l.lang_guess <> 'und' AND q.n_tokens >= 25 AND q.ttr >= 0.35
+      AND d.doc_id % 50 <> 0
+      AND NOT EXISTS (SELECT 1 FROM ex_losers x WHERE x.doc_id = d.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM nd_losers n WHERE n.doc_id = d.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+    """,
+)
+def pipe_corpus_prep(spark, sf_dir):
+    """FLAGSHIP COMPOSITION — the full training-corpus preparation pipeline
+    (language-ID → quality gate → eval-slice exclusion → exact dedup →
+    LSH near-dup removal → decontamination) as ONE lazy DAG, checked
+    end-to-end against a single SQL statement chaining the same stages'
+    oracles. See pipeline/corpus.py for the scale rationale (independent
+    drop-sets + broadcast anti-joins, not sequential re-filters)."""
+    from .pipeline.corpus import corpus_prep
+
+    out = corpus_prep(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "lang_guess",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ttr",
+    )
+
+
+@q(
     "q_stratified_sample",
     """
     SELECT doc_id, lang FROM (
@@ -2736,7 +2791,7 @@ _DRIVER_FIRST = [
     "txt_repetition", "q_interval_join", "dd_contamination",
     "txt_pii_redact", "txt_entropy", "q_percentile_filter",
     "ann_quantize_int8", "q_salted_join", "q_kmeans_assign", "q_kmeans_iterate",
-    "dd_canonical_pick",
+    "dd_canonical_pick", "pipe_corpus_prep",
 ]
 
 
