@@ -1,0 +1,62 @@
+"""JSONL source round-trip + corrupt-record quarantine, and small-file
+compaction (file count, data equality, range-sorted output)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.contract import table
+from seaexplorertools_spark.sources.compact import compact_parquet
+from seaexplorertools_spark.sources.jsonl import (
+    good_corrupt_split,
+    read_documents_jsonl,
+    write_jsonl,
+)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, n_files=2)
+    back = read_documents_jsonl(spark, path)
+    good, bad = good_corrupt_split(back)
+    assert bad.count() == 0
+    assert good.count() == docs.count()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert good.select(cols).exceptAll(docs.select(cols)).count() == 0
+
+
+def test_jsonl_corrupt_quarantine(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+        '{"doc_id": 3, "text": "trunc...\n'
+    )
+    good, bad = good_corrupt_split(read_documents_jsonl(spark, str(p)))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2  # garbage line + truncated JSON both quarantined
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(24).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) >= 20
+
+    dst = str(tmp_path / "compacted")
+    compact_parquet(spark, src, dst, sort_cols=["lang", "n_chars"], target_files=2)
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) <= 3  # range partitioner may emit an empty-boundary file
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    # range partitioning: per-file lang min/max shouldn't all overlap — check
+    # the sort key is non-decreasing within each file (stats-pruning property)
+    one = spark.read.parquet(files[0]).select("lang", "n_chars").collect()
+    keys = [(r["lang"], r["n_chars"]) for r in one]
+    assert keys == sorted(keys)
