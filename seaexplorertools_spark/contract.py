@@ -2766,6 +2766,265 @@ def q_kmeans_iterate(spark, sf_dir):
     )
 
 
+# DuckDB twin of the bigram-LM CTE stack (operators/lm.py): tokens →
+# unigram/bigram counts → add-one-smoothed -ln p(w2|w1) per adjacent pair.
+_LM_SQL = f"""
+    tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    occ AS (SELECT doc_id, unnest(toks) AS w1 FROM tk),
+    uni AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM tk),
+    bgr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2),
+    lmscore AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             round(avg(-ln((bc.c12 + 1.0) / (uni.c1 + v.vs))), 6) AS xent
+      FROM bgr b JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+"""
+
+
+@q(
+    "lm_bigram_xent",
+    f"WITH {_LM_SQL} SELECT doc_id, n_bigrams, xent FROM lmscore",
+)
+def lm_bigram_xent(spark, sf_dir):
+    """CCNet-style corpus-quality scoring: train a bigram LM on the corpus
+    (two map-side-combined count aggregates), score every document by
+    cross-entropy under it (broadcast joins of the vocab-sized model
+    tables). Shuffles |vocab| + |bigram vocab| + |docs| rows — never a
+    second corpus-sized shuffle. Engine addition (reference has no text
+    ops); operators/lm.py."""
+    from .operators.lm import score_cross_entropy, train_bigram_lm
+
+    docs = table(spark, sf_dir, "documents")
+    uni, big, vocab = train_bigram_lm(docs)
+    scored = score_cross_entropy(docs, uni, big, vocab)
+    return scored.select("doc_id", "n_bigrams", r6(F.col("xent")).alias("xent"))
+
+
+@q(
+    "lm_ppl_filter",
+    f"""
+    WITH {_LM_SQL}
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN lmscore s USING (doc_id) WHERE s.xent <= 3.404
+    """,
+)
+def lm_ppl_filter(spark, sf_dir):
+    """Perplexity gate: keep documents whose bigram cross-entropy is at or
+    below a fixed threshold (≈ corpus median here; in production the
+    threshold comes from a quantile of a held-out sample). The comparison
+    uses the 6-dp-rounded score on both sides so the kept set is
+    engine-exact even for documents near the cut."""
+    from .operators.lm import score_cross_entropy, train_bigram_lm
+
+    docs = table(spark, sf_dir, "documents")
+    uni, big, vocab = train_bigram_lm(docs)
+    scored = score_cross_entropy(docs, uni, big, vocab)
+    keep = scored.filter(r6(F.col("xent")) <= 3.404).select("doc_id")
+    return docs.join(keep, "doc_id", "inner").select("doc_id", "source")
+
+
+# Domain-mixture resampling: target corpus composition by source.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 60  # target output size in documents
+
+
+@q(
+    "q_mixture_resample",
+    f"""
+    WITH w(source, wt) AS (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+    n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN w USING (source) JOIN n USING (source)
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0
+          < least(1.0, CAST({_MIX_BUDGET} AS DOUBLE) * w.wt / n.n_s)
+    """,
+)
+def q_mixture_resample(spark, sf_dir):
+    """Resample the corpus to a target domain mixture: given per-source
+    target weights and an output budget, keep each source with fraction
+    min(1, budget·w_s / n_s) via the deterministic hash draw — the
+    pipeline that sets train-set composition (webtext 40 % / books 30 % /
+    …). Per-source counts are a dim-sized aggregate collected to the
+    driver (|sources| rows — the J4/J5 small-side pattern); the keep
+    decision itself is a pure map-side filter, no shuffle of the corpus."""
+    from .operators.sampling import hash_uniform
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isin(*_MIX_WEIGHTS))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    frac = {
+        s: min(1.0, _MIX_BUDGET * w / counts[s])
+        for s, w in _MIX_WEIGHTS.items()
+        if s in counts
+    }
+    cond = F.lit(False)
+    u = hash_uniform(F.col("doc_id"), salt="mix")
+    for s, f_s in sorted(frac.items()):
+        cond = cond | ((F.col("source") == s) & (u < F.lit(f_s)))
+    return docs.filter(cond).select("doc_id", "source")
+
+
+@q(
+    "q_inverted_index",
+    f"""
+    WITH tk AS (SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+    SELECT tok, count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tk GROUP BY tok
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build: token → document frequency + sorted posting
+    list. The exploded (token, doc_id) pair set IS the distributed index —
+    one shuffle keyed by token; the stringified posting list is an
+    export-side materialization. At 100 TB, stop-word tokens make hot
+    keys: cap df (drop tokens above a df ceiling — they don't
+    discriminate anyway) or shard postings as (tok, bucket) — the same
+    salting pattern as operators/skew.py. Search twin: q_boolean_search."""
+    from .operators.dedup import doc_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        doc_tokens(docs)
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+    )
+
+
+_SEARCH_TERMS = ["spark", "join", "fast"]
+
+
+@q(
+    "q_boolean_search",
+    f"""
+    WITH tk AS (SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN (
+      SELECT doc_id FROM tk WHERE tok IN ('spark', 'join', 'fast')
+      GROUP BY doc_id HAVING count(*) = 3
+    ) hits USING (doc_id)
+    """,
+)
+def q_boolean_search(spark, sf_dir):
+    """Conjunctive (AND) term search over the inverted-index pair set:
+    filter the (doc, distinct token) rows to the query terms, count per
+    doc, require all terms. The filter on ``tok`` prunes the exploded set
+    to |terms|·|matching docs| rows before the shuffle — the index query
+    pattern where selectivity comes first."""
+    from .operators.dedup import doc_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    hits = (
+        doc_tokens(docs)
+        .filter(F.col("tok").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(_SEARCH_TERMS))
+        .select("doc_id")
+    )
+    return docs.join(hits, "doc_id", "inner").select("doc_id", "lang", "source")
+
+
+@q(
+    "txt_hash_classifier",
+    f"""
+    WITH occ AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+    SELECT doc_id,
+           round(avg(('0x' || substr(md5('w' || tok), 1, 8))::BIGINT
+                     / 4294967296.0 - 0.5), 6) AS score,
+           CAST(avg(('0x' || substr(md5('w' || tok), 1, 8))::BIGINT
+                    / 4294967296.0 - 0.5) > 0 AS INTEGER) AS keep
+    FROM occ GROUP BY doc_id
+    """,
+)
+def txt_hash_classifier(spark, sf_dir):
+    """Serving shape of a fasttext-style hashed linear quality classifier:
+    score = mean over token occurrences of the weight at the token's hash
+    bucket. Weights here are a pure hash function (uniform [-0.5, 0.5)) so
+    the oracle can recompute them; swap ``weight_of`` for a lookup into a
+    broadcast trained-weights array and the plan is unchanged — one
+    explode + one map-side-combined average per doc, no Python. This is
+    how model-based quality filtering (e.g. a CCNet/fasttext gate)
+    actually runs at corpus scale: inference as a columnar expression."""
+    from .operators.sampling import hash_uniform
+
+    docs = table(spark, sf_dir, "documents")
+    from .operators.dedup import tokens as _tokens
+
+    occ = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    weight = hash_uniform(F.col("tok"), salt="w") - F.lit(0.5)
+    return occ.groupBy("doc_id").agg(
+        r6(F.avg(weight)).alias("score"),
+        (F.avg(weight) > 0).cast("int").alias("keep"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@q(
+    "q_profile_table",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               round(min({c}), 6) AS min_v, round(max({c}), 6) AS max_v,
+               round(avg({c}), 6) AS mean_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_table(spark, sf_dir):
+    """One-pass table profiling (the ANALYZE every 100 TB ingest runs):
+    per-column row/null/distinct counts + min/max/mean, computed in a
+    SINGLE aggregate over the scan and unpivoted driver-free with
+    ``stack``. Exact ndv here for oracle parity; at scale swap in
+    approx_count_distinct (HLL — one pass, no per-column expand; accuracy
+    characterized in tests/test_approx.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            r6(F.min(c)).alias(f"{c}__mn"),
+            r6(F.max(c)).alias(f"{c}__mx"),
+            r6(F.avg(c)).alias(f"{c}__av"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__av"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -2792,6 +3051,9 @@ _DRIVER_FIRST = [
     "txt_pii_redact", "txt_entropy", "q_percentile_filter",
     "ann_quantize_int8", "q_salted_join", "q_kmeans_assign", "q_kmeans_iterate",
     "dd_canonical_pick", "pipe_corpus_prep",
+    "lm_bigram_xent", "lm_ppl_filter", "q_mixture_resample",
+    "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
+    "q_profile_table",
 ]
 
 
