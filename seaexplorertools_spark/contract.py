@@ -2766,6 +2766,103 @@ def q_kmeans_iterate(spark, sf_dir):
     )
 
 
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank round (operators/graph.py::pagerank twin)."""
+    return f"""
+    {cur} AS (
+      SELECT nodes.node,
+             CAST(0.15 AS DOUBLE) / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT ed.t AS node, sum({prev}.rank / outd.deg) AS contrib
+                 FROM ed JOIN {prev} ON ed.s = {prev}.node
+                 JOIN outd ON ed.s = outd.s
+                 GROUP BY ed.t) c ON nodes.node = c.node
+    )"""
+
+
+@q(
+    "q_pagerank",
+    f"""
+    WITH ed AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 10000000 AS t
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT s AS node FROM ed UNION SELECT t FROM ed),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outd AS (SELECT s, count(*) AS deg FROM ed GROUP BY s),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql("r0", "r1")}, {_pr_iter_sql("r1", "r2")}, {_pr_iter_sql("r2", "r3")}
+    SELECT node, round(rank * nn.n, 6) AS rank_n FROM r3 CROSS JOIN nn
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """PageRank (3 damped iterations) over the customer→supplier purchase
+    graph — link-graph centrality as a corpus-quality prior (CommonCrawl
+    curation ranks hosts exactly this way). Each round is one edge-keyed
+    join + one destination-keyed sum; lineage truncated per round; N is a
+    driver scalar. Supplier ids offset by 10M so the two key spaces don't
+    collide. Output scaled to mean 1 (rank·N) before rounding so the 6-dp
+    compare operates at O(1) magnitude. Fixed iteration count ⇒ the loop
+    unrolls into the SQL oracle (full iterative twin: q_kmeans_iterate
+    pattern)."""
+    from .operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=3, damping=0.85)
+    n = ranks.count()
+    return ranks.select(
+        "node", r6(F.col("rank") * F.lit(float(n))).alias("rank_n")
+    )
+
+
+@q(
+    "dd_semdedup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.c_id,
+                 round(list_dot_product(e.v, e.v)
+                       - 2.0 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 6) AS d2
+          FROM e CROSS JOIN c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+          FROM d),
+    asg AS (SELECT vec_id, c_id AS cluster FROM r WHERE rn = 1),
+    va AS (SELECT e.vec_id, e.v, asg.cluster FROM e JOIN asg USING (vec_id))
+    SELECT id1, id2, cluster, sim FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) AS sim
+      FROM va a JOIN va b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.3
+    """,
+)
+def dd_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: nearest-centroid clustering bounds the
+    pairwise cosine join to within-cluster candidates (15.6k pairs vs 125k
+    all-pairs on this fixture; Σ|cluster|² vs N² at scale). Deterministic
+    k=8 lowest-id centroids so the oracle reproduces the assignment; in
+    production the centroids come from kmeans_lloyd and the dup pairs feed
+    the connected-components canonical pick (dd_canonical_pick)."""
+    from .operators.similarity import semdedup_pairs
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    return semdedup_pairs(e, c, threshold=0.3)
+
+
 # DuckDB twin of the bigram-LM CTE stack (operators/lm.py): tokens →
 # unigram/bigram counts → add-one-smoothed -ln p(w2|w1) per adjacent pair.
 _LM_SQL = f"""
@@ -3053,7 +3150,7 @@ _DRIVER_FIRST = [
     "dd_canonical_pick", "pipe_corpus_prep",
     "lm_bigram_xent", "lm_ppl_filter", "q_mixture_resample",
     "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
-    "q_profile_table",
+    "q_profile_table", "dd_semdedup", "q_pagerank",
 ]
 
 

@@ -100,3 +100,59 @@ def dup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Simplified PageRank (dangling mass dropped) over a directed edge
+    list, each iteration pure dataflow: rank/outdeg scatter along edges →
+    per-destination sum → damped update r' = (1-d)/N + d·Σ contrib. The
+    corpus-curation use is link-graph centrality as a document-quality
+    prior (crawl frontiers and CommonCrawl-style filtering both rank by
+    it).
+
+    Scale shape: the edge list is the big table; each round shuffles it
+    once keyed by ``src`` (join with the node-sized rank table —
+    broadcastable while ranks fit, else shuffled hash join co-located by
+    pre-partitioning edges on src) and once by ``dst`` for the sum.
+    ``localCheckpoint`` truncates lineage so the plan doesn't grow with
+    iterations. N is one driver-side scalar (J5 pattern).
+
+    Returns (node, rank) for every node appearing as src or dst; rounds
+    are deterministic, so a fixed ``n_iter`` unrolls to the SQL oracle."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    e = e.localCheckpoint(eager=True)  # computed once, reused every round
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    base = F.lit((1.0 - damping) / n)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(outdeg, "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -376,3 +376,41 @@ def quantize_int8(
         .withColumn(out_col, q)
         .drop("__nrm", "__y", "__sc")
     )
+
+
+def semdedup_pairs(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup: the
+    pairwise cosine comparison runs only WITHIN a cluster — assignment to
+    the nearest of k centroids bounds the candidate set to Σ|cluster|²
+    instead of the all-pairs N², the same recall-precision split as the
+    MinHash-LSH → exact-Jaccard pipeline (dedup.py) but in embedding
+    space. Returns (id1, id2, cluster, sim) for rounded cosine ≥
+    ``threshold``; drop the higher id of each pair (or feed the pairs to
+    the connected-components canonical pick) to dedup.
+
+    100 TB posture: centroids broadcast for assignment (k rows); the
+    self-join shuffles each vector once, keyed by cluster. A runaway
+    cluster is the skew risk — cap cluster radius by raising k (SemDeDup
+    uses k ~ sqrt(N)) or re-cluster oversized cells recursively."""
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(vecs, centroids, id_col=id_col, vec_col=vec_col)
+    va = vecs.join(assigned.select(id_col, "cluster"), id_col)
+    a = va.select(
+        F.col(id_col).alias("id1"), F.col("cluster").alias("c1"), F.col(vec_col).alias("va")
+    )
+    b = va.select(
+        F.col(id_col).alias("id2"), F.col("cluster").alias("c2"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id1", "id2", F.col("c1").alias("cluster"), sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
