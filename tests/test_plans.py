@@ -139,3 +139,43 @@ def test_entropy_partial_aggregates(spark, sf_dir):
     """Both token-entropy aggregations must partial-combine map-side."""
     txt = explain_str(contract.QUERIES["txt_entropy"](spark, sf_dir))
     assert "partial_count" in txt or "partial_sum" in txt, txt
+
+
+def test_lm_scoring_broadcasts_model_tables(spark, sf_dir):
+    """The bigram-LM count tables are vocab-sized — both scoring joins
+    must broadcast; the corpus is never shuffled for the join."""
+    df = contract.QUERIES["lm_bigram_xent"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert txt.count("BroadcastHashJoin") >= 2, txt
+
+
+def test_mixture_resample_is_mapside_filter(spark, sf_dir):
+    """After the dim-sized count collect, the keep decision is a pure
+    map-side filter — zero exchanges in the returned plan."""
+    df = contract.QUERIES["q_mixture_resample"](spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_profile_is_single_aggregate_pass(spark, sf_dir):
+    """N-column profiling must stay one aggregate over one scan: a single
+    exchange (partial -> final), not one pass per column. The multi-
+    distinct rewrite uses Expand, not extra scans."""
+    df = contract.QUERIES["q_profile_table"](spark, sf_dir)
+    assert len(scan_info(df)) == 1, explain_str(df)
+
+
+def test_hash_classifier_partial_aggregates(spark, sf_dir):
+    """Classifier inference = explode + ONE map-side-combined avg."""
+    df = contract.QUERIES["txt_hash_classifier"](spark, sf_dir)
+    txt = explain_str(df)
+    assert "partial_avg" in txt or "partial_sum" in txt, txt
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_semdedup_broadcasts_centroids_and_assignment(spark, sf_dir):
+    """Centroid assignment broadcasts k rows; the pair join shuffles each
+    vector once keyed by cluster (no crossJoin over the full table)."""
+    df = contract.QUERIES["dd_semdedup"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+    assert "CartesianProduct" not in txt, txt
