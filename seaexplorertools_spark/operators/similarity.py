@@ -401,15 +401,28 @@ def semdedup_pairs(
     from .clustering import assign_clusters
 
     assigned = assign_clusters(vecs, centroids, id_col=id_col, vec_col=vec_col)
-    va = vecs.join(assigned.select(id_col, "cluster"), id_col)
+    # norms once per VECTOR, not per pair (the candidate set is quadratic
+    # in cluster size — recomputing |v| inside the join triples the
+    # per-pair array traversals); cache: both self-join sides reuse it
+    va = (
+        vecs.join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .cache()
+    )
     a = va.select(
-        F.col(id_col).alias("id1"), F.col("cluster").alias("c1"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id1"), F.col("cluster").alias("c1"),
+        F.col(vec_col).alias("va"), F.col("__n").alias("na"),
     )
     b = va.select(
-        F.col(id_col).alias("id2"), F.col("cluster").alias("c2"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id2"), F.col("cluster").alias("c2"),
+        F.col(vec_col).alias("vb"), F.col("__n").alias("nb"),
     )
     pairs = a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        6,
+    )
     return (
         pairs.select("id1", "id2", F.col("c1").alias("cluster"), sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(float(threshold)))
