@@ -2766,6 +2766,110 @@ def q_kmeans_iterate(spark, sf_dir):
     )
 
 
+@q(
+    "q_pack_sequences",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, len({_TOK_SQL}) AS n_tok,
+             ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    cs AS (SELECT h % 8 AS shard, doc_id, n_tok,
+                  sum(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+           FROM tk)
+    SELECT shard, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM cs GROUP BY shard, bin
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: concatenate documents into a
+    token stream and cut fixed-capacity (2048-token) context windows — a
+    document belongs to the bin where it starts, exactly the
+    concatenate-then-chunk layout GPT-style training uses. Deterministic
+    hash order decorrelates document length from position; the stream is
+    SHARDED by the same hash (8 here, thousands at scale) so the running
+    cumsum — the one inherently sequential step — parallelizes per shard
+    instead of serializing the corpus through a single global window.
+    Output: per (shard, bin) document and token counts (the packing
+    manifest a loader consumes). Exact BIGINT arithmetic end to end."""
+    docs = table(spark, sf_dir, "documents")
+    from .operators.dedup import tokens as _tokens
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    tk = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        h.alias("h"),
+    ).withColumn("shard", F.col("h") % 8)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = tk.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        cs.withColumn("bin", F.floor(F.col("start_off") / F.lit(2048.0)))
+        .groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@q(
+    "txt_chunk",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, nt,
+                 unnest(generate_series(0, CAST(ceil(nt / 24.0) AS BIGINT) - 1)) AS k
+          FROM n)
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(toks[k*24 + 1 : least(k*24 + 32, nt)], ' ') AS chunk_text,
+           least(k*24 + 32, nt) - k*24 AS chunk_len
+    FROM c WHERE k*24 < nt
+    """,
+)
+def txt_chunk(spark, sf_dir):
+    """Overlapping context-window chunking (size 32, stride 24 — 25 %
+    overlap), the shape embedding pipelines feed encoders with: one
+    JVM-side ``sequence`` + ``explode`` + ``slice`` per document, no
+    Python. Row growth is ~n_tokens/stride per doc — linear in corpus
+    tokens, embarrassingly parallel, no shuffle at all (the chunk rows
+    inherit the scan's partitioning)."""
+    docs = table(spark, sf_dir, "documents")
+    from .operators.dedup import tokens as _tokens
+
+    n = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .withColumn("nt", F.size("toks").cast("long"))
+        .filter(F.col("nt") > 0)
+    )
+    c = n.withColumn(
+        "k",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("nt") / F.lit(24.0)).cast("long") - 1,
+            )
+        ),
+    ).filter(F.col("k") * 24 < F.col("nt"))
+    chunk_len = F.least(F.col("k") * 24 + 32, F.col("nt")) - F.col("k") * 24
+    return c.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("k") * 24 + 1).cast("int"), chunk_len.cast("int")),
+            " ",
+        ).alias("chunk_text"),
+        chunk_len.alias("chunk_len"),
+    )
+
+
 def _pr_iter_sql(prev: str, cur: str) -> str:
     """One unrolled PageRank round (operators/graph.py::pagerank twin)."""
     return f"""
@@ -3151,6 +3255,7 @@ _DRIVER_FIRST = [
     "lm_bigram_xent", "lm_ppl_filter", "q_mixture_resample",
     "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
     "q_profile_table", "dd_semdedup", "q_pagerank",
+    "q_pack_sequences", "txt_chunk",
 ]
 
 
