@@ -2794,29 +2794,10 @@ def q_pack_sequences(spark, sf_dir):
     instead of serializing the corpus through a single global window.
     Output: per (shard, bin) document and token counts (the packing
     manifest a loader consumes). Exact BIGINT arithmetic end to end."""
-    docs = table(spark, sf_dir, "documents")
-    from .operators.dedup import tokens as _tokens
+    from .operators.packing import pack_manifest
 
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    tk = docs.select(
-        "doc_id",
-        F.size(_tokens(F.col("text"))).cast("long").alias("n_tok"),
-        h.alias("h"),
-    ).withColumn("shard", F.col("h") % 8)
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cs = tk.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
-    return (
-        cs.withColumn("bin", F.floor(F.col("start_off") / F.lit(2048.0)))
-        .groupBy("shard", "bin")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    return pack_manifest(
+        table(spark, sf_dir, "documents"), capacity=2048, n_shards=8
     )
 
 
@@ -2868,6 +2849,53 @@ def txt_chunk(spark, sf_dir):
         ).alias("chunk_text"),
         chunk_len.alias("chunk_len"),
     )
+
+
+@q(
+    "pipe_pretrain_prep",
+    # composed lazily below — it chains pipe_corpus_prep's oracle, which is
+    # registered later in this module; see _finalize_pretrain_oracle()
+    None,
+)
+def pipe_pretrain_prep(spark, sf_dir):
+    """FLAGSHIP COMPOSITION #2 — pretraining prep on top of corpus_prep:
+    cleaned survivors → bigram-LM perplexity gate (LM trained ON the
+    survivors, the CCNet pattern) → domain-mixture reweighting (map-side
+    hash fractions) → hash-sharded sequence-packing manifest. One DAG;
+    checked against one chained DuckDB statement built from the stages'
+    oracles (pipeline/pretrain.py)."""
+    from .pipeline.pretrain import pretrain_prep
+
+    return pretrain_prep(table(spark, sf_dir, "documents"))
+
+
+def _finalize_pretrain_oracle() -> None:
+    mix_case = (
+        "CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.7 "
+        "WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.3 ELSE 0.25 END"
+    )
+    ORACLES["pipe_pretrain_prep"] = f"""
+    WITH RECURSIVE surv AS ({ORACLES["pipe_corpus_prep"]}),
+    corpus AS (SELECT d.doc_id, d.text, d.source
+               FROM documents d JOIN surv s ON s.doc_id = d.doc_id),
+    {_lm_sql_over("corpus")},
+    kept AS (SELECT c.doc_id, c.text, c.source
+             FROM corpus c JOIN lmscore USING (doc_id)
+             WHERE lmscore.xent <= 3.41),
+    mixed AS (SELECT * FROM kept
+              WHERE ('0x' || substr(md5('pp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0 < {mix_case}),
+    ptk AS (SELECT doc_id, len({_TOK_SQL}) AS n_tok,
+                   ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM mixed),
+    pcs AS (SELECT h % 8 AS shard, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+            FROM ptk)
+    SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM pcs GROUP BY shard, bin
+    """
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
@@ -2969,8 +2997,12 @@ def dd_semdedup(spark, sf_dir):
 
 # DuckDB twin of the bigram-LM CTE stack (operators/lm.py): tokens →
 # unigram/bigram counts → add-one-smoothed -ln p(w2|w1) per adjacent pair.
-_LM_SQL = f"""
-    tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+# Parametrized over the source relation so pipelines can train the LM on a
+# filtered corpus (pipe_pretrain_prep) while the standalone queries use the
+# full documents table.
+def _lm_sql_over(src: str) -> str:
+    return f"""
+    tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM {src}),
     occ AS (SELECT doc_id, unnest(toks) AS w1 FROM tk),
     uni AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
     v AS (SELECT count(*) AS vs FROM uni),
@@ -2985,6 +3017,9 @@ _LM_SQL = f"""
       GROUP BY b.doc_id
     )
 """
+
+
+_LM_SQL = _lm_sql_over("documents")
 
 
 @q(
@@ -3255,7 +3290,7 @@ _DRIVER_FIRST = [
     "lm_bigram_xent", "lm_ppl_filter", "q_mixture_resample",
     "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
     "q_profile_table", "dd_semdedup", "q_pagerank",
-    "q_pack_sequences", "txt_chunk",
+    "q_pack_sequences", "txt_chunk", "pipe_pretrain_prep",
 ]
 
 
@@ -3267,4 +3302,5 @@ def _rotate_for_driver_coverage() -> None:
         d.update(ordered)
 
 
+_finalize_pretrain_oracle()
 _rotate_for_driver_coverage()
