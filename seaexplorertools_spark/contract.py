@@ -2852,6 +2852,46 @@ def txt_chunk(spark, sf_dir):
 
 
 @q(
+    "txt_normalize",
+    r"""
+    WITH messy AS (
+      SELECT doc_id, n_chars,
+             replace(text, 'table', e'TABLE\t\n  ') AS m, text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, n_chars, text,
+             trim(regexp_replace(
+                    regexp_replace(lower(m), '[\x00-\x1f\x7f]', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS norm_text
+      FROM messy
+    )
+    SELECT doc_id,
+           CAST(norm_text = text AS INTEGER) AS roundtrips,
+           length(norm_text) AS n_norm
+    FROM norm
+    """,
+)
+def txt_normalize(spark, sf_dir):
+    """Text normalization (operators/text.py::normalize_text): the corpus
+    fixture is already clean, so the query INJECTS deterministic mess
+    (case flip + tab/newline/double-space around every 'table') and
+    asserts the normalizer restores the original byte-for-byte —
+    non-vacuous by construction, same injection in the oracle. At scale
+    this is a zero-shuffle projection pass."""
+    from .operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    messy = F.replace(F.col("text"), F.lit("table"), F.lit("TABLE\t\n  "))
+    norm = normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        (norm == F.col("text")).cast("int").alias("roundtrips"),
+        F.length(norm).alias("n_norm"),
+    )
+
+
+@q(
     "pipe_pretrain_prep",
     # composed lazily below — it chains pipe_corpus_prep's oracle, which is
     # registered later in this module; see _finalize_pretrain_oracle()
@@ -3290,7 +3330,7 @@ _DRIVER_FIRST = [
     "lm_bigram_xent", "lm_ppl_filter", "q_mixture_resample",
     "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
     "q_profile_table", "dd_semdedup", "q_pagerank",
-    "q_pack_sequences", "txt_chunk", "pipe_pretrain_prep",
+    "q_pack_sequences", "txt_chunk", "pipe_pretrain_prep", "txt_normalize",
 ]
 
 

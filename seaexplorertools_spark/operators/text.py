@@ -296,3 +296,17 @@ def token_entropy(
         "n_tokens",
         F.round(F.log(tot) - F.col("__nlogn") / tot, 6).alias("entropy"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """UTF-8 hygiene pass every web-scraped corpus needs before anything
+    tokenizes it: lowercase → control characters to spaces → whitespace
+    runs squeezed to one space → trim. Pure codegen regex chain (scan
+    speed, no shuffle); the character classes are the ASCII-safe subset
+    that Java regex (Spark) and RE2 (DuckDB oracle) interpret identically.
+    Real corpora add NFC/NFKC unicode normalization here — that needs ICU,
+    which Spark exposes only via UDF; kept out of the hot path by design."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
