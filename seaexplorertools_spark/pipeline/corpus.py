@@ -36,6 +36,7 @@ def corpus_prep(
     contamination_min_shingles: int = 3,
     jaccard_threshold: float = 0.8,
     exact_prefix: int = 40,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return the surviving training documents with their language guess and
     quality features. ``doc_id % holdout_mod == 0`` marks the held-out eval
@@ -79,9 +80,14 @@ def corpus_prep(
         .select("doc_id")
     )
 
+    # keep_cols lets downstream pipelines (pretrain_prep) carry the text/
+    # source columns THROUGH the anti-joins instead of re-joining the
+    # survivor ids back to the corpus — at scale the survivor set is most
+    # of the corpus, so a re-join would be a second corpus-sized shuffle
+    # (the drop-sets, by contrast, stay small and broadcast).
     return (
         base.join(exact_losers, "doc_id", "left_anti")
         .join(nd_losers, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang_guess", "n_tokens", "ttr")
+        .select("doc_id", "lang_guess", "n_tokens", "ttr", *(keep_cols or []))
     )

@@ -40,8 +40,17 @@ def pretrain_prep(
     """Return the (shard, bin, n_docs, n_tokens) packing manifest of the
     fully prepared pretraining corpus. The perplexity cut compares the
     6-dp-ROUNDED cross-entropy so the kept set is engine-exact."""
-    surv = corpus_prep(docs).select("doc_id")
-    corpus = docs.join(surv, "doc_id")
+    # the cleaned corpus is the pipeline's staging boundary: expensive to
+    # derive (LSH + connected components) and consumed by four downstream
+    # actions (LM training ×2, scoring, the kept join). keep_cols carries
+    # text/source THROUGH corpus_prep's anti-joins (no corpus-sized
+    # re-join); cache = the staging materialization a 100 TB run would
+    # write to parquet between jobs.
+    corpus = (
+        corpus_prep(docs, keep_cols=["text", "source"])
+        .select("doc_id", "text", "source")
+        .cache()
+    )
 
     uni, big, vocab = train_bigram_lm(corpus)
     scored = score_cross_entropy(corpus, uni, big, vocab)
