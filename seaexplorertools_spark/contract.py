@@ -3302,6 +3302,419 @@ def q_profile_table(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Warehouse / product-analytics operators (engine additions beyond the
+# reference): CDC log-compaction snapshot, SCD2 history build, conversion
+# funnel, cohort retention, Spark-native session windows, grid-bucketed
+# spatial ε-join, TPC-H Q3, per-language top n-grams. All are the query
+# shapes a lakehouse user runs daily; each has an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_cdc_snapshot",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_op, round(value, 6) AS value,
+           tu AS last_ts_us
+    FROM t WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_snapshot(spark, sf_dir):
+    """CDC changelog apply (log compaction): latest row per key wins; a
+    terminal tombstone ('error') drops the key from the snapshot. One hash
+    exchange keyed on user_id; the window top-1 reduces each key to a
+    single row, so at 100 TB the output (and everything downstream) is
+    |keys|-sized — the standard upsert-materialization shape."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            r6(F.col("value")).alias("value"),
+            F.col("ts_us").alias("last_ts_us"),
+        )
+    )
+
+
+@q(
+    "q_scd2_intervals",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CASE WHEN lag(event_type) OVER ({_EV_W_SQL})
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type, tu,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM t
+    ),
+    iv AS (
+      SELECT user_id, min(event_type) AS attr, min(tu) AS valid_from,
+             count(*) AS n_rows
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, attr, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_rows
+    FROM iv
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 history build: compress the per-key event stream into
+    [valid_from, valid_to) attribute intervals (gaps-and-islands — the
+    same boundary-cumsum as W4/sessionize, then one groupBy and a lead()
+    to close each interval). valid_to IS NULL marks the current row.
+    Scale: everything is keyed on user_id — one exchange, three sorts
+    reused on the same partitioning."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(*EV_ORDER)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        ev.select("user_id", "event_type", "ts_us", "event_id")
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("chg").over(wc))
+    )
+    iv = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts_us").alias("valid_from"),
+        F.count("*").alias("n_rows"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_rows",
+    )
+
+
+@q(
+    "q_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_type,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT user_id, tu, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND tu > t1 THEN tu END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND tu > t2 THEN tu END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    u AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS step_view,
+           count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS step_click,
+           count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS step_purchase,
+           round(CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END) AS DOUBLE)
+                 / nullif(count(CASE WHEN t3 IS NOT NULL THEN 1 END), 0), 6)
+             AS avg_convert_us
+    FROM u
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: t1 = first view,
+    t2 = first click AFTER t1, t3 = first purchase AFTER t2 (strict
+    ordering, the product-analytics definition). Three per-key window mins
+    chained on ONE user_id exchange, then a global 1-row rollup.
+    avg_convert_us divides an exact integer-µs sum by an exact count, so
+    the double quotient is engine-identical."""
+    ev = events(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    u = s.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    converted = F.when(F.col("t3").isNotNull(), 1)
+    return u.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("step_view"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).alias("step_click"),
+        F.count(converted).alias("step_purchase"),
+        F.round(
+            F.sum(F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))).cast(
+                "double"
+            )
+            / F.nullif(F.count(converted), F.lit(0)),
+            6,
+        ).alias("avg_convert_us"),
+    )
+
+
+@q(
+    "q_cohort_retention",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    c AS (
+      SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM t
+    )
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM c GROUP BY cohort_wk, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: cohort = first-seen epoch-week per user
+    (integer µs division — no calendar/tz functions, engine-identical),
+    cell = distinct active users at each week offset. Scale: one user_id
+    exchange for the cohort window, then a (cohort, offset)-keyed
+    count-distinct whose partial aggregation dedupes (key, user) map-side."""
+    ev = events(spark, sf_dir).select(
+        "user_id", F.expr("ts_us div 604800000000").alias("wk")
+    )
+    c = ev.withColumn("cohort_wk", F.min("wk").over(Window.partitionBy("user_id")))
+    return c.groupBy(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+
+
+@q(
+    "q_session_window_native",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER ({_EV_W_SQL}) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, tu,
+             sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM t
+    )
+    SELECT user_id, min(tu) AS session_start_us,
+           max(tu) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark, sf_dir):
+    """Spark-native session windows (F.session_window, 30-min gap) run in
+    BATCH mode — the same operator the streaming engine uses for stateful
+    session aggregation, here oracle-checked against the gaps-and-islands
+    formulation (session windows are half-open [t, t+gap), so a gap of
+    exactly 30 min STARTS a new session — hence `>=` in the oracle, vs
+    `>` in q_sessionize's keep-together convention). µs → timestamp via
+    timestamp_micros and back via unix_micros, both tz-independent."""
+    ev = events(spark, sf_dir).withColumn("t", F.timestamp_micros(F.col("ts_us")))
+    return (
+        ev.groupBy("user_id", F.session_window("t", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "q_spatial_eps_join",
+    """
+    WITH p AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+    FROM p a JOIN p b
+      ON a.vec_id < b.vec_id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) < 0.0625 * 0.0625
+    """,
+)
+def q_spatial_eps_join(spark, sf_dir):
+    """ε-neighborhood spatial self-join via grid-cell bucketing (ε=2⁻⁴,
+    exactly representable): each point keys to its ⌊coord/ε⌋ cell, one
+    side fans out to the 3×3 neighbor cells, the join runs on the cell
+    key, and the exact distance predicate filters candidates. Cell width
+    = ε guarantees every true pair shares a (possibly neighboring) cell,
+    and each pair is produced exactly once (the probe side sits in one
+    cell). The oracle is the all-pairs formulation; the Spark plan is a
+    hash join on (cx, cy) — at 100 TB each point shuffles ≤10 rows
+    instead of the |N|² crossJoin, and skew is bounded by the physical
+    point density of an ε-cell."""
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    eps = F.lit(0.0625)
+    three = F.array([F.lit(i) for i in (-1, 0, 1)])
+    offs = (
+        spark.range(1)
+        .select(F.explode(three).alias("dx"))
+        .select("dx", F.explode(three).alias("dy"))
+    )
+    a = p.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.floor(F.col("x") / eps) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("y") / eps) + F.col("dy")).alias("cy"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    d2 = dx * dx + dy * dy
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("vec_a") < F.col("vec_b")) & (d2 < F.lit(0.0625 * 0.0625)))
+        .select("vec_a", "vec_b", r6(F.sqrt(d2)).alias("dist"))
+    )
+
+
+@q(
+    "q_tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: selective dim filter broadcast into a
+    fact-fact join, grouped revenue, distributed top-10 (TakeOrdered —
+    no global sort materialization). The customer side is broadcast
+    (post-filter it is a fraction of an already-small dim); orders and
+    lineitem co-shuffle on the order key. Ties at the limit boundary are
+    broken on l_orderkey over the ROUNDED revenue, so the cut is
+    engine-deterministic."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "txt_top_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang, t[i-1] || ' ' || t[i] AS bigram
+      FROM toks, unnest(range(2, len(t) + 1)) AS u(i)
+    ),
+    c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+    SELECT lang, bigram, cnt FROM (
+      SELECT lang, bigram, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+      FROM c) WHERE rn <= 5
+    """,
+)
+def txt_top_ngrams(spark, sf_dir):
+    """Per-language top-5 bigrams: whitespace tokenization, JVM-side
+    transform/explode (no Python), count, windowed rank with a
+    deterministic (cnt DESC, bigram) tiebreak. Scale: the explode is
+    O(tokens) but the shuffle after partial aggregation is |distinct
+    (lang, bigram)| — corpus-vocabulary-sized, not corpus-sized; the
+    rank exchange is |langs|-keyed."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split("text", r"\s+").alias("t"))
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i-1], ' ', t[i])) ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    c = bg.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
 # 50). Queries WITHOUT a green CORRECTNESS_r* row yet are moved to the front
@@ -3331,6 +3744,9 @@ _DRIVER_FIRST = [
     "q_inverted_index", "q_boolean_search", "txt_hash_classifier",
     "q_profile_table", "dd_semdedup", "q_pagerank",
     "q_pack_sequences", "txt_chunk", "pipe_pretrain_prep", "txt_normalize",
+    "q_cdc_snapshot", "q_scd2_intervals", "q_funnel_conversion",
+    "q_cohort_retention", "q_session_window_native", "q_spatial_eps_join",
+    "q_tpch_q3", "txt_top_ngrams",
 ]
 
 
