@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from seaexplorertools_spark.contract import ts_us_col
 from seaexplorertools_spark import contract
 from seaexplorertools_spark.plans.inspect import (
     count_exchanges,
@@ -61,7 +62,8 @@ def test_interp_join_one_sort_for_all_values(spark, sf_dir):
     from seaexplorertools_spark.operators.joins import interp_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn("ts_us", F.expr("ts div 1000"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_us", ts_us_col(ev))
     samples = ev.selectExpr("user_id", "ts_us", "value as v1", "value * 2 as v2", "value * 3 as v3")
     probes = ev.select("event_id", "user_id", "ts_us")
     out = interp_join(samples, probes, on="ts_us", values=["v1", "v2", "v3"], partition_by=["user_id"], suffix="_i")

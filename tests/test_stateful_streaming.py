@@ -7,6 +7,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from seaexplorertools_spark.contract import ts_us_col
 from seaexplorertools_spark.streaming.stateful import sessionize_batch, sessionize_stateful
 
 
@@ -14,7 +15,7 @@ def test_stateful_sessions_match_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
+        .transform(lambda d: d.withColumn("ts_us", ts_us_col(d)))
         .filter(F.col("user_id") < 25)  # keep the state-store run fast in CI
         .select("user_id", "ts_us", "value")
         .coalesce(2)

@@ -8,6 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from seaexplorertools_spark.contract import ts_us_col
 from seaexplorertools_spark.streaming.dedup import first_seen, stream_first_seen
 
 KEYS = ["user_id", "event_type"]
@@ -17,7 +18,7 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(lambda d: d.withColumn("ts", F.timestamp_micros(ts_us_col(d))))
     )
     with tempfile.TemporaryDirectory() as tmp:
         src = f"{tmp}/events_sorted"

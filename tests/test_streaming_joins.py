@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from seaexplorertools_spark.contract import ts_us_col
 from seaexplorertools_spark.operators.joins import interval_join
 from seaexplorertools_spark.streaming.joins import stream_interval_join
 
@@ -16,7 +17,7 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
+        .transform(lambda d: d.withColumn("ts_us", ts_us_col(d)))
         .drop("ts", "props")
         .withColumn("t", F.timestamp_micros(F.col("ts_us")))
         .limit(400)
