@@ -3729,6 +3729,245 @@ def txt_top_ngrams(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: multi-granularity aggregation, distribution windows,
+# robust-statistics QC, explicit bloom semi-join reduction, chunk-level
+# dedup, PQ ANN, stream-static enrichment (batch twin)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Multi-granularity aggregation in ONE pass: GROUPING SETS computes
+    the (flag, status), (flag) and grand-total granularities from a single
+    scan + single Expand-fed shuffle instead of three scans unioned —
+    at 100 TB that is the difference between reading the fact table once
+    and three times. NULL group keys are coalesced to 'ALL' on both sides
+    so the hash compare is sentinel-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(r6(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@q(
+    "q_window_distribution",
+    """
+    SELECT event_id, event_type,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per event_type — the quantile-bucketing shape used for curriculum
+    binning and score calibration. The event_id tiebreak removes ORDER BY
+    peers, making all three functions engine-deterministic. One exchange
+    keyed by event_type; the sort is per-partition."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@q(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, any_value(m) AS m,
+             median(abs(e.value - m)) AS mad
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m) / nullif(1.4826 * mad, 0.0), 6) AS robust_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE abs(round((e.value - m) / nullif(1.4826 * mad, 0.0), 6)) > 3.0
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the QC
+    filter that survives the heavy tails that break mean/stddev z-scores
+    (reference masks on fixed thresholds, process_adcp.py:419-447; MAD is
+    the data-driven generalization). Two grouped exact medians over a
+    |event_type|-sized key space, each result broadcast back — the fact
+    table is never shuffled, only scanned. The outlier cut compares the
+    ROUNDED robust z on both engines so the boundary is deterministic."""
+    ev = events(spark, sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.any_value("m").alias("m"), F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"))
+    )
+    rz = r6((F.col("value") - F.col("m")) / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > 3.0)
+        .select("event_id", "event_type", "value", "robust_z")
+    )
+
+
+@q(
+    "q_bloom_semi_reduction",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_semi_reduction(spark, sf_dir):
+    """Explicit bloom-filter semi-join reduction (operators/bloomjoin.py):
+    the urgent-order keys aggregate into a 32 KiB bitmap (one narrow
+    shuffle, n_words rows), cross the driver once as a scalar broadcast,
+    and re-enter as a literal-array codegen predicate that drops
+    non-matching lineitem rows AT THE SCAN — before any exchange. The
+    exact semi join then removes bloom false positives, so results equal
+    the plain semi join while the fact-side shuffle carries only
+    matches + fpr. This is the reduction AQE's runtime bloom filter
+    injects for eligible shapes, made explicit and plan-independent."""
+    from .operators.bloomjoin import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+@q(
+    "txt_chunk_dedup",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, nt,
+                 unnest(generate_series(0, CAST(ceil(nt / 24.0) AS BIGINT) - 1)) AS k
+          FROM n),
+    chunks AS (
+      SELECT doc_id, k AS chunk_id,
+             array_to_string(toks[k*24 + 1 : least(k*24 + 32, nt)], ' ') AS chunk_text,
+             least(k*24 + 32, nt) - k*24 AS chunk_len
+      FROM c WHERE k*24 < nt)
+    SELECT doc_id, chunk_id, chunk_len, n_copies FROM (
+      SELECT doc_id, chunk_id, chunk_len,
+             row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn,
+             count(*)    OVER (PARTITION BY chunk_text) AS n_copies
+      FROM chunks) WHERE rn = 1
+    """,
+)
+def txt_chunk_dedup(spark, sf_dir):
+    """Sequence-level exact dedup over the context-window chunks — the
+    pretraining step between chunking and packing: duplicated training
+    sequences (boilerplate, templates, cross-doc copies) are collapsed to
+    their first occurrence (min doc_id, chunk_id) with a survivor
+    duplicate count. One shuffle keyed by chunk text; at 100 TB key on
+    the chunk digest instead (same semantics, 16-byte keys) and the skew
+    bound is the largest duplicate cluster."""
+    chunks = txt_chunk(spark, sf_dir)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("chunk_text")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_id", "chunk_len", "n_copies")
+    )
+
+
+@q("ann_topk_pq")  # approximate (quantized shortlist) → rows-only check
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC shortlist + exact re-rank
+    (operators/similarity.py::pq_topk): vectors compress 16x into
+    16-byte codes, candidate scoring reads ONLY codes + per-query literal
+    lookup tables, and just |queries| x shortlist full vectors are touched
+    for the re-rank. The third scale path beside banded-LSH and IVF;
+    recall@5 pinned vs brute force in tests/test_similarity_recall.py.
+    Approximate ⇒ no SQL oracle; driver records rows-only."""
+    from .operators.similarity import pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(e, qs, n_sub=16, n_cent=16, k=5, shortlist=100)
+
+
+@q(
+    "st_enrich_static",
+    """
+    WITH dim(event_type, weight, family) AS (VALUES
+      ('view', 1.0, 'passive'), ('click', 2.0, 'active'),
+      ('signup', 5.0, 'active'), ('purchase', 10.0, 'active'),
+      ('error', 0.0, 'ops')
+    )
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket, family,
+           count(*) AS n, round(sum(value * weight), 6) AS weighted_v
+    FROM events JOIN dim USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def st_enrich_static(spark, sf_dir):
+    """Stream-static enrichment (batch twin of the Structured Streaming
+    broadcast join in streaming/enrich.py, same logical plan): every
+    micro-batch of the unbounded side joins a small static dimension via
+    broadcast — no state store, no watermark, the canonical streaming
+    feature-enrichment shape. The dim is inline VALUES on both engines."""
+    dim = spark.createDataFrame(
+        [
+            ("view", 1.0, "passive"),
+            ("click", 2.0, "active"),
+            ("signup", 5.0, "active"),
+            ("purchase", 10.0, "active"),
+            ("error", 0.0, "ops"),
+        ],
+        "event_type string, weight double, family string",
+    )
+    ev = events(spark, sf_dir)
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy(F.expr("ts_us div 3600000000").alias("hour_bucket"), "family")
+        .agg(F.count("*").alias("n"), r6(F.sum(F.col("value") * F.col("weight"))).alias("weighted_v"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
 # 50). Queries WITHOUT a green CORRECTNESS_r* row yet are moved to the front
@@ -3750,6 +3989,9 @@ _DRIVER_FIRST = [
     "q_cohort_retention", "q_session_window_native", "q_spatial_eps_join",
     "q_tpch_q3", "txt_top_ngrams",
     # new in round 3 — no driver row yet (names appended as queries land)
+    "q_grouping_sets", "q_window_distribution", "q_mad_outliers",
+    "q_bloom_semi_reduction", "txt_chunk_dedup", "ann_topk_pq",
+    "st_enrich_static",
 ]
 
 

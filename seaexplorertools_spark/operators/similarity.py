@@ -427,3 +427,182 @@ def semdedup_pairs(
         pairs.select("id1", "id2", F.col("c1").alias("cluster"), sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 512,
+    seed: int = 11,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks from a deterministic bounded sample
+    (same training shape as ``train_ivf_centroids``: sample by
+    xxhash64(id), driver-side numpy Lloyd, broadcast back as literals).
+    Returns ``codebooks[sub][centroid][dim_sub]``.
+
+    PQ is the quantizer that makes billion-vector ANN fit in memory: a
+    64-dim float vector (256 B) compresses to ``n_sub`` uint8 codes
+    (8 B, 32x) while distances stay computable from per-query lookup
+    tables — the IVF-PQ layout every large-scale vector store uses."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sorted(rows, key=lambda r: r["id"])], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        # seeded pick + farthest-point init, then Lloyd
+        idx = [int(rng.integers(len(Xs)))]
+        for _ in range(n_cent - 1):
+            d = np.min([((Xs - Xs[i]) ** 2).sum(axis=1) for i in idx], axis=0)
+            idx.append(int(np.argmax(d)))
+        C = Xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(n_cent):
+                if (a == j).any():
+                    C[j] = Xs[a == j].mean(axis=0)
+        books.append([c.tolist() for c in C])
+    return books
+
+
+def _sub_d2(vec_col: Column, start: int, cent: list[float]) -> Column:
+    """Squared L2 distance between a vector slice and a literal centroid —
+    pure codegen (zip_with + aggregate), no Python."""
+    sub = F.slice(vec_col, start + 1, len(cent))
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    diff2 = F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_assign_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``n_sub`` small ints (nearest centroid per
+    subspace). Embarrassingly parallel map — no shuffle; per-subspace
+    distance arrays are materialized ONCE each (the cascaded-when blowup
+    documented at ``_cell_sims`` applies here too)."""
+    v = F.col(vec_col).cast("array<double>")
+    d_sub = len(codebooks[0][0])
+    out = df.select(F.col(id_col), v.alias("__v"))
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        arr = F.array(*[_sub_d2(F.col("__v"), s * d_sub, c) for c in book])
+        out = out.withColumn(f"__d{s}", arr)
+        code_cols.append(
+            (F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))) - 1)
+            .cast("int")
+            .alias(f"c{s}")
+        )
+    return out.select(id_col, F.array(*code_cols).alias("pq_code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank — the standard two-stage recall
+    design: (1) asymmetric-distance scan over 8-byte codes using a
+    per-query lookup table (built driver-side from the bounded query
+    batch, shipped as literals — no join), (2) exact cosine re-rank of
+    the ``shortlist`` best candidates. Output schema matches
+    ``brute_force_topk``; recall is pinned in
+    tests/test_similarity_recall.py.
+
+    100 TB posture: the code table is 16-32x smaller than the vectors, the
+    ADC scan is codegen over int codes + literal LUTs (no vector reads),
+    and only |queries| x shortlist full vectors are ever touched for the
+    re-rank. Compose with IVF cells to skip most codes entirely."""
+    spark = embeddings.sparkSession
+    books = train_pq_codebooks(
+        embeddings, n_sub=n_sub, n_cent=n_cent, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_assign_codes(embeddings, books, id_col=id_col, vec_col=vec_col)
+
+    d_sub = len(books[0][0])
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    ).collect()
+    # per-query ADC lookup table: lut[s][c] = ||q_sub - centroid||^2
+    lut_rows = []
+    for r in qrows:
+        q = np.array(r["vq"], dtype=np.float64)
+        lut = [
+            [float(((q[s * d_sub : (s + 1) * d_sub] - np.array(c)) ** 2).sum()) for c in book]
+            for s, book in enumerate(books)
+        ]
+        lut_rows.append((r["query_id"], lut))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+
+    cand = codes.crossJoin(F.broadcast(luts)).filter(F.col(id_col) != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s.cast("int") + 1),
+            F.element_at(F.col("pq_code"), s.cast("int") + 1) + 1,
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.round(adc, 6).asc(), F.col(id_col).asc()
+    )
+    short = (
+        cand.withColumn("__adc_rn", F.row_number().over(w_adc))
+        .filter(F.col("__adc_rn") <= shortlist)
+        .select("query_id", F.col(id_col).alias("nbr_id"))
+    )
+
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("ve")
+    ).withColumn("ne", norm(F.col("ve")))
+    qv = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("vq"),
+        )
+        .withColumn("nq", norm(F.col("vq")))
+    )
+    sim = F.round(
+        dot(F.col("vq"), F.col("ve")) / F.nullif(F.col("nq") * F.col("ne"), F.lit(0.0)), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        short.join(e, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "sim")
+    )

@@ -78,3 +78,29 @@ def test_ivf_single_probe_weaker_but_runs(emb, queries, exact):
     assert all(v <= K for v in per_q.values())
     rec = _recall(rows, exact)
     assert 0.0 < rec < 1.0
+
+
+def test_pq_recall_at_5(emb, queries, exact):
+    from seaexplorertools_spark.operators.similarity import pq_topk
+
+    rows = pq_topk(emb, queries, n_sub=16, n_cent=16, k=K, shortlist=100).collect()
+    rec = _recall(rows, exact)
+    assert rec >= 0.9, f"PQ(16x16, shortlist=100) recall@5 = {rec:.3f} < 0.9"
+
+
+def test_pq_codes_compress(emb):
+    """Every vector gets exactly n_sub codes in [0, n_cent) — the 32x
+    compression invariant the ADC scan relies on."""
+    from seaexplorertools_spark.operators.similarity import (
+        pq_assign_codes,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, n_sub=8, n_cent=16)
+    codes = pq_assign_codes(emb, books)
+    bad = codes.filter(
+        (F.size("pq_code") != 8)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    assert codes.count() == emb.count()
