@@ -3968,6 +3968,395 @@ def st_enrich_static(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 3 — deeper OLAP join coverage (TPC-H Q5/Q10/Q14/Q18/Q19 shapes on
+# the available columns), KMV distinct sketch, winnowing fingerprints,
+# Python UDTF surface, OHLC downsampling, time-decayed aggregates.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table join where customer and
+    supplier nation must MATCH — the classic snowflake probe with a
+    non-hierarchical cross-dimension equality. Plan: lineitem⋈orders is the
+    only big-big shuffle; customer/supplier/nation/region all broadcast
+    (AQE picks this below the 10 MB default at any SF; at 100 TB customer
+    outgrows broadcast and AQE falls back to a shuffle join on o_custkey —
+    both fine, no plan rewrite needed). Date filter pushed to the orders
+    scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): who returned the most revenue
+    in a quarter+ window. Returnflag filter pushed to the lineitem scan,
+    date filter to orders; customer/nation broadcast; top-20 runs as a
+    distributed TakeOrdered (no global sort materialization). c_custkey
+    tiebreak makes the LIMIT deterministic for the oracle compare."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q14",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), per month: conditional-aggregate ratio
+    over a fact⋈dim join. part broadcasts; one shuffle on the month key;
+    the CASE folds into the same partial aggregate as the denominator, so
+    the ratio costs one pass."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            r6(F.lit(100.0) * F.sum(promo) / F.sum(net)).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q18",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 6) AS total_qty
+    FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): HAVING-subquery membership
+    expressed as an aggregate→semi-join. The qualifying-order set is the
+    output of a map-side-combined groupBy (tiny vs lineitem), so it
+    broadcast-left-semi-joins back into the fact; no correlated per-row
+    subquery execution exists anywhere in the plan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(r6(F.sum("l_quantity")).alias("total_qty"))
+    )
+
+
+@q(
+    "q_tpch_q19",
+    """
+    SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    AND-clauses OR'd across join sides. Catalyst splits the disjunction:
+    the part-only part (brand ∈ {1,2,3}) and lineitem-only part (quantity
+    ∈ [1,50]) push to their scans as PushedFilters, the mixed residual
+    evaluates post-join — the textbook test that pushdown survives
+    disjunctions rather than giving up."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 30) & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash,
+           round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                      ELSE 63.0::DOUBLE * 281474976710656.0::DOUBLE / max(h) END, 6) AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type
+    (operators/sketches.py::kmv_distinct): keep the 64 smallest md5-derived
+    48-bit hashes, estimate distinct = 63/u_64. Unlike Spark's HLL
+    (hll_sketch_agg — tested separately, estimates implementation-defined),
+    KMV is deterministic given the hash, so this approximate operator gets
+    an EXACT cross-engine oracle — a falsifiable sketch. Mergeable across
+    shards (union → re-min, tests/test_sketches.py); bounded memory at any
+    cardinality. Reference A6 distinct-days (process_adcp.py:1246-1252) is
+    the exact twin."""
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(events(spark, sf_dir), "user_id", ["event_type"], k=64)
+
+
+@q(
+    "txt_winnow",
+    """
+    WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, s.n AS pos, len(tk) - 3 AS n_grams,
+             ('0x' || substr(md5(array_to_string(tk[s.n:s.n+3], ' ')), 1, 12))::BIGINT AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS n) s
+    ),
+    w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
+    """,
+)
+def txt_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS; Schleimer et al., SIGMOD 2003) over
+    4-token shingles with window 5: any shared run of ≥ 8 tokens between
+    two documents is guaranteed a shared fingerprint — the
+    position-robust excerpt-level contamination detector, complementing
+    dd_contamination's exact 8-gram join. All JVM expressions
+    (operators/text.py::winnow_fingerprints); shuffle = one per-doc
+    window pass over shingle hashes."""
+    from .operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5)
+
+
+@q(
+    "udtf_sentences",
+    """
+    SELECT doc_id, s.n - 1 AS sent_id, trim(a[s.n]) AS sentence
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+\\s+') AS a FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(a))) AS n) s
+    WHERE length(trim(a[s.n])) > 0
+    """,
+)
+def udtf_sentences(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.9; Spark 4 ``@udtf``): one input doc
+    row → N sentence rows via LATERAL, the table-function shape the
+    reference has no equivalent for (its pandas code reshapes in-memory).
+    The split regex sticks to the Java/RE2/Python-identical subset so the
+    DuckDB oracle is exact. Arrow-optimized UDTF eval
+    (spark.sql.execution.pythonUDTF.arrow.enabled — set in
+    session.py) keeps the Python boundary batched; for bulk production use
+    the equivalent pure-JVM split+posexplode is the fast path — this entry
+    exists to keep the UDTF machinery itself under oracle test."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_id, s.sentence "
+        "FROM __docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+@q(
+    "q_tumbling_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 600000000 AS bucket, value,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def q_tumbling_ohlc(spark, sf_dir):
+    """OHLC downsampling: 10-minute tumbling bars per event_type via
+    ``min_by``/``max_by`` over a (ts, event_id) ordering struct — open and
+    close come out of the SAME single-shuffle aggregate as high/low/volume;
+    no window pass, no self-join, map-side partials everywhere. The
+    (ts_us, event_id) tiebreak makes first/last deterministic (the oracle
+    reproduces it with two row_numbers). This is the reference's per-bin
+    first/last pattern (A8, min_by/max_by) composed with time bucketing."""
+    ev = events(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.expr("ts_us div 600000000").alias("bucket"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+@q(
+    "q_decayed_agg",
+    """
+    WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    w AS (
+      SELECT event_type, value,
+             round(exp(-((tmax - epoch_us(ts)) / 604800000000.0)), 9) AS w
+      FROM events CROSS JOIN m
+    )
+    SELECT event_type,
+           round(sum(value * w), 6) AS decayed_sum,
+           round(sum(w), 6) AS total_w,
+           round(sum(value * w) / sum(w), 6) AS decayed_mean
+    FROM w GROUP BY event_type
+    """,
+)
+def q_decayed_agg(spark, sf_dir):
+    """Exponential time-decay aggregation (half-life feature-store shape):
+    weight = exp(-Δt/τ), τ = 7 days, anchored at the stream's max
+    timestamp. The anchor is a 1-row agg cross-joined in (broadcast NL
+    join of a scalar — the J5 pattern, no collect in the plan); weights
+    round to 9 dp so both engines sum identical doubles and the 6-dp
+    output is summation-order-proof. One shuffle, map-side partials."""
+    ev = events(spark, sf_dir)
+    tmax = ev.agg(F.max("ts_us").alias("tmax"))
+    w = F.round(F.exp(-((F.col("tmax") - F.col("ts_us")) / F.lit(604800000000.0))), 9)
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .withColumn("w", w)
+        .groupBy("event_type")
+        .agg(
+            r6(F.sum(F.col("value") * F.col("w"))).alias("decayed_sum"),
+            r6(F.sum("w")).alias("total_w"),
+            r6(F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("decayed_mean"),
+        )
+    )
+
+
+ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
 # 50). Queries WITHOUT a green CORRECTNESS_r* row yet are moved to the front
@@ -3992,6 +4381,9 @@ _DRIVER_FIRST = [
     "q_grouping_sets", "q_window_distribution", "q_mad_outliers",
     "q_bloom_semi_reduction", "txt_chunk_dedup", "ann_topk_pq",
     "st_enrich_static",
+    "q_tpch_q5", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
+    "q_kmv_distinct", "txt_winnow", "udtf_sentences", "q_tumbling_ohlc",
+    "q_decayed_agg",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Mergeable distinct-count sketches with engine-portable determinism.
+
+Spark ships HLL sketches (``hll_sketch_agg`` — tested in
+``tests/test_sketches.py``), but HLL estimates are implementation-defined,
+so they can't be oracle-verified across engines. The K-Minimum-Values (KMV)
+sketch here is fully deterministic given the hash function: hash every
+value to a uniform 48-bit integer via md5 (an idiom both Spark and DuckDB
+compute identically), keep the K smallest distinct hashes, and estimate
+
+    distinct ≈ (K - 1) / (h_K / 2^48)        (Beyer et al., PODS 2007)
+
+falling back to the exact count when fewer than K distinct hashes exist.
+
+Scale posture: the distinct-of-hashes is a map-side-combined aggregate and
+the K smallest survive a distributed TakeOrdered (per-group: one window
+pass over at most the distinct hashes); no value list ever concentrates on
+the driver. KMV sketches of shards merge by unioning hash sets and
+re-taking the K minimum — the shard-merge law is tested in
+``tests/test_sketches.py``.
+
+Reference parity: the reference counts distinct days driver-side with
+``np.unique`` (process_adcp.py:1246-1252 — SURVEY A6); KMV is the
+bounded-memory scale path for the same question at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_BITS = 48
+HASH_SPACE = float(1 << HASH_BITS)
+
+
+def uniform_hash48(col: Column) -> Column:
+    """Deterministic uniform hash onto [0, 2^48): first 12 hex chars of
+    md5(value::string). DuckDB twin: ``('0x' || substr(md5(x::VARCHAR), 1,
+    12))::BIGINT`` — byte-identical, so oracle checks are exact."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate: ``(group_cols..., n_kept, kth_hash,
+    est_distinct)``.
+
+    One shuffle on (group, hash) for the distinct, one window pass for the
+    K smallest per group. ``est_distinct`` is the exact distinct count when
+    a group has < K distinct values (n_kept < k), else the KMV estimator —
+    both branches deterministic, so the whole result is oracle-exact.
+    """
+    gcols = group_cols or []
+    hashes = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, uniform_hash48(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("kth_hash"))
+    )
+    return (
+        kept.groupBy(*gcols)
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+        .withColumn("est_distinct", F.round(est, 6))
+    )
+
+
+def kmv_merge(shard_sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge per-shard KMV hash sets (rows of (group..., h)) into one sketch
+    per group — union distinct then re-take the K minimum. Used by the
+    shard-merge law test; the algebra is what makes KMV usable as a
+    partial aggregate at 100 TB."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    kept = shard_sketches.distinct().withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("kth_hash"))
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+        .withColumn("est_distinct", F.round(est, 6))
+    )

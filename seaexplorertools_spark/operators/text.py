@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import tokens
 
@@ -224,6 +225,62 @@ def repetition_features(
             / F.nullif(F.col("bigram_total").cast("double"), F.lit(0.0)),
             6,
         ).alias("top_bigram_frac"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every k-token shingle, then keep the minimum hash of
+    each sliding window of ``window`` consecutive shingle hashes; the
+    distinct kept hashes are the document's fingerprint set.
+
+    Winnowing guarantees any shared run of ≥ k + window - 1 tokens yields at
+    least one shared fingerprint — position-robust containment detection
+    (vs ``fingerprint()``'s whole-document hash), the standard tool for
+    finding training-data contamination by excerpt at corpus scale.
+
+    Plan shape: one projection builds the shingle-hash array JVM-side
+    (``transform`` over ``sequence``), one ``posexplode``, one window-min
+    partitioned by doc (rows frame, no shuffle beyond the per-doc hash
+    rows), one distinct. Shuffle volume is O(total shingles), the same as
+    MinHash; no Python anywhere.
+
+    The shingle hash is the md5-hex prefix idiom (``operators/dedup.py``)
+    so a DuckDB oracle reproduces it byte-for-byte.
+    """
+    toks = tokens(F.col(text_col))
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1 — emit an empty
+    # gram list for docs shorter than k tokens instead
+    idx = F.when(
+        F.size("__toks") >= k, F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))), 1, 12), 16, 10
+        ).cast("bigint"),
+    )
+    exploded = (
+        docs.withColumn("__toks", toks)
+        .withColumn("__ghash", grams)
+        .select(id_col, F.posexplode("__ghash").alias("pos", "h"))
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    n_win = Window.partitionBy(id_col)
+    return (
+        exploded.withColumn("wmin", F.min("h").over(win))
+        .withColumn("n_grams", F.count("*").over(n_win))
+        .where(F.col("pos") <= F.col("n_grams") - window)  # full windows only
+        .select(id_col, F.col("wmin").alias("fp"))
+        .distinct()
     )
 
 

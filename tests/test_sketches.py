@@ -35,3 +35,52 @@ def test_hll_estimate_error_bound(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").alias("e")
     ).first()["e"]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_kmv_estimate_and_exact_branch(spark, sf_dir):
+    from seaexplorertools_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    row = kmv_distinct(ev, "user_id", k=64).first()
+    if exact < 64:
+        assert row["est_distinct"] == float(exact)  # exact branch
+    else:
+        assert abs(row["est_distinct"] - exact) / exact < 0.35  # k=64 ⇒ ~1/8 rel sd
+    # huge k ⇒ always the exact branch
+    row2 = kmv_distinct(ev, "user_id", k=100000).first()
+    assert row2["est_distinct"] == float(exact)
+
+
+def test_kmv_shard_merge_law(spark, sf_dir):
+    """KMV of the union == re-min of the per-shard KMV hash unions: the
+    partial-aggregate algebra that lets 1000 executors sketch shards
+    independently and combine driver/reduce-side."""
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        uniform_hash48,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn("g", F.lit("all"))
+    whole = kmv_distinct(ev, "user_id", ["g"], k=32).first()
+    # shard by event_type, keep each shard's 32 smallest hashes, merge
+    shard_hashes = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("g", "event_type", uniform_hash48(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g", "event_type").orderBy("h")
+    per_shard = (
+        shard_hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 32)
+        .select("g", "h")
+    )
+    merged = kmv_merge(per_shard, ["g"], k=32).first()
+    assert merged["kth_hash"] == whole["kth_hash"]
+    assert merged["n_kept"] == whole["n_kept"]
+    assert merged["est_distinct"] == whole["est_distinct"]
