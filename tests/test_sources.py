@@ -166,3 +166,50 @@ def test_ingest_missing_glob_raises(spark):
     with tempfile.TemporaryDirectory() as tmp:
         with pytest.raises(FileNotFoundError):
             ingest_ad2cp(spark, f"{tmp}/nope_*.nc", f"{tmp}/out")
+
+
+def test_python_datasource_netcdf3(spark):
+    """S2 as a first-class lazy source: spark.read.format('netcdf3') via the
+    Spark 4 Python DataSource — one InputPartition per file (fleet-parallel),
+    schema inferred from the first header, ping + cells layouts consistent
+    with ingest_ad2cp."""
+    from seaexplorertools_spark.sources.pyds import NetCDF3DataSource
+
+    spark.dataSource.register(NetCDF3DataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        all_t, all_v, _bt = _write_ad2cp_fixture(tmp)
+
+        ping = (
+            spark.read.format("netcdf3")
+            .option("path", f"{tmp}/mission_*.nc")
+            .load()
+            .orderBy("time_us")
+            .toPandas()
+        )
+        assert list(ping["time_us"]) == sorted(all_t.astype("int64"))
+        assert ping["Pitch"].eq(17.4).all()
+        # partition-parallelism: both files contributed rows
+        assert ping["src_file"].nunique() == 2
+
+        cells = (
+            spark.read.format("netcdf3")
+            .option("path", f"{tmp}/mission_*.nc")
+            .option("layout", "cells")
+            .load()
+            .orderBy("time_us", "bin")
+            .toPandas()
+        )
+        assert len(cells) == 12 * 4
+        got = cells["VelocityBeam3"].to_numpy().reshape(12, 4)
+        assert np.allclose(got, all_v + 3)
+
+        # pushdown-compatible laziness: projection+filter run without error
+        n = (
+            spark.read.format("netcdf3")
+            .option("path", f"{tmp}/mission_*.nc")
+            .load()
+            .where("Pressure > 20")
+            .select("time_us")
+            .count()
+        )
+        assert 0 < n < 12
