@@ -181,3 +181,54 @@ def test_semdedup_broadcasts_centroids_and_assignment(spark, sf_dir):
     txt = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
     assert "CartesianProduct" not in txt, txt
+
+
+def test_tpch_q5_all_dims_broadcast_one_fact_agg_shuffle(spark, sf_dir):
+    """Q5's only hash-shuffle should be the lineitem⋈orders + final agg side;
+    customer/supplier/nation/region all broadcast."""
+    txt = explain_str(contract.QUERIES["q_tpch_q5"](spark, sf_dir), "simple")
+    assert txt.count("BroadcastHashJoin") >= 4, txt
+
+
+def test_tpch_q5_pushes_date_and_region_filters(spark, sf_dir):
+    txt = explain_str(contract.QUERIES["q_tpch_q5"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in txt, txt
+    assert "EqualTo(r_name,ASIA)" in txt, txt
+
+
+def test_tpch_q10_topk_is_distributed_take_ordered(spark, sf_dir):
+    txt = explain_str(contract.QUERIES["q_tpch_q10"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_tpch_q19_disjunction_pushes_per_side_residuals(spark, sf_dir):
+    """The OR of brand/size/quantity clauses must not defeat pushdown: the
+    brand-only disjunct reaches the part scan, the quantity-only disjunct
+    reaches the lineitem scan."""
+    txt = explain_str(contract.QUERIES["q_tpch_q19"](spark, sf_dir))
+    assert "And(EqualTo(p_brand,Brand#1)" in txt, txt  # brand+size disjunct → part scan
+    assert "And(GreaterThanOrEqual(l_quantity,1.0)" in txt, txt  # qty disjunct → lineitem scan
+
+
+def test_kmv_is_distinct_then_one_window_pass(spark, sf_dir):
+    """KMV: distinct-of-hashes aggregate with map-side combine, then a single
+    per-group window for the k smallest — no joins, no collect."""
+    df = contract.QUERIES["q_kmv_distinct"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert "Window" in txt and "Join" not in txt, txt
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars come out of ONE shuffle-aggregate (min_by/max_by), not a
+    window pass or self-join."""
+    df = contract.QUERIES["q_tumbling_ohlc"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert "Window" not in txt and "Join" not in txt, txt
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_decayed_agg_anchor_is_broadcast_scalar(spark, sf_dir):
+    """The max-timestamp anchor joins as a broadcast of a 1-row aggregate —
+    no collect boundary, no wide shuffle."""
+    txt = explain_str(contract.QUERIES["q_decayed_agg"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in txt, txt
