@@ -4353,7 +4353,81 @@ def q_decayed_agg(spark, sf_dir):
     )
 
 
+@q(
+    "dd_winnow_containment",
+    """
+    WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, s.n AS pos, len(tk) - 3 AS n_grams,
+             ('0x' || substr(md5(array_to_string(tk[s.n:s.n+3], ' ')), 1, 12))::BIGINT AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS n) s
+    ),
+    w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+    ),
+    fpr AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+      FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, shared,
+           round(shared / least(s1.n_fp, s2.n_fp)::DOUBLE, 6) AS containment
+    FROM pairs
+      JOIN sizes s1 ON s1.doc_id = doc1
+      JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE shared >= 3
+    """,
+)
+def dd_winnow_containment(spark, sf_dir):
+    """Excerpt-containment scoring over winnowing fingerprints: doc pairs
+    sharing ≥ 3 selected fingerprints, scored shared/min(|fp|) — the MOSS
+    aggregation step, catching partial-overlap/quotation duplicates that
+    whole-doc MinHash misses (a copied paragraph in an otherwise-unique
+    doc still pairs). Scale posture: the pair join is keyed on fingerprint
+    with a document-frequency cap (fp in ≤ 20 docs) exactly like the
+    LSH-band df bound — a boilerplate fingerprint shared by a million
+    docs is dropped, not joined, so pair volume is Σ df² over RARE
+    fingerprints only."""
+    from .operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5)
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 20).select("fp")
+    fpr = fps.join(rare, "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fpr.select(F.col("doc_id").alias("doc1"), "fp")
+    b = fpr.select(F.col("doc_id").alias("doc2"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared",
+            r6(F.col("shared") / F.least("n1", "n2").cast("double")).alias("containment"),
+        )
+    )
+
+
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
+ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -4383,7 +4457,7 @@ _DRIVER_FIRST = [
     "st_enrich_static",
     "q_tpch_q5", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
     "q_kmv_distinct", "txt_winnow", "udtf_sentences", "q_tumbling_ohlc",
-    "q_decayed_agg",
+    "q_decayed_agg", "dd_winnow_containment",
 ]
 
 
