@@ -4426,6 +4426,90 @@ def dd_winnow_containment(spark, sf_dir):
     )
 
 
+@q(
+    "q_curriculum_order",
+    """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: exact global rank of every document under a
+    quality ordering (here n_chars DESC with doc_id tiebreak) WITHOUT the
+    single-partition global window — operators/rank.py::global_rank runs a
+    range repartition + per-partition local row_number + tiny offset
+    broadcast, so the same plan ranks a 100 TB corpus. The oracle is the
+    naive global row_number (identical result by construction: rank
+    depends only on the total order)."""
+    from .operators.rank import global_rank
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id")], "rank")
+
+
+@q(
+    "q_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'data', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query over the
+    token stream: Robertson/Spärck-Jones idf × length-normalized tf. Plan:
+    the term filter prunes the exploded stream BEFORE any shuffle (only
+    matching-term rows move), per-term df and the corpus (N, avgdl)
+    scalars are dim-sized broadcasts — the standard serving decomposition
+    of a BM25 index build, no UDFs, exact oracle."""
+    from .operators.dedup import tokens as tok_fn
+
+    terms = ["spark", "data", "window"]
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").cast("double").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + F.lit(1.0)
+    )
+    score = idf * F.col("tf") * F.lit(2.2) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(score)).alias("bm25"))
+    )
+
+
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 
@@ -4457,7 +4541,7 @@ _DRIVER_FIRST = [
     "st_enrich_static",
     "q_tpch_q5", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
     "q_kmv_distinct", "txt_winnow", "udtf_sentences", "q_tumbling_ohlc",
-    "q_decayed_agg", "dd_winnow_containment",
+    "q_decayed_agg", "dd_winnow_containment", "q_curriculum_order", "q_bm25_search",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Distributed global total-order rank — the scale-correct replacement for
+``row_number() OVER (ORDER BY ...)``.
+
+A global window moves EVERY row through one partition (Spark warns
+"No Partition Defined for Window operation"); fine for the reference's
+single-mission series (SURVEY §2.5 discussion), fatal for a 100 TB
+curriculum ordering. The two-pass form here keeps the data distributed:
+
+1. ``repartitionByRange`` on the order key (one range shuffle — sampled
+   boundaries, the same machinery as a distributed sort), then a
+   PER-PARTITION window for the local row number (no cross-partition
+   data movement).
+2. Per-partition row counts (a ≤-num-partitions-row aggregate) turn into
+   prefix offsets driver-free via a window over that tiny side, broadcast
+   back, and added to the local number.
+
+The result is the exact global ``row_number`` for the given total order —
+independent of partition count or boundary sampling, because rank depends
+only on the order, so it is fully deterministic when the order columns are
+a tiebroken total order. Used for curriculum ordering (sort by quality,
+train in order) and deterministic corpus shuffling (order by hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add 1-based ``rank_col`` = exact global row_number under
+    ``order_cols`` (must be a total order — include a unique tiebreaker).
+    Two shuffles total: the range repartition and the tiny count
+    aggregate; no single-partition stage anywhere."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    ranged = ranged.withColumn("__local_rn", F.row_number().over(local_w))
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # prefix-sum over <= num_partitions rows: the single-partition window
+    # is bounded by partition COUNT, not data size
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0))).select(
+        "__pid", "__off"
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__local_rn")).cast("long"))
+        .drop("__pid", "__local_rn", "__off")
+    )

@@ -1,0 +1,45 @@
+"""Distributed global rank (operators/rank.py): exact equality with the
+single-partition row_number, determinism across partition counts, and the
+no-global-window plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from seaexplorertools_spark.operators.rank import global_rank
+
+
+def test_global_rank_matches_naive_row_number(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = global_rank(docs, order, "rank", num_partitions=7)
+    naive = docs.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+def test_global_rank_independent_of_partition_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    a = global_rank(docs, order, "rank", num_partitions=3).orderBy("doc_id").collect()
+    b = global_rank(docs, order, "rank", num_partitions=17).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_global_rank_has_no_global_window(spark, sf_dir):
+    """The big side must never pass through a single-partition window: every
+    Window node in the plan is either partitioned by __pid (data side) or
+    runs over the <= num_partitions-row counts side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    df = global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id")], "rank")
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    import re
+
+    windows = [ln for ln in txt.split("\n") if "Window" in ln and "windowspecdefinition" in ln]
+    data_side = [ln for ln in windows if "__pid" in ln and "row_number" in ln]
+    assert data_side, txt  # local row_number is partitioned
+    # the only non-partitioned window is the offset prefix-sum (sum over __n)
+    unpartitioned = [ln for ln in windows if "partitionBy" not in ln and "__n" not in ln and "row_number" in ln]
+    assert not [ln for ln in unpartitioned if "__pid" not in ln], txt
