@@ -53,3 +53,27 @@ def test_fingerprints_subset_of_shingle_hashes(spark):
     n_windows = n_grams - W + 1  # 5
     c = fp.count()
     assert 1 <= c <= n_windows
+
+
+from hypothesis import given, settings, strategies as st
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pre=st.lists(_tok, min_size=0, max_size=12),
+    shared=st.lists(_tok, min_size=K + W - 1, max_size=K + W + 4),
+    post=st.lists(_tok, min_size=0, max_size=12),
+)
+def test_winnow_guarantee_property(spark, pre, shared, post):
+    """SIGMOD-2003 guarantee, property-tested: ANY shared run of
+    >= k + window - 1 tokens forces a shared fingerprint, wherever it sits
+    in either document."""
+    rows = [
+        (1, " ".join(pre + shared + ["zz"] * 6)),
+        (2, " ".join(["qq"] * 6 + shared + post)),
+    ]
+    fp = _fp(spark, rows)
+    both = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("n")).where(F.col("n") == 2)
+    assert both.count() >= 1
