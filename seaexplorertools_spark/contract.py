@@ -4399,7 +4399,9 @@ def dd_winnow_containment(spark, sf_dir):
     fingerprints only."""
     from .operators.text import winnow_fingerprints
 
-    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5)
+    # the fingerprint set feeds three consumers (df-cap, pair join, sizes) —
+    # cache the staging boundary so winnowing runs once, not three times
+    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5).cache()
     rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 20).select("fp")
     fpr = fps.join(rare, "fp")
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
@@ -4510,6 +4512,178 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+@q(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) on the available columns: orders
+    in a quarter with ≥ 1 slow lineitem (shipped > 60 days after the order
+    date — the snapshot has no commit/receipt dates; same correlated-EXISTS
+    shape). Spark plan: the correlated EXISTS decorrelates to a left-semi
+    join on l_orderkey with the date comparison as join condition — no
+    per-row subquery execution."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "q_tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): pure scan-side conjunctive
+    range predicates + single global aggregate — every filter lands in
+    PushedFilters, the aggregate is map-side partial + 1-row final; the
+    canonical 'is your scan path efficient' probe."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "q_tpch_q12",
+    """
+    SELECT year(l_shipdate) AS ship_year,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-priority split; ship-year stands in for the
+    absent l_shipmode): fact⋈fact equi-join with conditional-count
+    aggregation — both CASE branches fold into ONE partial aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q16",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (supplier-count by part attributes; lineitem stands in
+    for the absent partsupp): negated + IN-list predicates pushed to the
+    part scan, distinct-count via Spark's two-stage expand-aggregate
+    (partial distinct per mapper, exact merge) — no collect, no
+    dropDuplicates shuffle beyond the agg's own."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q_first_touch",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    conv AS (
+      SELECT user_id, count(*) AS n_purchases,
+             round(sum(value), 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT first_touch, count(*) AS n_users,
+           sum(coalesce(n_purchases, 0))::BIGINT AS purchases,
+           round(sum(coalesce(purchase_value, 0.0)), 6) AS revenue
+    FROM firsts LEFT JOIN conv USING (user_id)
+    GROUP BY first_touch
+    """,
+)
+def q_first_touch(spark, sf_dir):
+    """First-touch attribution: each user's earliest event (deterministic
+    (ts, event_id) tiebreak) is the acquisition channel; purchases and
+    revenue roll up per channel. Two map-side-combined aggregates keyed by
+    user_id + one channel-keyed rollup — min_by pulls the first touch out
+    of the same shuffle that counts, no window pass over the event
+    stream."""
+    ev = events(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    firsts = ev.groupBy("user_id").agg(F.min_by("event_type", key).alias("first_touch"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), r6(F.sum("value")).alias("purchase_value"))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("n_purchases"), F.lit(0))).alias("purchases"),
+            r6(F.sum(F.coalesce(F.col("purchase_value"), F.lit(0.0)))).alias("revenue"),
+        )
+    )
+
+
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 
@@ -4542,6 +4716,9 @@ _DRIVER_FIRST = [
     "q_tpch_q5", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
     "q_kmv_distinct", "txt_winnow", "udtf_sentences", "q_tumbling_ohlc",
     "q_decayed_agg", "dd_winnow_containment", "q_curriculum_order", "q_bm25_search",
+    # registered past the 50-cap this round; driver-checked in round 4+ (all
+    # locally oracle-verified)
+    "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
 ]
 
 
