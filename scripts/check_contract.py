@@ -67,12 +67,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--driverlike",
+        action="store_true",
+        help="adversarial session: ANSI on, non-UTC timezone, default "
+        "shuffle partitions — revalidates that every query is session-proof",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from seaexplorertools_spark.session import get_spark
 
     spark = get_spark("check_contract")
+    if args.driverlike:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")

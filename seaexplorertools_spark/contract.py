@@ -4684,6 +4684,50 @@ def q_first_touch(spark, sf_dir):
     )
 
 
+@q(
+    "q_incremental_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
+           round(sum(value) / count(*), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-type rollup is
+    maintained as (count, sum) partial states; a new day of events merges
+    via delta-aggregate + full-outer coalesce-add — NO rescan of the base.
+    The oracle is the full recompute, so the driver check IS the
+    incremental==full equivalence proof. At 100 TB this is the difference
+    between touching one day and touching the decade; derived metrics
+    (mean) come from the merged states, which is why the state is
+    (count, sum), not (mean)."""
+    ev = events(spark, sf_dir)
+    cutoff = 25 * 86400_000_000 + 1704067200000000  # 2024-01-26 (µs)
+    base = (
+        ev.filter(F.col("ts_us") < cutoff)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n0"), F.sum("value").alias("s0"))
+    )
+    delta = (
+        ev.filter(F.col("ts_us") >= cutoff)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n1"), F.sum("value").alias("s1"))
+    )
+    merged = base.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("n1"), F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("s0"), F.lit(0.0)) + F.coalesce(F.col("s1"), F.lit(0.0))
+        ).alias("s"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        r6(F.col("s")).alias("total"),
+        r6(F.col("s") / F.col("n")).alias("mean"),
+    )
+
+
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 
@@ -4719,6 +4763,7 @@ _DRIVER_FIRST = [
     # registered past the 50-cap this round; driver-checked in round 4+ (all
     # locally oracle-verified)
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
+    "q_incremental_agg",
 ]
 
 
