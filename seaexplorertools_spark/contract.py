@@ -4684,6 +4684,36 @@ def q_first_touch(spark, sf_dir):
     )
 
 
+@q("ann_recall_report")  # approximate methods measured vs exact → rows-only
+def ann_recall_report(spark, sf_dir):
+    """Recall@5 of every approximate ANN path (banded-LSH, IVF nprobe=6,
+    PQ-ADC) against the exact brute-force top-5, computed IN-ENGINE as a
+    DataFrame — one row per method. An approximate operator without a
+    measured recall is unfalsifiable (round-1 verdict); this makes the
+    measurement a standing driver-recorded artifact, not just a pytest.
+    The overlap join is (query_id, nbr_id)-keyed; truth and approx sets
+    are both |queries|×5, so the whole check is dim-sized."""
+    from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk, pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, qs, k=5).select("query_id", "nbr_id").cache()
+    n_truth = truth.count()
+
+    def rec(df, method):
+        hits = df.select("query_id", "nbr_id").join(truth, ["query_id", "nbr_id"]).count()
+        return (method, round(hits / n_truth, 6))
+
+    rows = [
+        rec(lsh_topk(e, qs, dim=64, k=5), "lsh_banded"),
+        rec(ivf_topk(e, qs, n_cells=8, nprobe=6, k=5), "ivf_nprobe6"),
+        rec(pq_topk(e, qs, n_sub=16, n_cent=16, k=5, shortlist=100), "pq_adc"),
+    ]
+    return spark.createDataFrame(rows, "method string, recall_at_5 double")
+
+
 @q(
     "q_incremental_agg",
     """
@@ -4763,7 +4793,7 @@ _DRIVER_FIRST = [
     # registered past the 50-cap this round; driver-checked in round 4+ (all
     # locally oracle-verified)
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
-    "q_incremental_agg",
+    "q_incremental_agg", "ann_recall_report",
 ]
 
 
