@@ -4715,6 +4715,96 @@ def ann_recall_report(spark, sf_dir):
 
 
 @q(
+    "q_hybrid_rrf",
+    f"""
+    WITH base AS (
+      SELECT vec_id AS doc_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+      FROM embeddings WHERE vec_id < 500
+    ),
+    qv AS (SELECT ed AS q FROM base WHERE doc_id = 0),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY
+               list_dot_product(ed, q)
+               / (sqrt(list_dot_product(ed, ed)) * sqrt(list_dot_product(q, q)))
+               DESC, doc_id) AS r_dense
+      FROM base, qv
+    ),
+    toks AS (SELECT doc_id, unnest({{tok}}) AS tok FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'data', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+      FROM bm25
+    )
+    SELECT doc_id, r_dense, r_sparse,
+           round(1.0 / (60 + r_dense)
+                 + coalesce(1.0 / (60 + r_sparse), 0.0), 6) AS rrf
+    FROM dense LEFT JOIN sparse USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the dense rank
+    (cosine vs the doc-0 embedding) and the sparse rank (BM25, 3-term
+    query). Both ranks avoid the single-partition global window via
+    operators/rank.py::global_rank. Cross-engine determinism: embeddings
+    are cast float→double BEFORE the dot products, which makes Spark's
+    ``zip_with``/``aggregate`` chain bit-identical to DuckDB's
+    ``list_dot_product`` (verified 500/500 exact; the float32 path
+    differs at ~1e-7 and would make ranks engine-dependent), and the BM25
+    side ranks on its 6-dp-rounded oracle-matched score. At scale the
+    dense rank's crossJoin is replaced by the ANN shortlist — the fusion
+    stage is unchanged."""
+    from .operators.rank import global_rank
+    from .operators.similarity import dot
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    base = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    qv = base.filter(F.col("doc_id") == 0).select(F.col("ed").alias("q"))
+    ed, q_ = F.col("ed"), F.col("q")
+    cos = dot(ed, q_) / (F.sqrt(dot(ed, ed)) * F.sqrt(dot(q_, q_)))
+    dense = global_rank(
+        base.crossJoin(F.broadcast(qv)).select("doc_id", cos.alias("c")),
+        [F.col("c").desc(), F.col("doc_id")],
+        "r_dense",
+    ).select("doc_id", "r_dense")
+    sparse = global_rank(
+        q_bm25_search(spark, sf_dir),
+        [F.col("bm25").desc(), F.col("doc_id")],
+        "r_sparse",
+    ).select("doc_id", "r_sparse")
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(60) + F.col("r_dense"))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sparse")), F.lit(0.0)),
+        6,
+    )
+    return (
+        dense.join(sparse, "doc_id", "left")
+        .select("doc_id", "r_dense", "r_sparse", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
     "q_incremental_agg",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
@@ -4760,6 +4850,7 @@ def q_incremental_agg(spark, sf_dir):
 
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
+ORACLES["q_hybrid_rrf"] = ORACLES["q_hybrid_rrf"].format(tok=_TOK_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -4793,7 +4884,7 @@ _DRIVER_FIRST = [
     # registered past the 50-cap this round; driver-checked in round 4+ (all
     # locally oracle-verified)
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
-    "q_incremental_agg", "ann_recall_report",
+    "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf",
 ]
 
 
