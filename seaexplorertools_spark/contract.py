@@ -4715,6 +4715,238 @@ def ann_recall_report(spark, sf_dir):
 
 
 @q(
+    "q_tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade flow —
+    the same dim (nation) joins TWICE under different roles, with a
+    cross-role disjunctive filter evaluated post-join. Both nation copies
+    broadcast; the (supp,cust) pair predicate cannot push to either scan
+    alone, the per-role IN('NATION_1','NATION_2') residuals can (and do)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q8",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): 8-table snowflake where the share
+    numerator is a conditional slice of the SAME aggregate — one pass, no
+    self-join; region filter prunes through the customer-side nation role
+    only (the supplier-side nation stays unfiltered for the CASE)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n2_region"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r6(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", net).otherwise(F.lit(0.0)))
+                / F.sum(net)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q_tpch_q13",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): LEFT join with a non-key join
+    condition (the filter belongs to the JOIN, not a WHERE — moving it
+    would drop zero-order customers), two-level aggregate; count(col)
+    null-skipping keeps the zero bucket."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q_tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): aggregate → scalar-max subquery → filter.
+    The revenue CTE is computed once and cached; the max is a 1-row
+    broadcast joined back (J5 pattern) — no second lineitem scan, no
+    collect. Ties (if any) return every top supplier, same as the spec."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("total_revenue"))
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q_tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    average decorrelated into a groupBy-aggregate broadcast back onto the
+    fact — each part's 0.2·avg threshold computed once, not per row; the
+    brand filter prunes the part side before both joins."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(thresh), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_corpus_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('ep1:' || doc_id::VARCHAR), doc_id) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle: global training order = rank under a
+    salted hash of the id — reproducible across runs/engines (seed = the
+    salt string, here epoch 'ep1'), with none of the
+    single-partition-window trap (operators/rank.py::global_rank). Change
+    the salt per epoch for fresh orders; ranks stay exact, so resuming a
+    run mid-epoch is a WHERE on shuffle_pos."""
+    from .operators.rank import global_rank
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+    return global_rank(
+        docs.withColumn("__k", key), [F.col("__k"), F.col("doc_id")], "shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
+
+
+@q(
     "q_hybrid_rrf",
     f"""
     WITH base AS (
@@ -4884,7 +5116,8 @@ _DRIVER_FIRST = [
     # registered past the 50-cap this round; driver-checked in round 4+ (all
     # locally oracle-verified)
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
-    "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf",
+    "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
 ]
 
 
