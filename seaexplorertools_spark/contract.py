@@ -4922,6 +4922,312 @@ def q_tpch_q17(spark, sf_dir):
     )
 
 
+# The driver snapshot has no partsupp table; Q2/Q9/Q11/Q20 run over a
+# DERIVED supply table — distinct (part, supplier) pairs from lineitem with
+# min unit price as supplycost and total shipped quantity as availqty.
+# Deterministic, so the shapes stay exactly oracle-checkable. supplycost
+# uses tie-proof r6p: price/qty lands on the decimal grid, where Spark's
+# HALF_UP and DuckDB's rounding disagree on exact .5 ties.
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             floor(min(l_extendedprice / l_quantity) * 1000000.0 + 0.5) / 1000000.0
+               AS ps_supplycost,
+             round(sum(l_quantity), 6) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_ps(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        r6p(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("ps_supplycost"),
+        r6(F.sum("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@q(
+    "q_tpch_q2",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mincost AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM part
+      JOIN eu ON ps_partkey = p_partkey
+      JOIN mincost ON mincost.ps_partkey = p_partkey AND ps_supplycost = mc
+    WHERE p_size = 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) over the derived supply table: the
+    correlated min-subquery decorrelates to a per-part min aggregate
+    joined back (computed on the region-filtered slice ONCE — not per
+    part-row); supplier/nation/region broadcast; top-20 is a distributed
+    TakeOrdered with a (acctbal, nation, supplier, part) total order."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mincost = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        p.join(eu, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            mincost,
+            (F.col("m_partkey") == F.col("p_partkey")) & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q9",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(floor((l_extendedprice * (1 - l_discount)
+                            - ps_supplycost * l_quantity) * 1000000.0 + 0.5)
+                     / 1000000.0), 6) AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) over the derived supply table: the
+    profit term has CANCELLATION (revenue − cost), so each term is rounded
+    to 6 dp with the tie-proof floor-based r6p BEFORE the sum (money-grid
+    products land on exact .5 ties where HALF_UP and HALF_EVEN disagree —
+    measured 3.2e-5 drift with plain round) — both engines then add
+    identical doubles and the outer rounding only removes
+    summation-order noise. The ps join is
+    a composite-key (part, supp) shuffle join against the fact — the one
+    join here that stays big-big at 100 TB; bucketing both sides on
+    l_partkey would co-locate it (tests/test_bucketing.py shows the
+    layout)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    ps = _derived_ps(spark, sf_dir)
+    term = r6p(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(r6(F.sum(term)).alias("profit"))
+    )
+
+
+@q(
+    "q_tpch_q11",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    j AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+    )
+    SELECT ps_partkey, round(sum(val), 6) AS value
+    FROM j GROUP BY ps_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM j)
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock) over the derived supply table: per-part
+    value filtered against a fraction of the GLOBAL value — the scalar
+    total is a 1-row broadcast from the same cached slice, so the data is
+    scanned once, not once per side of the HAVING."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    j = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"))
+        .cache()
+    )
+    total = j.agg((F.sum("val") * F.lit(0.001)).alias("thresh"))
+    return (
+        j.groupBy("ps_partkey")
+        .agg(F.sum("val").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("ps_partkey", r6(F.col("raw_value")).alias("value"))
+    )
+
+
+@q(
+    "q_tpch_q20",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+      JOIN ps ON ps_suppkey = s_suppkey
+      JOIN part ON p_partkey = ps_partkey AND p_type = 'PROMO'
+      LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    WHERE ps_availqty > 0.5 * coalesce(qty97, 0)
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (excess-stock suppliers) over the derived supply table:
+    availability vs half the year's shipments per (part, supplier) — the
+    nested IN-subquery chain decorrelates to aggregate + left join +
+    distinct project; part filter broadcasts into the supply slice."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("sh_partkey"), F.col("l_suppkey").alias("sh_suppkey")
+    ).agg(F.sum("l_quantity").alias("qty97"))
+    return (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("sh_partkey") == F.col("ps_partkey"))
+            & (F.col("sh_suppkey") == F.col("ps_suppkey")),
+            "left",
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.coalesce(F.col("qty97"), F.lit(0.0)))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@q(
+    "q_tpch_q21",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    w AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey FROM l l1
+      WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 80 DAY
+        AND EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l3.o_orderdate + INTERVAL 80 DAY)
+    )
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM w JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting; lateness = shipped
+    > 80 days after order date, standing in for the absent receipt/commit
+    dates): the EXISTS + NOT-EXISTS pair over the same fact decorrelates
+    to ONE per-order aggregate — n_suppliers and n_late_suppliers — and
+    the qualifying pairs are late rows where n_suppliers > 1 AND
+    n_late_suppliers = 1. One shuffle on l_orderkey instead of three
+    correlated rescans; the oracle keeps the textbook EXISTS formulation,
+    so the driver check proves the decorrelation equivalence."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAY")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    w = (
+        l.filter(F.col("late"))
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        w.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
+    "q_tpch_q22",
+    """
+    SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 6) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global-sales opportunity; market segment stands in for
+    the absent phone country code, and 'no URGENT orders' for 'no orders'
+    — every synthetic customer has orders, which would make the textbook
+    predicate vacuous): scalar-avg broadcast + broadcast LEFT ANTI join
+    against the urgent-order custkeys, then a segment rollup."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(F.broadcast(o), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), r6(F.sum("c_acctbal")).alias("totacctbal"))
+    )
+
+
 @q(
     "q_corpus_shuffle",
     """
@@ -5118,6 +5424,7 @@ _DRIVER_FIRST = [
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
 ]
 
 
