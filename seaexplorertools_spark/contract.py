@@ -2119,15 +2119,43 @@ def udf_soundspeed_mackenzie(spark, sf_dir):
     """,
 )
 def dd_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming distance of 32-bit fingerprints <= 3.
-    At 100 TB the pair join blocks on a fingerprint prefix instead of the
-    full cross join (same banding idea as minhash-LSH)."""
+    """SimHash near-dup pairs: hamming distance of 32-bit fingerprints ≤ 3.
+
+    Pair generation BLOCKS on 8-bit bands (pigeonhole: ≤ 3 differing bits
+    can dirty at most 3 of the 4 bands, so every qualifying pair matches
+    EXACTLY in ≥ 1 band) — the join is a hash join on (band_idx,
+    band_value) with candidates bounded by Σ bucket², then the exact
+    hamming filter and a distinct (a pair can collide in up to 4 bands).
+    The previous all-pairs `doc1 < doc2` nested-loop formulation is the
+    O(N²) trap this replaces; the oracle keeps the all-pairs SQL, so the
+    driver check proves the banding loses no pairs."""
     sh = simhash32(table(spark, sf_dir, "documents")).cache()  # self-joined
-    a = sh.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
-    b = sh.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
-    pairs = a.join(b, F.col("doc1") < F.col("doc2"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b_idx"),
+                F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("b_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    sb = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.b_idx").alias("b_idx"), F.col("b.b_val").alias("b_val")
+    )
+    a = sb.select(
+        F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"), "b_idx", "b_val"
+    )
+    b = sb.select(
+        F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"), "b_idx", "b_val"
+    )
+    cand = (
+        a.join(b, ["b_idx", "b_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "h1", "h2")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return pairs.select("doc1", "doc2", hamming.cast("long").alias("hamming")).filter(
+    return cand.select("doc1", "doc2", hamming.cast("long").alias("hamming")).filter(
         F.col("hamming") <= 3
     )
 
