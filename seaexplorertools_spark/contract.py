@@ -5257,6 +5257,38 @@ def q_tpch_q22(spark, sf_dir):
 
 
 @q(
+    "q_label_centroids",
+    """
+    SELECT label, s.n - 1 AS dim,
+           round(avg(embedding[s.n]::DOUBLE), 6) AS centroid,
+           round(stddev_pop(embedding[s.n]::DOUBLE), 6) AS spread,
+           count(*)::BIGINT AS n_vecs
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS n) s
+    GROUP BY label, s.n
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid + dispersion, per dimension — the
+    cluster-quality report behind SemDeDup/IVF tuning. posexplode turns
+    the vector column into (label, dim, value) rows and ONE map-side-
+    combined aggregate produces mean and population-stddev for all
+    (label, dim) cells; no UDF, no driver collect. Shuffle volume is
+    |labels|×|dims| partial states per task regardless of row count —
+    the same plan summarizes a 100 TB embedding store."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            r6(F.avg(F.col("v").cast("double"))).alias("centroid"),
+            r6(F.stddev_pop(F.col("v").cast("double"))).alias("spread"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+@q(
     "q_corpus_shuffle",
     """
     SELECT doc_id,
@@ -5453,6 +5485,7 @@ _DRIVER_FIRST = [
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_label_centroids",
 ]
 
 
