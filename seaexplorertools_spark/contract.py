@@ -5207,15 +5207,19 @@ def q_tpch_q21(spark, sf_dir):
     l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAY")
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # two-stage aggregate instead of count_distinct×2: the distinct pairs
+    # reduce first, then a plain count — same answer, same local wall time
+    # (overhead-bound at these SFs), but WITHOUT the Expand operator that
+    # duplicates every fact row once per distinct-aggregate at scale
+    per_pair = l.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late_supp"),
     )
     w = (
-        l.filter(F.col("late"))
+        per_pair.filter(F.col("late"))
         .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)), "l_orderkey")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         w.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -5254,6 +5258,53 @@ def q_tpch_q22(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), r6(F.sum("c_acctbal")).alias("totacctbal"))
     )
+
+
+@q(
+    "q_countmin_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({{tok}}) AS tok FROM documents),
+    rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cms AS (
+      SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 12))::BIGINT % 256 AS c,
+             count(*) AS cnt
+      FROM toks CROSS JOIN rs GROUP BY 1, 2
+    ),
+    true_counts AS (SELECT tok, count(*)::BIGINT AS true_count FROM toks GROUP BY tok),
+    top AS (SELECT tok, true_count FROM true_counts ORDER BY true_count DESC, tok LIMIT 20),
+    probes AS (
+      SELECT tok, true_count, r,
+             ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 12))::BIGINT % 256 AS c
+      FROM top CROSS JOIN rs
+    )
+    SELECT tok, true_count, min(coalesce(cnt, 0))::BIGINT AS est_count
+    FROM probes LEFT JOIN cms USING (r, c) GROUP BY 1, 2
+    """,
+)
+def q_countmin_tokens(spark, sf_dir):
+    """Count-Min sketch (operators/sketches.py::countmin_table/estimate):
+    4×256 counters over the corpus token stream, probed for the 20 most
+    frequent tokens next to their true counts. Like KMV, the md5 hashing
+    makes this approximate structure fully deterministic — the oracle
+    rebuilds the identical counter table, and the CMS guarantee
+    (est ≥ true, overshoot bounded by collisions) is visible in the
+    output rows. The sketch is a constant-size, merge-by-addition partial
+    aggregate — the heavy-hitter primitive for unbounded streams."""
+    from .operators.dedup import tokens as tok_fn
+    from .operators.sketches import countmin_estimate, countmin_table
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(tok_fn(F.col("text"))).alias("tok")
+    )
+    cms = countmin_table(toks, "tok", depth=4, width=256)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = countmin_estimate(cms, top.select("tok"), "tok", depth=4, width=256)
+    return top.join(est, "tok").select("tok", "true_count", "est_count")
 
 
 @q(
@@ -5449,6 +5500,7 @@ def q_incremental_agg(spark, sf_dir):
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 ORACLES["q_hybrid_rrf"] = ORACLES["q_hybrid_rrf"].format(tok=_TOK_SQL)
+ORACLES["q_countmin_tokens"] = ORACLES["q_countmin_tokens"].format(tok=_TOK_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -5485,7 +5537,7 @@ _DRIVER_FIRST = [
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_label_centroids",
+    "q_label_centroids", "q_countmin_tokens",
 ]
 
 

@@ -73,6 +73,56 @@ def kmv_distinct(
     )
 
 
+def countmin_table(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch table: ``(r, c, cnt)`` counters, ``depth`` hash
+    rows × ``width`` columns. Row r's column for a value is
+    ``hash48(r || ':' || value) % width`` — the same md5 idiom as KMV, so
+    a DuckDB oracle rebuilds the identical table. One map-side-combined
+    aggregate; the sketch is ``depth × width`` counters regardless of
+    stream size, and two sketches merge by adding counters (linear)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    e = df.where(F.col(value_col).isNotNull()).select(F.col(value_col).alias("__v"), rows)
+    c = F.pmod(
+        uniform_hash48(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__v").cast("string"))),
+        F.lit(width),
+    )
+    return e.select("r", c.alias("c")).groupBy("r", "c").agg(F.count("*").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate counts for ``items`` from a CMS table: min over the
+    depth rows of the addressed counters (the classic upward-biased
+    estimate). The sketch side is depth×width rows — a broadcast — so
+    estimation is a map-side join however many items are probed."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    probes = items.select(F.col(item_col).alias("__item"), rows)
+    c = F.pmod(
+        uniform_hash48(
+            F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__item").cast("string"))
+        ),
+        F.lit(width),
+    )
+    return (
+        probes.withColumn("c", c)
+        .join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(F.col("__item").alias(item_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
 def kmv_merge(shard_sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """Merge per-shard KMV hash sets (rows of (group..., h)) into one sketch
     per group — union distinct then re-take the K minimum. Used by the

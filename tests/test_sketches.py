@@ -84,3 +84,35 @@ def test_kmv_shard_merge_law(spark, sf_dir):
     assert merged["kth_hash"] == whole["kth_hash"]
     assert merged["n_kept"] == whole["n_kept"]
     assert merged["est_distinct"] == whole["est_distinct"]
+
+
+def test_countmin_never_underestimates_and_merges_linearly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.dedup import tokens
+    from seaexplorertools_spark.operators.sketches import countmin_estimate, countmin_table
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .cache()
+    )
+    cms = countmin_table(toks, "tok", depth=4, width=128)
+    true = toks.groupBy("tok").agg(F.count("*").alias("t"))
+    est = countmin_estimate(cms, true.select("tok"), "tok", depth=4, width=128)
+    j = true.join(est, "tok")
+    # CMS guarantee: estimate >= true count, always
+    assert j.filter(F.col("est_count") < F.col("t")).count() == 0
+    # merge-by-addition: sketch(all) == sketch(shard1) + sketch(shard2)
+    h = F.crc32(F.col("tok")) % 2
+    s1 = countmin_table(toks.filter(h == 0), "tok", depth=4, width=128)
+    s2 = countmin_table(toks.filter(h == 1), "tok", depth=4, width=128)
+    merged = (
+        s1.select("r", "c", "cnt").unionAll(s2.select("r", "c", "cnt"))
+        .groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        cms.join(merged, ["r", "c"], "full_outer")
+        .filter(cms["cnt"].eqNullSafe(merged["cnt"]) == False)  # noqa: E712
+    )
+    assert diff.count() == 0
