@@ -105,3 +105,22 @@ def compact_parquet_zorder(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(dst)
+
+
+def file_stats(df: DataFrame, key_col: str, value_col: str | None = None) -> DataFrame:
+    """Per-physical-file statistics rollup (``input_file_name()``): row
+    count and key extents per parquet file — the observability primitive
+    behind compaction planning (small-file detection), data-skipping
+    validation (are file extents disjoint after Z-order/linear sort?) and
+    scan-skew diagnosis. File-local aggregation ⇒ only |files| partial
+    states shuffle, never fact rows."""
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return df.groupBy(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+    ).agg(*aggs)

@@ -60,3 +60,22 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     one = spark.read.parquet(files[0]).select("lang", "n_chars").collect()
     keys = [(r["lang"], r["n_chars"]) for r in one]
     assert keys == sorted(keys)
+
+
+def test_file_stats_matches_direct_read(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.sources.compact import file_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li4")
+    li.repartition(4).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+    stats = file_stats(df, "l_orderkey", "l_quantity").collect()
+    assert len(stats) == 4
+    assert sum(r["n_rows"] for r in stats) == li.count()
+    lo = min(r["min_key"] for r in stats)
+    hi = max(r["max_key"] for r in stats)
+    direct = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    assert (lo, hi) == (direct[0], direct[1])
+    assert abs(sum(r["total_value"] for r in stats) - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
