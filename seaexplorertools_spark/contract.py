@@ -5308,6 +5308,66 @@ def q_countmin_tokens(spark, sf_dir):
 
 
 @q(
+    "q_dq_checks",
+    """
+    WITH wide AS (
+      SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn,
+        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS av,
+        sum(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000) OR o_totalprice IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS rng
+      FROM orders
+    ),
+    uniq AS (
+      SELECT sum(n - 1)::BIGINT AS u FROM (
+        SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    ),
+    refi AS (
+      SELECT count(*)::BIGINT AS r FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    )
+    SELECT 'not_null:o_custkey' AS "check", nn AS n_violations FROM wide
+    UNION ALL SELECT 'accepted_values:o_orderstatus', av FROM wide
+    UNION ALL SELECT 'in_range:o_totalprice', rng FROM wide
+    UNION ALL SELECT 'unique:o_orderkey', u FROM uniq
+    UNION ALL SELECT 'referential:o_custkey->c_custkey', r FROM refi
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality suite (operators/quality.py — the
+    dbt-tests/Deequ shape): not-null, accepted-values, range, uniqueness,
+    and referential integrity over orders, reported as one
+    (check, n_violations) table. The column-predicate checks compile into
+    ONE conditional-sum aggregate (one scan for the whole suite — N
+    separate filter().count() actions would scan N times); uniqueness is
+    a keyed aggregate and the FK check a broadcast anti-join count."""
+    from .operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential_check,
+        run_checks,
+        unique_check,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    scans = run_checks(
+        o,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 1_000_000),
+        ],
+    )
+    return scans.unionAll(unique_check(o, ["o_orderkey"])).unionAll(
+        referential_check(o, "o_custkey", c, "c_custkey")
+    )
+
+
+@q(
     "q_label_centroids",
     """
     SELECT label, s.n - 1 AS dim,
@@ -5537,7 +5597,7 @@ _DRIVER_FIRST = [
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_label_centroids", "q_countmin_tokens",
+    "q_label_centroids", "q_countmin_tokens", "q_dq_checks",
 ]
 
 
