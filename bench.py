@@ -42,6 +42,21 @@ HEADLINE = [
     "udf_soundspeed_mackenzie",  # Arrow pandas-UDF path
 ]
 
+# round-3 flagship additions, timed in the same run and reported under
+# "extra_queries" — separate keys so "value" stays comparable with the
+# round-1/2 17-query floor in BASELINE.md
+EXTRA = [
+    "q_tpch_q5",            # 6-table snowflake join
+    "q_tpch_q9",            # derived-supply profit (composite-key join)
+    "q_kmv_distinct",       # deterministic KMV sketch
+    "q_countmin_tokens",    # Count-Min heavy hitters
+    "txt_winnow",           # array-domain winnowing fingerprints
+    "dd_winnow_containment",# df-capped containment self-join
+    "q_curriculum_order",   # distributed global rank
+    "q_hybrid_rrf",         # BM25 + dense cosine fusion
+    "q_dq_checks",          # one-scan data-quality suite
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,6 +78,16 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in contract.QUERIES:
+            continue
+        contract.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        contract.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extra[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -70,6 +95,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extra_queries": extra,
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": sf,
                 "mode": "warm (per-query warmup run, second run timed)",
             }
