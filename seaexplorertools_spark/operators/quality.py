@@ -73,3 +73,19 @@ def referential_check(
         .agg(F.count("*").cast("long").alias("n_violations"))
     )
     return n.select(F.lit(name).alias("check"), "n_violations")
+
+
+def observed_checks(df: DataFrame, checks: list[tuple[str, Column]], name: str = "dq"):
+    """Attach the check suite as ``df.observe`` metrics: violation counts
+    are accumulated DURING whatever job next materializes ``df`` — zero
+    extra scans, zero extra shuffles (the at-scale way to monitor a
+    production write: the sink job itself reports quality). Returns
+    ``(df, observation)``; read ``observation.get`` after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(cname)
+        for cname, pred in checks
+    ]
+    return df.observe(obs, *metrics), obs

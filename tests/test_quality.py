@@ -1,0 +1,62 @@
+"""Data-quality operators (operators/quality.py): one-pass suite counts,
+and observe()-attached metrics that ride along an existing job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.operators.quality import (
+    accepted_values,
+    in_range,
+    not_null,
+    observed_checks,
+    referential_check,
+    run_checks,
+    unique_check,
+)
+
+
+def test_run_checks_counts_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "X", -5.0), (None, "F", 20.0), (3, None, 1e9)],
+        "k long, st string, price double",
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in run_checks(
+            df,
+            [
+                not_null("k"),
+                accepted_values("st", ["O", "F", "P"]),
+                in_range("price", 0, 1_000_000),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null:k": 1,
+        "accepted_values:st": 2,  # 'X' and NULL
+        "in_range:price": 2,  # -5.0 and 1e9
+    }
+
+
+def test_unique_and_referential(spark):
+    fact = spark.createDataFrame([(1, 7), (1, 7), (2, 8), (3, None)], "id long, fk long")
+    dim = spark.createDataFrame([(7,)], "pk long")
+    u = unique_check(fact, ["id"]).first()
+    assert (u["check"], u["n_violations"]) == ("unique:id", 1)
+    r = referential_check(fact, "fk", dim, "pk").first()
+    assert (r["check"], r["n_violations"]) == ("referential:fk->pk", 1)  # fk=8; NULL skipped
+
+
+def test_observed_checks_ride_existing_job(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    checks = [not_null("o_custkey"), in_range("o_totalprice", 0, 1_000_000)]
+    df, obs = observed_checks(o, checks)
+    # the "job" is an ordinary aggregate — metrics accumulate during it
+    n = df.agg(F.count("*")).first()[0]
+    got = obs.get
+    direct = {
+        name: o.filter(pred).count() for name, pred in checks
+    }
+    assert n == o.count()
+    assert got == direct
