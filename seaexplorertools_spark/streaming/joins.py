@@ -45,3 +45,34 @@ def stream_interval_join(
     for c in conds[1:]:
         cond = cond & c
     return l.join(r, cond)
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    time_col: str,
+    tol_seconds: int,
+    watermark_delay: str = "1 minute",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: matched pairs emit like the
+    inner join; an UNMATCHED left row emits with null right columns only
+    after the right watermark passes its tolerance window (before that,
+    a match could still arrive — outer results are inherently
+    watermark-delayed). Same bounded-state guarantee as the inner join;
+    this is the streaming twin of enrich-or-null pipelines where absence
+    is itself signal (e.g. click-without-impression detection)."""
+    l = left.withWatermark(time_col, watermark_delay)
+    r = right.withWatermark(time_col, watermark_delay)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"{c}{right_suffix}")
+    keys = [F.col(k) == F.col(f"{k}{right_suffix}") for k in on]
+    lo = F.col(time_col) - F.expr(f"INTERVAL {tol_seconds} SECONDS")
+    hi = F.col(time_col) + F.expr(f"INTERVAL {tol_seconds} SECONDS")
+    rt = F.col(f"{time_col}{right_suffix}")
+    conds = keys + [rt >= lo, rt <= hi]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return l.join(r, cond, "left_outer")
