@@ -4240,6 +4240,56 @@ def q_kmv_distinct(spark, sf_dir):
 
 
 @q(
+    "q_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, h >> 40 AS idx, h % 1099511627776 AS w FROM h
+    ),
+    r AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m_rho
+      FROM b GROUP BY event_type, idx
+    ),
+    s AS (
+      SELECT event_type, sum(power(2.0, -m_rho)) AS s_nz, count(*) AS nz
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           (256 - nz)::BIGINT AS n_zero_regs,
+           round(CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                             / (s_nz + (256 - nz)) <= 640.0
+                       AND nz < 256
+                      THEN 256.0 * ln(256.0 / (256 - nz))
+                      ELSE ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                             / (s_nz + (256 - nz)) END, 2) AS est_distinct
+    FROM s
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """From-scratch HyperLogLog distinct-count per event_type
+    (operators/sketches.py::hll_registers/hll_estimate): p=8 → 256
+    registers from the top bits of the md5-derived 48-bit hash, register =
+    max leading-zero rank of the 40-bit suffix, Flajolet-2007 estimator
+    with the linear-counting small-range correction. Every arithmetic step
+    (exact powers of two summing inside 52 mantissa bits, shared md5 hash)
+    is engine-portable, so this APPROXIMATE sketch has an EXACT DuckDB
+    oracle — same falsifiability bar as q_kmv_distinct, completing the
+    sketch family (KMV, Count-Min, HLL). Registers merge by elementwise
+    max (hll_merge — the 100 TB shard-combine path, law-tested in
+    tests/test_sketches.py). Reference A6 distinct-days
+    (process_adcp.py:1246-1252) is the exact-count twin."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    regs = hll_registers(events(spark, sf_dir), "user_id", ["event_type"], p=8)
+    return hll_estimate(regs, ["event_type"], p=8)
+
+
+@q(
     "txt_winnow",
     """
     WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
@@ -5597,7 +5647,7 @@ _DRIVER_FIRST = [
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_label_centroids", "q_countmin_tokens", "q_dq_checks",
+    "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
 ]
 
 

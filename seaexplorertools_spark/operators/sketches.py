@@ -1,11 +1,15 @@
 """Mergeable distinct-count sketches with engine-portable determinism.
 
 Spark ships HLL sketches (``hll_sketch_agg`` — tested in
-``tests/test_sketches.py``), but HLL estimates are implementation-defined,
-so they can't be oracle-verified across engines. The K-Minimum-Values (KMV)
-sketch here is fully deterministic given the hash function: hash every
-value to a uniform 48-bit integer via md5 (an idiom both Spark and DuckDB
-compute identically), keep the K smallest distinct hashes, and estimate
+``tests/test_sketches.py``), but those binary sketches are
+implementation-defined, so they can't be oracle-verified across engines.
+The sketches here are fully deterministic given the hash function — md5
+onto 48 bits, an idiom both Spark and DuckDB compute identically — so even
+the APPROXIMATE estimators get exact cross-engine oracles: K-Minimum-Values
+(``kmv_distinct``), Count-Min (``countmin_table``), and a from-scratch
+HyperLogLog (``hll_registers``/``hll_estimate``/``hll_merge``).
+
+KMV keeps the K smallest distinct hashes and estimates
 
     distinct ≈ (K - 1) / (h_K / 2^48)        (Beyer et al., PODS 2007)
 
@@ -132,6 +136,90 @@ def countmin_estimate(
         .groupBy(F.col("__item").alias(item_col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table: ``(group_cols..., idx, m_rho)``.
+
+    The 48-bit md5 hash splits into a ``p``-bit register index (top bits)
+    and a ``48-p``-bit suffix ``w``; ``rho = (48-p) + 1 - bitlength(w)``
+    (leading-zero count + 1, the Flajolet et al. 2007 observable) and each
+    register keeps the max. Unlike Spark's built-in ``hll_sketch_agg``
+    (implementation-defined binary sketches), every step here is an
+    engine-portable expression — bitlength is ``length(conv(w, 10, 2))`` in
+    Spark and ``length(bin(w))`` in DuckDB — so the register table and the
+    estimate are EXACTLY reproducible by the SQL oracle.
+
+    Scale posture: one map-side-combined max-aggregate; the sketch is at
+    most ``2^p`` rows per group no matter the input size, and shard
+    sketches merge by elementwise register max (``hll_merge``)."""
+    gcols = group_cols or []
+    wbits = HASH_BITS - p
+    h = uniform_hash48(F.col(value_col))
+    idx = F.shiftright(h, wbits)
+    w = F.pmod(h, F.lit(1 << wbits))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*gcols, "idx")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """HLL estimate from a register table: ``(group_cols..., n_zero_regs,
+    est_distinct)``.
+
+    raw = alpha_m * m^2 / sum_j 2^(-M_j) with absent registers counting
+    2^0 = 1; the small-range (linear counting) correction ``m*ln(m/V)``
+    applies when raw <= 2.5m and V (zero registers) > 0 — the classic
+    Flajolet regime split. Every 2^(-M_j) term is an exact power of two
+    and the terms span < 52 bits, so the sum is EXACT in IEEE double and
+    order-independent — safe under Spark's parallel aggregation and
+    identical in DuckDB; rounding to 2 decimals absorbs any last-ulp
+    ``ln`` divergence in the linear-counting branch."""
+    gcols = group_cols or []
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    stats = registers.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("s_nz"),
+        F.count("*").alias("nz"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    raw = F.lit(alpha * m * m) / (F.col("s_nz") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return stats.select(
+        *gcols,
+        zeros.cast("bigint").alias("n_zero_regs"),
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def hll_merge(
+    shard_registers: DataFrame, group_cols: list[str] | None = None, p: int = 8
+) -> DataFrame:
+    """Merge per-shard HLL register tables into one per group — elementwise
+    register max, the HLL merge law. Max is idempotent/commutative/
+    associative, so sketch-of-union == merge-of-sketches exactly (tested in
+    ``tests/test_sketches.py``); this is what makes HLL a partial aggregate
+    that never moves raw values between shards at 100 TB."""
+    gcols = group_cols or []
+    return shard_registers.groupBy(*gcols, "idx").agg(F.max("m_rho").alias("m_rho"))
 
 
 def kmv_merge(shard_sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:

@@ -86,6 +86,40 @@ def test_kmv_shard_merge_law(spark, sf_dir):
     assert merged["est_distinct"] == whole["est_distinct"]
 
 
+def test_portable_hll_error_bound(spark, sf_dir):
+    """From-scratch HLL (p=8 → 256 registers): estimate within the ~3×
+    standard-error envelope (1.04/sqrt(256) ≈ 6.5% → 20% bound) of the
+    exact distinct count, on both a small-cardinality (linear-counting
+    branch) and a larger (raw-estimator branch) column."""
+    from seaexplorertools_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for col in ("l_orderkey", "l_partkey"):
+        exact = li.select(col).distinct().count()
+        regs = hll_registers(li, col, p=8)
+        est = hll_estimate(regs, p=8).first()["est_distinct"]
+        assert abs(est - exact) / exact < 0.20, (col, est, exact)
+
+
+def test_portable_hll_merge_law_exact(spark, sf_dir):
+    """Unlike the DataSketches union gadget (bounded-error only, above),
+    the expression-level HLL merges EXACTLY: registers of the union ==
+    elementwise max of per-shard registers, so the merged estimate is
+    bit-identical to the whole-table estimate."""
+    from seaexplorertools_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = hll_estimate(hll_registers(ev, "user_id", p=8), p=8).first()
+    shards = hll_registers(ev, "user_id", ["event_type"], p=8).drop("event_type")
+    merged = hll_estimate(hll_merge(shards, p=8), p=8).first()
+    assert merged["est_distinct"] == whole["est_distinct"]
+    assert merged["n_zero_regs"] == whole["n_zero_regs"]
+
+
 def test_countmin_never_underestimates_and_merges_linearly(spark, sf_dir):
     from pyspark.sql import functions as F
 
