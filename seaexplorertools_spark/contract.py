@@ -2808,6 +2808,23 @@ def q_kmeans_iterate(spark, sf_dir):
     )
 
 
+@q("txt_bpe_train")  # iterative (driver-looped) — no single SQL oracle; rows-only
+def txt_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators/bpe.py::train_bpe): 16 merge rules learned on the weighted
+    distinct-word table (corpus-size-independent inner loop), pair counts
+    and greedy scan-merges all in JVM codegen, 4 symbol-disjoint merges
+    batched per round. Iterative driver-coordinated algorithm ⇒ rows-only
+    driver check; tests/test_bpe.py pins the merge sequence EXACTLY
+    against a pure-python classic-BPE reference (merges_per_round=1) plus
+    encode-path equivalence. LLM-pipeline surface (SURVEY §6) — the
+    trainer behind bpe_ish_token_count's fixed tokenizer."""
+    from .operators.bpe import merge_table, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    return merge_table(spark, train_bpe(docs, n_merges=16, merges_per_round=4))
+
+
 @q(
     "q_pack_sequences",
     f"""
@@ -5648,6 +5665,7 @@ _DRIVER_FIRST = [
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
+    "txt_bpe_train",
 ]
 
 
