@@ -3440,7 +3440,10 @@ def q_scd2_intervals(spark, sf_dir):
     to close each interval). valid_to IS NULL marks the current row.
     Scale: everything is keyed on user_id — one exchange, three sorts
     reused on the same partitioning."""
-    ev = events(spark, sf_dir)
+    return _scd2_intervals(events(spark, sf_dir))
+
+
+def _scd2_intervals(ev):
     w = Window.partitionBy("user_id").orderBy(*EV_ORDER)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     isl = (
@@ -3465,6 +3468,90 @@ def q_scd2_intervals(spark, sf_dir):
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_rows",
+    )
+
+
+@q(
+    "q_pit_join",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CASE WHEN lag(event_type) OVER ({_EV_W_SQL})
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type, tu,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM t
+    ),
+    iv AS (
+      SELECT user_id, min(event_type) AS attr, min(tu) AS valid_from
+      FROM isl GROUP BY user_id, island
+    ),
+    dim AS (
+      SELECT user_id, attr, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM iv
+    ),
+    f AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us,
+           d.attr AS attr_at_ts, d.valid_from AS dim_valid_from
+    FROM f JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts_us
+     AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+     AND (d.valid_to IS NULL OR d.valid_to > d.valid_from)
+    """,
+)
+def q_pit_join(spark, sf_dir):
+    """Point-in-time dimension join: each purchase fact picks the SCD2
+    attribute version valid AT its timestamp. The warehouse-standard
+    formulation is an interval-containment theta join (the oracle does
+    exactly that); the Spark-first scale path recognizes PIT == BACKWARD
+    AS-OF against interval starts and reuses the J2 union+window machinery
+    (operators/joins.py::asof_join, cast_values=False carries the STRING
+    attribute natively) — one shuffle on user_id, no per-key cross
+    product, same exchange as every other user-keyed stage. Degenerate
+    zero-width versions (possible only under same-microsecond attribute
+    flips) are dropped on both sides so fact instants resolve to the
+    surviving interval identically."""
+    ev = events(spark, sf_dir)
+    dim = _scd2_intervals(ev).filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    samples = dim.select(
+        "user_id",
+        F.col("valid_from").alias("ts_us"),
+        F.col("attr"),
+        F.col("valid_from").alias("dim_valid_from"),
+    )
+    from .operators.joins import asof_join
+
+    res = asof_join(
+        samples,
+        facts,
+        on="ts_us",
+        values=["attr", "dim_valid_from"],
+        partition_by=["user_id"],
+        direction="backward",
+        cast_values=False,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("attr").alias("attr_at_ts"),
+        "dim_valid_from",
     )
 
 
@@ -5665,7 +5752,7 @@ _DRIVER_FIRST = [
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
-    "txt_bpe_train",
+    "txt_bpe_train", "q_pit_join",
 ]
 
 

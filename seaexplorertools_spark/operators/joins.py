@@ -51,19 +51,30 @@ def _prep(
     values: list[str],
     partition_by: list[str],
     bucket: float | None,
+    cast_values: bool = True,
 ):
-    """Union samples (side=0) and probes (side=1) on a common schema."""
+    """Union samples (side=0) and probes (side=1) on a common schema.
+    ``cast_values=False`` keeps each value column's native type (as-of
+    record transport works on any type; only interp arithmetic needs
+    doubles)."""
+    vtype = {v: samples.schema[v].dataType for v in values}
     s = samples.select(
         *partition_by,
         F.col(on).cast("double").alias(_T),
-        *[F.col(v).cast("double").alias(v) for v in values],
+        *[
+            (F.col(v).cast("double") if cast_values else F.col(v)).alias(v)
+            for v in values
+        ],
         F.lit(0).alias(_SIDE),
     )
     probe_cols = [c for c in probes.columns if c not in values]
     p = probes.select(
         *probe_cols,
         F.col(on).cast("double").alias(_T),
-        *[F.lit(None).cast("double").alias(v) for v in values],
+        *[
+            F.lit(None).cast("double" if cast_values else vtype[v]).alias(v)
+            for v in values
+        ],
         F.lit(1).alias(_SIDE),
     )
     u = s.unionByName(p, allowMissingColumns=True)
@@ -151,16 +162,22 @@ def asof_join(
     tolerance: float | None = None,
     bucket: float | None = None,
     suffix: str = "",
+    cast_values: bool = True,
 ) -> DataFrame:
     """J2 — as-of join: attach the sample row's values at the nearest /
     latest-before / earliest-after sample time.
 
     ``direction``: 'nearest' (reference argmin-|Δt|, earlier wins ties),
     'backward' (classic as-of), 'forward'. ``tolerance`` drops matches with
-    |Δt| > tolerance (NULL result).
+    |Δt| > tolerance (NULL result). ``cast_values=False`` carries value
+    columns in their native types (strings, structs, …) — the matched-row
+    struct transport is type-agnostic; only the time column must be
+    numeric.
     """
     partition_by = partition_by or []
-    u, part_cols = _prep(samples, probes, on, values, partition_by, bucket)
+    u, part_cols = _prep(
+        samples, probes, on, values, partition_by, bucket, cast_values=cast_values
+    )
 
     w = Window.partitionBy(*part_cols).orderBy(_T, _SIDE)
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -140,3 +140,28 @@ def test_interval_join_matches_naive(spark):
     assert got == naive
     assert (1000, 1001) in got  # exactly tol apart
     assert (1001, 1002) not in got  # 100.5 apart
+
+
+def test_asof_backward_string_values_native(spark):
+    """cast_values=False carries non-numeric value columns (here a STRING
+    attribute) through the as-of record transport — the point-in-time
+    SCD2 join path (contract q_pit_join). Semantics must equal the
+    interval-containment formulation."""
+    from seaexplorertools_spark.operators.joins import asof_join
+
+    dim = spark.createDataFrame(
+        [(1, 0.0, "bronze"), (1, 10.0, "silver"), (1, 20.0, "gold"), (2, 5.0, "x")],
+        "k long, t double, attr string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 0.0), (101, 1, 9.9), (102, 1, 10.0), (103, 1, 25.0), (104, 2, 7.0)],
+        "fid long, k long, t double",
+    )
+    out = asof_join(
+        dim, facts, on="t", values=["attr"], partition_by=["k"],
+        direction="backward", cast_values=False,
+    )
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {100: "bronze", 101: "bronze", 102: "silver", 103: "gold", 104: "x"}
+    # dtype survives: attr is still a string column, not a double
+    assert dict(out.dtypes)["attr"] == "string"
