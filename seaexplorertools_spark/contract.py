@@ -2501,6 +2501,36 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "q_reservoir_sample",
+    """
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          / 4294967296.0,
+                        doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 25
+    """,
+)
+def q_reservoir_sample(spark, sf_dir):
+    """Exact-k per-group uniform sampling (operators/sampling.py::
+    reservoir_per_group): 25 docs per language, deterministic by
+    md5-derived draws — the distributed reservoir-sampling twin. The
+    oracle ranks whole groups; the Spark path pre-prunes each group to
+    draws below over*k/|group| before the window sort (with an exactness
+    patch-up for deficient groups), so a 100 TB group sorts ~4k rows, not
+    |group| — and the output is pinned bit-identical to the unpruned
+    formulation by this very oracle."""
+    from .operators.sampling import reservoir_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    out = reservoir_per_group(docs, ["lang"], "doc_id", k=25, salt="rs")
+    return out.select("lang", "doc_id", "sample_rank")
+
+
+@q(
     "txt_tfidf",
     f"""
     WITH tk AS (
@@ -5752,7 +5782,7 @@ _DRIVER_FIRST = [
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
-    "txt_bpe_train", "q_pit_join",
+    "txt_bpe_train", "q_pit_join", "q_reservoir_sample",
 ]
 
 

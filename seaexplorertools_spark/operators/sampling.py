@@ -19,6 +19,7 @@ from itertools import chain
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_uniform(key: Column, salt: str = "") -> Column:
@@ -54,3 +55,53 @@ def stratified_sample(
     )
     thr = F.coalesce(frac_map.getItem(F.col(strata_col)), F.lit(float(default)))
     return df.filter(hash_uniform(F.col(key_col), salt) < thr)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+    over: float = 4.0,
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, uniform without replacement,
+    deterministic: rank rows by (hash draw, key) within each group and
+    keep the k smallest — the distributed, rerun-stable equivalent of
+    per-group reservoir sampling. Adds ``sample_rank`` (1..k).
+
+    Scale path: sorting whole groups just to keep k is wasted work when
+    groups are huge, so rows are pre-pruned to draws below
+    ``min(1, over*k/|group|)`` (group sizes from one count aggregate)
+    before the window — the sort then touches ~over*k rows per group
+    instead of |group|. The prune is made EXACT, not probabilistic: any
+    group left deficient by the prune (P ≈ exp(-k(over-1-ln over)) —
+    vanishing for over=4, but nonzero) is recomputed through the
+    full-group window and unioned back, so the output is bit-identical to
+    the unpruned formulation (the DuckDB oracle) in every case."""
+    u = hash_uniform(F.col(key_col), salt)
+    src = df.withColumn("__u", u)
+    counts = src.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    thr = F.least(F.lit(1.0), F.lit(float(over * k)) / F.col("__n"))
+    pre = src.join(counts, group_cols).filter(F.col("__u") < thr)
+    w = Window.partitionBy(*group_cols).orderBy("__u", key_col)
+    ranked = pre.withColumn("sample_rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("sample_rank") <= k)
+    # exactness patch-up: groups whose prune kept fewer than min(k, n) —
+    # LEFT join from counts so a group the prune emptied entirely (absent
+    # from kept) is still detected
+    kept_counts = kept.groupBy(*group_cols).agg(F.count("*").alias("__kept"))
+    short = (
+        counts.join(kept_counts, group_cols, "left")
+        .filter(
+            F.coalesce(F.col("__kept"), F.lit(0)) < F.least(F.lit(k), F.col("__n"))
+        )
+        .select(*group_cols)
+    )
+    fallback = (
+        src.join(short, group_cols, "left_semi")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+    good = kept.join(short, group_cols, "left_anti").drop("__n")
+    return good.unionByName(fallback).drop("__u")

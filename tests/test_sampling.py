@@ -63,3 +63,31 @@ def test_uniform_range(spark):
     row = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")).collect()[0]
     assert 0.0 <= row["lo"] and row["hi"] < 1.0
     assert 0.4 < row["m"] < 0.6
+
+
+def test_reservoir_per_group_exact_and_prune_invariant(spark, sf_dir):
+    """Exactly min(k, |group|) per group; the threshold-prune scale path
+    (tight `over`, which forces the deficiency patch-up through the
+    fallback branch) is bit-identical to the pure-window formulation
+    (huge `over` => thr=1 => no prune); stable under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.sampling import reservoir_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 7
+    base = reservoir_per_group(docs, ["lang"], "doc_id", k=k)
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {g: min(k, n) for g, n in sizes.items()}
+
+    def key_set(df):
+        return {(r["lang"], r["doc_id"], r["sample_rank"]) for r in df.collect()}
+
+    ref = key_set(base)
+    # deficiency fallback path: prune keeps (almost) nothing, patch-up restores
+    assert key_set(reservoir_per_group(docs, ["lang"], "doc_id", k=k, over=1e-6)) == ref
+    # no-prune path
+    assert key_set(reservoir_per_group(docs, ["lang"], "doc_id", k=k, over=1e9)) == ref
+    # partitioning-invariant
+    assert key_set(reservoir_per_group(docs.repartition(17), ["lang"], "doc_id", k=k)) == ref
