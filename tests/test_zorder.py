@@ -1,62 +1,69 @@
-"""Z-order layout: every output file covers a tight range in BOTH
-dimensions (the property parquet min/max pruning needs), where a linear
-sort leaves the trailing dimension unpruned; key interleaving is exact."""
-
-from __future__ import annotations
-
-import glob
-import os
+"""Z-order key properties: Morton interleave round-trip, and the
+data-skipping guarantee — every leading-bit bucket bounds EVERY
+participating dimension (the thing a single-column sort cannot do)."""
 
 from pyspark.sql import functions as F
 
-from seaexplorertools_spark.sources.compact import (
-    compact_parquet,
-    compact_parquet_zorder,
-    zorder_key,
+from seaexplorertools_spark.operators.zorder import (
+    quantize,
+    spread16,
+    zorder_key2,
 )
 
 
-def test_zorder_key_interleaves_bits(spark):
-    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
-    # bit j of x -> position 2j; bit j of y -> 2j+1:
-    # x=101, y=011 -> z = 1·1 + 2·1 + 4·0 + 8·1 + 16·1 + 32·0 = 27
-    [row] = df.select(
-        zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
-    ).collect()
-    assert row["z"] == 0b011011
+def _morton2(x: int, y: int) -> int:
+    out = 0
+    for b in range(16):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
 
 
-def _per_file_extents(spark, path, col):
-    exts = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        row = spark.read.parquet(f).agg(
-            F.min(col).alias("lo"), F.max(col).alias("hi")
-        ).collect()[0]
-        exts.append(row["hi"] - row["lo"])
-    return exts
-
-
-def test_zorder_files_bound_both_dims(spark, tmp_path):
-    # 64x64 grid of (x, y) points
-    pts = spark.range(64 * 64).select(
-        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+def test_spread_and_interleave_match_bitwise_reference(spark):
+    pts = [(x, y) for x in (0, 1, 5, 255, 256, 65535) for y in (0, 3, 1024, 65535)]
+    df = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x",
+        "y",
+        spread16(F.col("x")).alias("sx"),
+        zorder_key2(F.col("x"), F.col("y")).alias("z"),
     )
-    src = str(tmp_path / "src")
-    pts.write.mode("overwrite").parquet(src)
+    for r in df.collect():
+        assert r["sx"] == _morton2(r["x"], 0)
+        assert r["z"] == _morton2(r["x"], r["y"])
 
-    lin, zed = str(tmp_path / "linear"), str(tmp_path / "zorder")
-    compact_parquet(spark, src, lin, sort_cols=["x", "y"], target_files=16)
-    compact_parquet_zorder(spark, src, zed, zorder_cols=["x", "y"], target_files=16)
 
-    # data is preserved
-    assert spark.read.parquet(zed).exceptAll(pts).count() == 0
-    assert spark.read.parquet(zed).count() == 64 * 64
+def test_buckets_bound_both_dimensions(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo_hi = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    plo, phi, slo, shi = (int(v) for v in lo_hi)
+    z = zorder_key2(quantize("l_partkey", plo, phi), quantize("l_suppkey", slo, shi))
+    spans = (
+        li.select(F.shiftright(z, 24).alias("b"), "l_partkey", "l_suppkey")
+        .groupBy("b")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("ps"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("ss"),
+        )
+        .collect()
+    )
+    assert len(spans) > 1
+    # top 8 Morton bits = 4 leading bits per dim -> each bucket covers
+    # exactly 1/16 of each quantized domain (+1 for quantization edges)
+    p_allow = (phi - plo + 1) / 16 + 1
+    s_allow = (shi - slo + 1) / 16 + 1
+    for r in spans:
+        assert r["ps"] <= p_allow and r["ss"] <= s_allow
 
-    # linear sort on (x, y): each file spans (almost) the full y range;
-    # z-order: each file is a ~16x16-ish block, tight in BOTH dims
-    lin_y = _per_file_extents(spark, lin, "y")
-    zed_y = _per_file_extents(spark, zed, "y")
-    zed_x = _per_file_extents(spark, zed, "x")
-    assert sum(lin_y) / len(lin_y) > 40  # trailing dim unbounded under sort
-    assert sum(zed_y) / len(zed_y) < 20  # bounded under z-order
-    assert sum(zed_x) / len(zed_x) < 20  # ...in both dimensions
+    # contrast: sorting by l_partkey alone leaves l_suppkey unbounded —
+    # partkey-range buckets span (nearly) the whole suppkey domain
+    pk_bucket = F.shiftright(quantize("l_partkey", plo, phi), 12)  # 16 ranges
+    wide = (
+        li.select(pk_bucket.alias("b"), "l_suppkey")
+        .groupBy("b")
+        .agg((F.max("l_suppkey") - F.min("l_suppkey")).alias("ss"))
+        .agg(F.max("ss"))
+        .collect()[0][0]
+    )
+    assert wide > (shi - slo + 1) / 2
