@@ -2531,6 +2531,145 @@ def q_reservoir_sample(spark, sf_dir):
 
 
 @q(
+    "q_k_anonymity",
+    """
+    SELECT c.c_custkey,
+           CASE WHEN g0.n0 >= 10 THEN 0
+                WHEN g1.n1 >= 10 THEN 1
+                ELSE 2 END AS anon_level
+    FROM customer c
+    JOIN (SELECT c_nationkey, c_mktsegment, count(*) AS n0
+          FROM customer GROUP BY 1, 2) g0
+      ON c.c_nationkey = g0.c_nationkey AND c.c_mktsegment = g0.c_mktsegment
+    JOIN (SELECT c_nationkey, count(*) AS n1
+          FROM customer GROUP BY 1) g1
+      ON c.c_nationkey = g1.c_nationkey
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity generalization audit (operators/privacy.py::
+    k_anonymity_levels): every customer gets the first level of the
+    (nation, segment) → (nation) → (all) ladder whose equivalence class
+    reaches k=10. Class sizes are two QI-cardinality aggregates joined
+    back broadcast — row volume never re-shuffles."""
+    from .operators.privacy import k_anonymity_levels
+
+    cust = table(spark, sf_dir, "customer")
+    out = k_anonymity_levels(
+        cust, [["c_nationkey", "c_mktsegment"], ["c_nationkey"]], k=10
+    )
+    return out.select("c_custkey", "anon_level")
+
+
+def _zorder_oracle_sql() -> str:
+    from .operators.zorder import quantize_sql, zorder_key2_sql
+
+    qp = quantize_sql("l_partkey", "(SELECT min(l_partkey) FROM lineitem)",
+                      "(SELECT max(l_partkey) FROM lineitem)")
+    qs = quantize_sql("l_suppkey", "(SELECT min(l_suppkey) FROM lineitem)",
+                      "(SELECT max(l_suppkey) FROM lineitem)")
+    return f"""
+    SELECT bucket, count(*) AS n,
+           min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+    FROM (SELECT l_partkey, l_suppkey,
+                 ({zorder_key2_sql(qp, qs)} >> 24) AS bucket
+          FROM lineitem)
+    GROUP BY bucket
+    """
+
+
+@q("q_zorder_layout", _zorder_oracle_sql())
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustering layout audit (operators/zorder.py): quantize
+    (l_partkey, l_suppkey) to 16 bits each, interleave into a 32-bit
+    Morton key, bucket by its top 8 bits — the file assignment an
+    OPTIMIZE ZORDER BY would produce — and report per-bucket min/max of
+    BOTH dimensions. Each bucket provably spans ≤ 1/16 of each dim's
+    domain (4 leading bits per dim), i.e. file-level min/max pruning
+    works for predicates on either column; a single-column sort bounds
+    only one. Pure integer shift/mask expressions, bit-identical to the
+    oracle's chain."""
+    from .operators.zorder import quantize, zorder_key2
+
+    li = table(spark, sf_dir, "lineitem")
+    lo_hi = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    plo, phi, slo, shi = (int(v) for v in lo_hi)
+    zkey = zorder_key2(
+        quantize("l_partkey", plo, phi), quantize("l_suppkey", slo, shi)
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", F.shiftright(zkey, 24).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+    )
+
+
+@q(
+    "dd_edit_distance_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.n_chars <= 300 AND b.n_chars <= 300
+      AND abs(length(a.text) - length(b.text)) <= 4
+      AND levenshtein(a.text, b.text) <= 4
+    """,
+)
+def dd_edit_distance_pairs(spark, sf_dir):
+    """Typo-level near-dup pairs: exact Levenshtein-distance self-join at
+    ed ≤ 4 via pigeonhole segment blocking (operators/editdist.py::
+    edit_distance_join — candidates from a (length, segment, substring-
+    hash) equi-join, verified with banded levenshtein; no N² stage). The
+    oracle IS the N² formulation, so every hash-match certifies zero lost
+    pairs. Bounded to n_chars ≤ 300 to keep the oracle's quadratic cost
+    sane — the Spark path has no such need."""
+    from .operators.editdist import edit_distance_join
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 300)
+    return edit_distance_join(docs, "doc_id", "text", max_dist=4)
+
+
+@q(
+    "q_weighted_sample",
+    """
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY pow(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              / 4294967296.0,
+                            1.0 / n_chars) DESC,
+                        doc_id) AS sample_rank
+      FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 25
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample_per_group): 25 docs per language with inclusion
+    probability ∝ n_chars, via deterministic Efraimidis–Spirakis keys
+    u^(1/w). The Spark path runs a partition-local top-k combine before
+    the per-group window (a giant group never sorts whole); this oracle —
+    the single-window formulation — pins the two-phase plan bit-identical
+    to it."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars", k=25, salt="ws")
+    return out.select("lang", "doc_id", "sample_rank")
+
+
+@q(
     "txt_tfidf",
     f"""
     WITH tk AS (
@@ -5782,7 +5921,8 @@ _DRIVER_FIRST = [
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
-    "txt_bpe_train", "q_pit_join", "q_reservoir_sample",
+    "txt_bpe_train", "q_pit_join", "q_reservoir_sample", "q_weighted_sample",
+    "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity",
 ]
 
 

@@ -105,3 +105,51 @@ def reservoir_per_group(
     )
     good = kept.join(short, group_cols, "left_anti").drop("__n")
     return good.unionByName(fallback).drop("__u")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement, EXACTLY min(k, |group|) rows
+    per group, deterministic (Efraimidis–Spirakis A-ES): each row draws
+    ``key = u^(1/w)`` from its stable hash-uniform ``u`` and weight ``w``;
+    the k largest keys per group are the sample — inclusion probability
+    proportional to weight, reproducible across runs and engines. Adds
+    ``sample_rank`` (1 = largest key).
+
+    Scale path: a giant group never sorts whole. A first window over
+    (group, spark_partition_id()) keeps the local top-k of each physical
+    partition — a map-side top-k combine, shuffling on a key that is
+    |partitions|× finer than the group — and only those ≤ k·|partitions|
+    survivors meet the final per-group window. Any row cut by the local
+    pass is dominated by k better rows in its own partition, so it cannot
+    be in the global top-k: the two-phase result is bit-identical to the
+    single-window formulation (the DuckDB oracle). Rows with
+    non-positive/null weight are excluded (P=0 under A-ES)."""
+    u = hash_uniform(F.col(key_col), salt)
+    w_val = F.col(weight_col).cast("double")
+    es_key = F.pow(u, F.lit(1.0) / w_val)
+    src = (
+        df.filter(w_val > 0)
+        .withColumn("__es", es_key)
+        .withColumn("__part", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy(*group_cols, "__part").orderBy(
+        F.desc("__es"), key_col
+    )
+    survivors = (
+        src.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__part")
+    )
+    final_w = Window.partitionBy(*group_cols).orderBy(F.desc("__es"), key_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(final_w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es")
+    )

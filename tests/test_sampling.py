@@ -91,3 +91,53 @@ def test_reservoir_per_group_exact_and_prune_invariant(spark, sf_dir):
     assert key_set(reservoir_per_group(docs, ["lang"], "doc_id", k=k, over=1e9)) == ref
     # partitioning-invariant
     assert key_set(reservoir_per_group(docs.repartition(17), ["lang"], "doc_id", k=k)) == ref
+
+
+def test_weighted_sample_exact_partition_invariant_and_biased(spark, sf_dir):
+    """Exactly min(k, |group|) rows per group; the partition-local top-k
+    combine is invariant under physical repartitioning (so it equals the
+    single-window formulation pinned by the oracle); heavier rows are
+    sampled more often than lighter ones."""
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.sampling import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 7
+    base = weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars", k=k)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {g: min(k, n) for g, n in sizes.items()}
+
+    def key_set(df):
+        return {(r["lang"], r["doc_id"], r["sample_rank"]) for r in df.collect()}
+
+    ref = key_set(base)
+    for nparts in (1, 17):
+        assert (
+            key_set(
+                weighted_sample_per_group(
+                    docs.repartition(nparts), ["lang"], "doc_id", "n_chars", k=k
+                )
+            )
+            == ref
+        )
+
+    # weight bias: mean n_chars of the sample should exceed the population
+    # mean (inclusion ∝ length) — aggregate over many salts to de-noise
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    samp_means = [
+        weighted_sample_per_group(
+            docs, ["lang"], "doc_id", "n_chars", k=k, salt=f"s{i}"
+        )
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+        for i in range(3)
+    ]
+    assert sum(samp_means) / len(samp_means) > pop_mean
