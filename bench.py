@@ -55,6 +55,10 @@ EXTRA = [
     "q_curriculum_order",   # distributed global rank
     "q_hybrid_rrf",         # BM25 + dense cosine fusion
     "q_dq_checks",          # one-scan data-quality suite
+    "dd_edit_distance_pairs",  # pigeonhole Levenshtein self-join
+    "q_zorder_layout",      # Morton-key clustering audit
+    "q_weighted_sample",    # A-ES weighted sampling (local top-k combine)
+    "q_reservoir_sample",   # exact per-group reservoir (threshold prune)
 ]
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _scheme(L: Column, i: int, k: int) -> tuple[Column, Column]:
+def _scheme(L: Column, i: Column, k: int) -> tuple[Column, Column]:
     """(start0based, length) of segment ``i`` in the k+1-segment partition
     scheme of a string of length ``L``: the first (k+1 − L mod (k+1))
     segments take ⌊L/(k+1)⌋ chars, the rest one more — identical on both
@@ -40,9 +40,19 @@ def _scheme(L: Column, i: int, k: int) -> tuple[Column, Column]:
     n = k + 1
     b = F.floor(L / n).cast("int")
     short = F.lit(n) - (L % n).cast("int")  # count of short segments
-    seg_len = b + F.when(F.lit(i) >= short, F.lit(1)).otherwise(F.lit(0))
-    start = F.lit(i) * b + F.greatest(F.lit(0), F.lit(i) - short)
+    seg_len = b + F.when(i >= short, F.lit(1)).otherwise(F.lit(0))
+    start = i * b + F.greatest(F.lit(0), i - short)
     return start, seg_len
+
+
+def _tiny_range(lo: int, hi: int) -> Column:
+    """Literal int array [lo, hi] — exploded instead of materializing one
+    giant per-combination struct array: a 225-element array constructor
+    of nested arithmetic blows past whole-stage-codegen's method-size
+    budget and drops the whole stage to interpreted eval (~6× slower
+    measured); three chained explodes of tiny arrays with the arithmetic
+    applied AFTER the explode keep every expression codegen-sized."""
+    return F.array(*[F.lit(v) for v in range(lo, hi + 1)])
 
 
 def edit_distance_join(
@@ -59,60 +69,36 @@ def edit_distance_join(
     )
 
     # index side: the k+1 segments of each string, keyed by its own length
-    segs = []
-    for i in range(k + 1):
-        p, l = _scheme(F.col("__m"), i, k)
-        segs.append(F.struct(F.lit(i).alias("i"), p.alias("p"), l.alias("ln")))
+    ip, il = _scheme(F.col("__m"), F.col("i"), k)
     idx = (
         base.withColumn("__m", F.length("__s"))
-        .select(
-            "__id",
-            "__s",
-            F.col("__m").alias("L"),
-            F.explode(F.array(*segs)).alias("g"),
-        )
+        .withColumn("i", F.explode(_tiny_range(0, k)))
         .select(
             F.col("__id").alias("id_a"),
-            "L",
-            F.col("g.i").alias("i"),
-            F.xxhash64(
-                F.col("__s").substr(F.col("g.p") + 1, F.col("g.ln"))
-            ).alias("h"),
+            F.col("__m").alias("L"),
+            "i",
+            F.xxhash64(F.col("__s").substr(ip + 1, il)).alias("h"),
         )
     )
 
     # probe side: for every candidate indexed length L = |t| − d (the
     # indexed string is the shorter one) and every segment of scheme(L),
     # the substrings of t at the scheme position ± k
-    probes = []
-    for d in range(k + 1):
-        Lc = F.col("__m") - d
-        for i in range(k + 1):
-            p, l = _scheme(Lc, i, k)
-            for shift in range(-k, k + 1):
-                probes.append(
-                    F.struct(
-                        Lc.alias("L"),
-                        F.lit(i).alias("i"),
-                        (p + shift).alias("p"),
-                        l.alias("ln"),
-                    )
-                )
+    Lc = F.col("__m") - F.col("d")
+    pp, pl = _scheme(Lc, F.col("i"), k)
+    pos = pp + F.col("sh")
     prb = (
         base.withColumn("__m", F.length("__s"))
-        .select("__id", "__s", "__m", F.explode(F.array(*probes)).alias("g"))
-        .filter(
-            (F.col("g.L") > k)
-            & (F.col("g.p") >= 0)
-            & (F.col("g.p") + F.col("g.ln") <= F.col("__m"))
-        )
+        .withColumn("d", F.explode(_tiny_range(0, k)))
+        .filter(Lc > k)
+        .withColumn("i", F.explode(_tiny_range(0, k)))
+        .withColumn("sh", F.explode(_tiny_range(-k, k)))
+        .filter((pos >= 0) & (pos + pl <= F.col("__m")))
         .select(
             F.col("__id").alias("id_b"),
-            F.col("g.L").alias("L"),
-            F.col("g.i").alias("i"),
-            F.xxhash64(
-                F.col("__s").substr(F.col("g.p") + 1, F.col("g.ln"))
-            ).alias("h"),
+            Lc.alias("L"),
+            "i",
+            F.xxhash64(F.col("__s").substr(pos + 1, pl)).alias("h"),
         )
     )
 
