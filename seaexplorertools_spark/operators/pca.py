@@ -1,0 +1,106 @@
+"""Distributed PCA (top principal component) by power iteration — engine
+addition for embedding-pipeline preprocessing (dominant-direction removal,
+whitening before PQ/IVF quantization; public textbook algorithm).
+
+Scale shape: ONE aggregate pass over the data per iteration. Scores
+s_r = (x_r − μ)·v are computed row-local from the embedding ARRAY with a
+literal v (JVM ``zip_with``/``aggregate`` fold — no 64× posexplode
+materialization, no per-iteration row shuffle); the update
+y = Σ_r (x_r − μ) s_r reaches the driver as ONE |dim|-row aggregate
+(map-side partial sums, shuffle = |dim| keys). Centering never
+materializes x − μ: s_r = x_r·v − μ·v (scalar) and
+y_p = Σ x_{rp} s_r − μ_p Σ s_r, both from the same single aggregate.
+Driver-side state is two |dim| vectors per iteration — the documented
+collect boundary (SURVEY §3), identical in spirit to the reference's
+driver-side optimizer loops.
+
+Determinism: fixed init v₀ = 1/√dim, fixed iteration count, final sign
+fixed by the largest-|loading| element — reproducible across engines; the
+DuckDB oracle replays the SAME update expressions (see contract), so
+agreement is within float-summation reordering, absorbed by 6-dp output
+rounding (power iteration is a contraction onto the dominant eigenvector;
+last-ulp perturbations do not amplify).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col, lits: list[float]):
+    """x·c for a literal vector, as a row-local JVM fold (index order)."""
+    arr = F.array(*[F.lit(float(c)) for c in lits])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def mean_vector(df: DataFrame, vec_col: str, dim: int) -> list[float]:
+    """Column means μ via one posexplode aggregate (|dim| rows)."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in rows:
+        mu[r["pos"]] = r["m"]
+    return mu
+
+
+def power_iteration_top(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+    center: bool = True,
+) -> tuple[list[float], float]:
+    """(loadings, eigenvalue) of the top principal component of the
+    (optionally centered) row vectors, after ``n_iter`` fixed power
+    iterations from v₀ = 1/√dim."""
+    mu = mean_vector(df, vec_col, dim) if center else [0.0] * dim
+    v = [1.0 / math.sqrt(dim)] * dim
+    eig = 0.0
+    for _ in range(n_iter):
+        mu_dot_v = sum(m * c for m, c in zip(mu, v))
+        s = (_dot_lit(F.col(vec_col), v) - F.lit(mu_dot_v)).alias("__s")
+        agg = (
+            df.select(s, F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.col("val").cast("double") * F.col("__s")).alias("xy"),
+                F.sum("__s").alias("ssum"),
+            )
+            .collect()
+        )
+        y = [0.0] * dim
+        for r in agg:
+            y[r["pos"]] = r["xy"] - mu[r["pos"]] * r["ssum"]
+        nrm = math.sqrt(sum(c * c for c in y))
+        eig = nrm  # Rayleigh-quotient estimate ‖C v‖ for unit v
+        v = [c / nrm for c in y]
+    # canonical sign: the largest-|loading| element is positive
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-c for c in v]
+    return v, eig
+
+
+def top_component_df(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+    center: bool = True,
+) -> DataFrame:
+    """(dim, loading) rows, loadings 6-dp rounded — the contract shape."""
+    v, _ = power_iteration_top(df, vec_col, dim, n_iter=n_iter, center=center)
+    rows = [(i, round(c, 6) + 0.0) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, loading double")
