@@ -24,6 +24,7 @@ SURVEY.md §2's inventory.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2528,6 +2529,119 @@ def q_reservoir_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     out = reservoir_per_group(docs, ["lang"], "doc_id", k=25, salt="rs")
     return out.select("lang", "doc_id", "sample_rank")
+
+
+@q(
+    "q_chi2_independence",
+    """
+    WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+    ra AS (SELECT lang, CAST(SUM(obs) AS DOUBLE) AS rt FROM cells GROUP BY 1),
+    ca AS (SELECT source, CAST(SUM(obs) AS DOUBLE) AS ct FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM cells)
+    SELECT c.lang, c.source, c.obs,
+           ra.rt * ca.ct / t.n AS expected,
+           (c.obs - ra.rt * ca.ct / t.n) * (c.obs - ra.rt * ca.ct / t.n)
+             / (ra.rt * ca.ct / t.n) AS contrib
+    FROM cells c JOIN ra USING (lang) JOIN ca USING (source) CROSS JOIN t
+    """,
+)
+def q_chi2_independence(spark, sf_dir):
+    """Chi-squared independence audit of the lang × source contingency
+    table (operators/stats.py::contingency_chi2): per-cell observed vs
+    expected-under-independence and the chi² contribution. One aggregate
+    over the rows; margins via windows on the |lang|·|source|-row cell
+    table. Double-cast margin products make the floats bit-identical
+    cross-engine — no rounding step anywhere."""
+    from .operators.stats import contingency_chi2
+
+    docs = table(spark, sf_dir, "documents")
+    return contingency_chi2(docs, "lang", "source")
+
+
+@q(
+    "q_kl_drift",
+    """
+    WITH cells AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT day, SUM(n) AS ng FROM cells GROUP BY 1),
+    c AS (SELECT event_type, SUM(n) AS nc FROM cells GROUP BY 1),
+    t AS (SELECT SUM(n) AS na FROM cells)
+    SELECT day,
+           round(SUM((cells.n / CAST(g.ng AS DOUBLE))
+                     * ln((cells.n / CAST(g.ng AS DOUBLE))
+                          / (c.nc / CAST(t.na AS DOUBLE)))), 6) AS kl
+    FROM cells JOIN g USING (day) JOIN c USING (event_type) CROSS JOIN t
+    GROUP BY day
+    """,
+)
+def q_kl_drift(spark, sf_dir):
+    """Per-day KL divergence of the event-type mix from the corpus-wide
+    mix (operators/stats.py::kl_from_global) — the drift audit a
+    filtering pipeline runs to see what a filter did to the data
+    distribution. One category-cardinality aggregate; margins via
+    windows on the tiny cell table."""
+    from .operators.stats import kl_from_global
+
+    ev = events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_us div 86400000000")
+    )
+    return kl_from_global(ev, "day", "event_type").select(
+        "day", r6(F.col("kl")).alias("kl")
+    )
+
+
+def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
+    """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
+    update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
+    final largest-|loading| sign fix), unrolled over fixed iterations."""
+    v0 = 1.0 / math.sqrt(dim)
+    parts = [
+        f"""WITH cells AS MATERIALIZED (
+      SELECT vec_id, r.range + 1 AS pos1,
+             CAST(embedding[r.range + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range({dim}) r
+    ),
+    mu AS MATERIALIZED (SELECT pos1, AVG(val) AS m FROM cells GROUP BY pos1),
+    v0 AS (SELECT r.range + 1 AS pos1, {v0!r} AS v FROM range({dim}) r)"""
+    ]
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""c{t} AS MATERIALIZED (SELECT SUM(m * v) AS muv FROM mu JOIN {prev} USING (pos1)),
+    s{t} AS MATERIALIZED (SELECT vec_id, SUM(val * v) - (SELECT muv FROM c{t}) AS s
+             FROM cells JOIN {prev} USING (pos1) GROUP BY vec_id),
+    a{t} AS MATERIALIZED (SELECT pos1, SUM(val * s) AS xy, SUM(s) AS ssum
+             FROM cells JOIN s{t} USING (vec_id) GROUP BY pos1),
+    y{t} AS MATERIALIZED (SELECT a{t}.pos1, xy - m * ssum AS y FROM a{t} JOIN mu USING (pos1)),
+    n{t} AS MATERIALIZED (SELECT sqrt(SUM(y * y)) AS nrm FROM y{t}),
+    v{t} AS MATERIALIZED (SELECT pos1, y / (SELECT nrm FROM n{t}) AS v FROM y{t})"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""piv AS (SELECT pos1 FROM {prev} ORDER BY abs(v) DESC, pos1 LIMIT 1),
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM {prev} WHERE pos1 = (SELECT pos1 FROM piv))
+    SELECT pos1 - 1 AS dim, round(v * (SELECT s FROM sgn), 6) + 0.0 AS loading
+    FROM {prev}"""
+    )
+    return ",\n    ".join(parts)
+
+
+@q("ann_pca_top", _pca_oracle_sql())
+def ann_pca_top(spark, sf_dir):
+    """Top principal component of the centered embedding matrix by 6
+    fixed power iterations (operators/pca.py) — one aggregate pass per
+    iteration, scores computed row-local from the ARRAY with a literal v
+    (no 64× materialization), |dim|-row driver collect per step. The
+    oracle unrolls the identical update algebra in SQL; 6-dp rounding
+    absorbs float-summation reordering (contraction mapping — see module
+    docstring)."""
+    from .operators.pca import top_component_df
+
+    emb = table(spark, sf_dir, "embeddings")
+    return top_component_df(spark, emb, "embedding", dim=64, n_iter=6)
 
 
 @q(
@@ -5922,7 +6036,8 @@ _DRIVER_FIRST = [
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
     "txt_bpe_train", "q_pit_join", "q_reservoir_sample", "q_weighted_sample",
-    "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity",
+    "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
+    "q_chi2_independence", "q_kl_drift",
 ]
 
 
