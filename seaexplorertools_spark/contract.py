@@ -2532,6 +2532,113 @@ def q_reservoir_sample(spark, sf_dir):
 
 
 @q(
+    "q_skyline_frontier",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             floor(SUM(o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS spend,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, spend, n_orders FROM cust a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cust b
+      WHERE b.spend >= a.spend AND b.n_orders >= a.n_orders
+        AND (b.spend > a.spend OR b.n_orders > a.n_orders)
+    )
+    """,
+)
+def q_skyline_frontier(spark, sf_dir):
+    """Customer-value Pareto frontier — maximize (total spend, order
+    count) — via the two-phase distributed skyline (operators/
+    skyline.py::skyline2d: partition-local strict-domination prune, then
+    the exact peer-group pass over the surviving local frontiers). The
+    oracle is the N² NOT-EXISTS definition: every hash match certifies
+    the prune lost nothing. Spend r6p-rounded BEFORE the comparison so
+    domination is decided on identical floats in both engines."""
+    from .operators.skyline import skyline2d
+
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            r6p(F.sum("o_totalprice")).alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return skyline2d(cust, "spend", "n_orders").select(
+        "custkey", "spend", "n_orders"
+    )
+
+
+@q(
+    "q_graph_triangles",
+    """
+    WITH und AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT node, count(*) AS tri FROM (
+        SELECT unnest([x, y, z]) AS node FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    )
+    SELECT p.node AS part, p.tri, d.deg,
+           2.0 * p.tri / (d.deg * (d.deg - 1)) AS coeff
+    FROM pernode p JOIN deg d USING (node)
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Per-part triangle counts + clustering coefficient of the
+    co-purchase graph (parts appearing in the same order), via
+    degree-ordered orientation (operators/graph.py::triangle_counts —
+    wedge-join volume Σ outdeg² ≤ m^1.5 instead of hub-quadratic Σ deg²).
+    The oracle enumerates undirected id-ordered triangles — orientation
+    invariance IS the check."""
+    from .operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    tri = triangle_counts(pairs, "a", "b")
+    und = pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return tri.join(deg, "node").select(
+        F.col("node").alias("part"),
+        "tri",
+        "deg",
+        (F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - 1))).alias(
+            "coeff"
+        ),
+    )
+
+
+@q(
     "q_chi2_independence",
     """
     WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
@@ -3106,6 +3213,21 @@ def txt_bpe_train(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return merge_table(spark, train_bpe(docs, n_merges=16, merges_per_round=4))
+
+
+@q("txt_bpe_encode")
+def txt_bpe_encode(spark, sf_dir):
+    """Train-then-apply tokenizer loop: the 16 rules learned by
+    txt_bpe_train replayed over every document as chained JVM scan-merges
+    (operators/bpe.py::bpe_encode), emitting per-doc token counts.
+    Iterative trainer ⇒ rows-only driver check; tests/test_bpe.py pins
+    the encode path EXACTLY against a pure-python replay and pins the
+    JVM-expression path ≡ the mapInPandas path."""
+    from .operators.bpe import bpe_encode, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=16, merges_per_round=4)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
 @q(
@@ -6037,7 +6159,8 @@ _DRIVER_FIRST = [
     "q_label_centroids", "q_countmin_tokens", "q_dq_checks", "q_hll_distinct",
     "txt_bpe_train", "q_pit_join", "q_reservoir_sample", "q_weighted_sample",
     "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
-    "q_chi2_independence", "q_kl_drift",
+    "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
+    "txt_bpe_encode",
 ]
 
 
