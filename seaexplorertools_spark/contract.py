@@ -2531,6 +2531,33 @@ def q_reservoir_sample(spark, sf_dir):
     return out.select("lang", "doc_id", "sample_rank")
 
 
+def _j1_cogrouped_twin(spark, sf_dir):
+    """§2.9 cogrouped-applyInPandas surface (operators/cogroup.py):
+    the SAME J1 interpolation semantics as j1_interp_join, but through
+    `cogroup(...).applyInPandas` + np.interp — checked against the SAME
+    DuckDB oracle, so the Python batch API is pinned to the JVM
+    union+window production path bit-for-bit at 6 dp."""
+    from .operators.cogroup import interp_join_cogrouped
+
+    ev = events(spark, sf_dir)
+    samples = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value"
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = interp_join_cogrouped(
+        samples, probes, on="ts_us", values=["value"],
+        partition_by=["user_id"], suffix="_i",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("t_us"),
+        r6(F.col("value_i")).alias("value_i"),
+    )
+
+
 @q(
     "q_skyline_frontier",
     """
@@ -6116,6 +6143,9 @@ def q_incremental_agg(spark, sf_dir):
     )
 
 
+QUERIES["j1_cogrouped_twin"] = _j1_cogrouped_twin
+ORACLES["j1_cogrouped_twin"] = ORACLES["j1_interp_join"]
+
 ORACLES["txt_winnow"] = ORACLES["txt_winnow"].format(tok=_TOK_SQL)
 ORACLES["dd_winnow_containment"] = ORACLES["dd_winnow_containment"].format(tok=_TOK_SQL)
 ORACLES["q_hybrid_rrf"] = ORACLES["q_hybrid_rrf"].format(tok=_TOK_SQL)
@@ -6160,7 +6190,7 @@ _DRIVER_FIRST = [
     "txt_bpe_train", "q_pit_join", "q_reservoir_sample", "q_weighted_sample",
     "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
     "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
-    "txt_bpe_encode",
+    "txt_bpe_encode", "j1_cogrouped_twin",
 ]
 
 
