@@ -2531,6 +2531,63 @@ def q_reservoir_sample(spark, sf_dir):
     return out.select("lang", "doc_id", "sample_rank")
 
 
+@q(
+    "q_peak_concurrency",
+    """
+    WITH b AS (
+      SELECT o_orderdate AS t, 1 AS d FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 30 DAY AS t, -1 AS d FROM orders
+    ),
+    g AS (SELECT t, SUM(d) AS net FROM b GROUP BY t)
+    SELECT t, CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS concurrency
+    FROM g
+    """,
+)
+def q_peak_concurrency(spark, sf_dir):
+    """Open-order concurrency step function over [o_orderdate,
+    o_orderdate + 30 d) intervals via the distributed sweep line
+    (operators/intervals.py::concurrency_profile): boundary deltas →
+    range repartition → per-partition cumsum + broadcast prefix offsets.
+    The oracle is the sequential global-window cumsum — equality
+    certifies the distributed prefix sum; NO single-partition stage on
+    the Spark side (the offset window runs over |partitions| rows)."""
+    from .operators.intervals import concurrency_profile
+
+    iv = table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("e"),
+    )
+    return concurrency_profile(iv, "s", "e")
+
+
+def _rendezvous_oracle_sql() -> str:
+    from .operators.placement import rendezvous_shard_sql
+
+    expr = rendezvous_shard_sql("doc_id", [f"s{i}" for i in range(8)])
+    return f"SELECT doc_id, {expr} AS shard FROM documents"
+
+
+@q("q_rendezvous_shards", _rendezvous_oracle_sql())
+def q_rendezvous_shards(spark, sf_dir):
+    """Consistent shard placement by rendezvous (HRW) hashing
+    (operators/placement.py): every document elects argmax_s md5(doc, s)
+    over 8 shards — growing the shard set moves only the stolen 1/(n+1)
+    of keys and never moves a key between surviving shards (pinned in
+    tests/test_placement.py). Pure map-side expressions, zero shuffle;
+    the oracle runs the identical election via struct list_max."""
+    from .operators.placement import rendezvous_shard
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rendezvous_shard(F.col("doc_id"), [f"s{i}" for i in range(8)]).alias(
+            "shard"
+        ),
+    )
+
+
 def _j1_cogrouped_twin(spark, sf_dir):
     """§2.9 cogrouped-applyInPandas surface (operators/cogroup.py):
     the SAME J1 interpolation semantics as j1_interp_join, but through
@@ -6190,7 +6247,8 @@ _DRIVER_FIRST = [
     "txt_bpe_train", "q_pit_join", "q_reservoir_sample", "q_weighted_sample",
     "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
     "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
-    "txt_bpe_encode", "j1_cogrouped_twin",
+    "txt_bpe_encode", "j1_cogrouped_twin", "q_rendezvous_shards",
+    "q_peak_concurrency",
 ]
 
 
