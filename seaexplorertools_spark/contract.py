@@ -2532,6 +2532,61 @@ def q_reservoir_sample(spark, sf_dir):
 
 
 @q(
+    "q_group_ols",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5)
+             / 1000000.0 AS slope,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM s
+    """,
+)
+def q_group_ols(spark, sf_dir):
+    """Per-group OLS trend (value vs time) from sufficient statistics —
+    ONE aggregate computes (n, Σx, Σy, Σxy, Σx²); slope/intercept are
+    closed-form arithmetic on the 5-tuple. x is anchored to a fixed epoch
+    and scaled to days BEFORE squaring: raw µs timestamps (~1.7e15)
+    squared would burn all 53 mantissa bits and the normal-equation
+    subtraction would be catastrophic cancellation — anchoring keeps x in
+    [0, 30] where the sums are well-conditioned (same trick any engine
+    needs; the oracle replays identical expressions, r6p absorbs sum
+    order)."""
+    ev = events(spark, sf_dir).filter(F.col("value").isNotNull())
+    x = (F.col("ts_us") - F.lit(1704067200000000)) / F.lit(86400000000.0)
+    y = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        r6p(slope).alias("slope"),
+        r6p(intercept).alias("intercept"),
+    )
+
+
+@q(
     "q_peak_concurrency",
     """
     WITH b AS (
@@ -3266,13 +3321,72 @@ def q_kmeans_assign(spark, sf_dir):
     return assign_clusters(e, c)
 
 
-@q("q_kmeans_iterate")  # iterative (driver-looped) — no single SQL oracle; rows-only
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of operators/clustering.py::kmeans_lloyd — same
+    lowest-id init, same dot-identity distance (vv − 2vc + cc) rounded to
+    6 dp before the (d2, c_id) arg-min, same per-dim mean update with
+    empty clusters keeping their previous centroid."""
+    parts = [
+        f"""WITH cells AS MATERIALIZED (
+      SELECT vec_id, r.range + 1 AS pos1,
+             CAST(embedding[r.range + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range({dim}) r
+    ),
+    vv AS MATERIALIZED (SELECT vec_id, SUM(val * val) AS vv FROM cells GROUP BY vec_id),
+    cent0 AS MATERIALIZED (
+      SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
+             pos1, val AS cval
+      FROM cells
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    prev = "cent0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""cc{t} AS MATERIALIZED (SELECT c_id, SUM(cval * cval) AS cc FROM {prev} GROUP BY c_id),
+    vc{t} AS MATERIALIZED (
+      SELECT cells.vec_id, p.c_id, SUM(cells.val * p.cval) AS vc
+      FROM cells JOIN {prev} p USING (pos1) GROUP BY cells.vec_id, p.c_id
+    ),
+    d{t} AS MATERIALIZED (
+      SELECT vc{t}.vec_id, vc{t}.c_id,
+             round(vv.vv - 2.0 * vc{t}.vc + cc{t}.cc, 6) AS d2
+      FROM vc{t} JOIN vv USING (vec_id) JOIN cc{t} USING (c_id)
+    ),
+    asg{t} AS MATERIALIZED (
+      SELECT vec_id, c_id AS cluster, d2 FROM (
+        SELECT vec_id, c_id, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    mean{t} AS MATERIALIZED (
+      SELECT asg{t}.cluster AS c_id, cells.pos1, AVG(cells.val) AS cval
+      FROM asg{t} JOIN cells USING (vec_id) GROUP BY 1, 2
+    ),
+    cent{t} AS MATERIALIZED (
+      SELECT p.c_id, p.pos1, COALESCE(m.cval, p.cval) AS cval
+      FROM {prev} p LEFT JOIN mean{t} m ON m.c_id = p.c_id AND m.pos1 = p.pos1
+    )"""
+        )
+        prev = f"cent{t}"
+    final = (
+        f"SELECT cluster, count(*) AS n, round(SUM(d2), 6) AS sse"
+        f" FROM asg{n_iter} GROUP BY cluster"
+    )
+    return ",\n    ".join(parts) + "\n    " + final
+
+
+@q("q_kmeans_iterate", _kmeans_oracle_sql())
 def q_kmeans_iterate(spark, sf_dir):
     """Three full Lloyd iterations (assign → per-dim mean update →
-    re-broadcast): cluster sizes and within-cluster SSE after convergence
-    progress. Iterative driver-coordinated algorithm ⇒ not expressible as
-    one SQL statement; the driver records a rows-only check and
-    tests/test_clustering.py pins SSE monotonicity + determinism."""
+    re-broadcast): cluster sizes and within-cluster SSE. The fixed
+    iteration count, lowest-id init, and 6-dp-rounded distances (ties on
+    centroid id) make the whole loop deterministic and engine-portable,
+    so the oracle UNROLLS the identical three iterations in SQL
+    (materialized CTE chain, same dot-identity distance algebra) — the
+    driver check is exact, upgraded from rows-only in round 3;
+    tests/test_clustering.py additionally pins SSE monotonicity."""
     from .operators.clustering import kmeans_lloyd
 
     e = table(spark, sf_dir, "embeddings")
@@ -6248,7 +6362,7 @@ _DRIVER_FIRST = [
     "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
     "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
     "txt_bpe_encode", "j1_cogrouped_twin", "q_rendezvous_shards",
-    "q_peak_concurrency",
+    "q_peak_concurrency", "q_group_ols",
 ]
 
 
