@@ -59,6 +59,16 @@ EXTRA = [
     "q_zorder_layout",      # Morton-key clustering audit
     "q_weighted_sample",    # A-ES weighted sampling (local top-k combine)
     "q_reservoir_sample",   # exact per-group reservoir (threshold prune)
+    "ann_pca_top",          # power-iteration PCA (aggregate per step)
+    "q_kmeans_iterate",     # 3 Lloyd iterations (exact-oracled)
+    "q_graph_triangles",    # degree-oriented triangle counting
+    "q_skyline_frontier",   # two-phase Pareto frontier
+    "q_peak_concurrency",   # distributed sweep-line prefix sum
+    "q_chi2_independence",  # contingency audit
+    "q_kl_drift",           # per-day KL divergence
+    "q_group_ols",          # sufficient-stats regression
+    "q_rendezvous_shards",  # HRW consistent placement
+    "q_k_anonymity",        # generalization-ladder audit
 ]
 
 

@@ -34,6 +34,12 @@ GLOBAL_WINDOW_OK = {
     # TakeOrdered-limited top-k (rank over k rows)
     "q_curriculum_order", "q_corpus_shuffle", "q_hybrid_rrf",
     "a10_histogram", "q_topk_orders",
+    # round-3 bounded-input windows: chi2/KL margins run over the
+    # category-cardinality cell table (|a|·|b| rows, never row volume);
+    # skyline's exact pass sees only per-partition frontier survivors;
+    # peak-concurrency's offset window is over |partitions| rows
+    "q_chi2_independence", "q_kl_drift", "q_skyline_frontier",
+    "q_peak_concurrency",
 }
 
 # Declared-exact baselines and axis densification: the crossJoin is the point

@@ -1535,7 +1535,56 @@ def ann_topk_bruteforce(spark, sf_dir):
     return brute_force_topk(e, qs, k=5)
 
 
-@q("ann_topk_lsh")  # no oracle: approximate (bucketed recall), rows-only check
+def _lsh_oracle_sql(
+    k: int = 5, band_width: int = 4, n_bands: int = 20, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB replay of similarity.lsh_topk with the SAME seed-42 plane
+    constants embedded as literals: identical sign-bit buckets, any-band
+    candidate join, 6-dp cosine re-rank, (sim desc, nbr_id) tie-break —
+    the approximate path is deterministic, so it gets an EXACT oracle
+    (upgraded from rows-only in round 3; recall quality is measured
+    separately in tests/test_similarity_recall.py)."""
+    from .operators.similarity import gaussian_planes
+
+    planes = gaussian_planes(n_bands * band_width, dim, seed)
+    vals = ",\n      ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes AS MATERIALIZED (SELECT * FROM (VALUES {vals}) t(pid, p)),
+    v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bits AS MATERIALIZED (
+      SELECT v.vec_id, planes.pid,
+             CASE WHEN list_dot_product(v.emb, planes.p) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM v CROSS JOIN planes
+    ),
+    buckets AS MATERIALIZED (
+      SELECT vec_id, pid // {band_width} AS band,
+             SUM(bit * (1 << ({band_width - 1} - (pid % {band_width})))) AS bucket
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS nbr_id
+      FROM buckets q JOIN buckets e ON q.band = e.band AND q.bucket = e.bucket
+      WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+    ),
+    scored AS MATERIALIZED (
+      SELECT c.query_id, c.nbr_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.nbr_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, nbr_id, sim FROM (
+      SELECT query_id, nbr_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@q("ann_topk_lsh", _lsh_oracle_sql())
 def ann_topk_lsh(spark, sf_dir):
     """Approximate ANN: banded OR-amplified hyperplane LSH (20 bands × 4
     sign bits) restricts the candidate join — the 100 TB scale path

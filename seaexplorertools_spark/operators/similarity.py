@@ -116,20 +116,53 @@ def gaussian_planes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def banded_signature(
-    df: DataFrame, vec_col: str, planes: list[list[float]], band_width: int
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    band_width: int,
+    expr_max_elems: int = 1024,
 ) -> DataFrame:
     """Add ``__bands`` — an array of per-band bucket ids (OR-amplified LSH).
 
     ``len(planes)`` must be ``n_bands * band_width``; band b's bucket is the
-    integer formed by the sign bits of planes [b·r, (b+1)·r). All JVM-side:
-    the plane matrix is ONE literal array-of-arrays column, the dots one
-    ``transform``, the banding one ``transform`` over ``slice`` — the bit
-    array is materialized as a column first so it is computed once, not
-    re-evaluated per band (Spark re-runs a lambda's input expression per
-    element)."""
+    integer formed by the sign bits of planes [b·r, (b+1)·r).
+
+    Two equivalent row-local paths (identical output on any
+    non-degenerate input — a sign could differ only for |dot| ≲ 1e-13,
+    measure-zero for Gaussian planes; equality pinned in
+    tests/test_similarity_recall.py): small plane matrices replay as JVM
+    ``transform``/``aggregate`` expressions; past ``expr_max_elems`` total
+    literals the matrix goes through an Arrow-batched pandas UDF doing ONE
+    BLAS matmul per batch — a 5,120-literal expression tree falls out of
+    whole-stage codegen into interpreted eval (measured 13 s at sf0.001,
+    i.e. pure plan cost; the matmul path is ~20×), the same failure mode
+    as the editdist probe-array rewrite."""
     n_bands, rem = divmod(len(planes), band_width)
     if rem:
         raise ValueError("len(planes) must be a multiple of band_width")
+    if len(planes) * len(planes[0]) > expr_max_elems:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        mat = np.array(planes, dtype=np.float64).T  # dim x n_planes
+        weights = np.array(
+            [1 << (band_width - 1 - (i % band_width)) for i in range(len(planes))],
+            dtype=np.int64,
+        )
+        bands_ix = np.repeat(np.arange(n_bands), band_width)
+
+        @pandas_udf("array<int>")
+        def bands_udf(vecs):
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            x = np.array(vecs.tolist(), dtype=np.float64)  # batch x dim
+            bits = (x @ mat >= 0).astype(np.int64)  # batch x n_planes
+            out = np.zeros((len(x), n_bands), dtype=np.int64)
+            np.add.at(out.T, bands_ix, (bits * weights).T)
+            return pd.Series(list(out.astype(np.int32)))
+
+        return df.withColumn("__bands", bands_udf(F.col(vec_col)))
     planes_col = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
     df = df.withColumn("__planes", planes_col)
     dots = F.transform(F.col("__planes"), lambda p: dot(F.col(vec_col), p))
