@@ -2581,6 +2581,29 @@ def q_reservoir_sample(spark, sf_dir):
 
 
 @q(
+    "q_quantile_transform",
+    """
+    SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id), 6) AS qnorm
+    FROM documents
+    """,
+)
+def q_quantile_transform(spark, sf_dir):
+    """Per-group quantile (rank) normalization — map each doc's length to
+    its uniform [0,1] quantile within its language, the distribution-free
+    feature scaling a mixed-source corpus needs before thresholding.
+    percent_rank over (group) with a doc_id tiebreak is deterministic and
+    identical across engines ((rank−1)/(n−1) in both); window is bounded
+    by the group, shuffle = one exchange on lang."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", "n_chars", r6(F.percent_rank().over(w)).alias("qnorm")
+    )
+
+
+@q(
     "q_group_ols",
     """
     WITH pts AS (
@@ -6411,7 +6434,7 @@ _DRIVER_FIRST = [
     "dd_edit_distance_pairs", "q_zorder_layout", "q_k_anonymity", "ann_pca_top",
     "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
     "txt_bpe_encode", "j1_cogrouped_twin", "q_rendezvous_shards",
-    "q_peak_concurrency", "q_group_ols",
+    "q_peak_concurrency", "q_group_ols", "q_quantile_transform",
 ]
 
 
