@@ -2910,6 +2910,263 @@ def q_kl_drift(spark, sf_dir):
     )
 
 
+@q(
+    "q_welch_ttest",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n1,
+             SUM(value - 50.0) AS s1,
+             SUM((value - 50.0) * (value - 50.0)) AS q1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    g AS (SELECT SUM(n1) AS n, SUM(s1) AS s, SUM(q1) AS q FROM s),
+    e AS (
+      SELECT event_type, n1, s1, q1,
+             g.n - n1 AS n2, g.s - s1 AS s2, g.q - q1 AS q2
+      FROM s CROSS JOIN g
+    ),
+    v AS (
+      SELECT event_type, n1, n2,
+             s1 / n1 - s2 / n2 AS md,
+             ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1,
+             ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2 AS se2
+      FROM e
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_group,
+           floor(md / sqrt(se1 + se2) * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+           floor((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+    FROM v
+    """,
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t of each event_type's value vs the REST
+    of the corpus (one-vs-rest A/B readout) with Welch–Satterthwaite df
+    (operators/stats.py::welch_one_vs_rest). ONE aggregate per group; the
+    complement's sufficient statistics are global-minus-group via a window
+    over the |groups|-row table — no self-join, no second scan. Values
+    anchored at 50 before squaring (the OLS conditioning trick)."""
+    from .operators.stats import welch_one_vs_rest
+
+    ev = events(spark, sf_dir)
+    out = welch_one_vs_rest(ev, "event_type", "value", anchor=50.0)
+    return out.select(
+        "event_type",
+        "n_group",
+        r6p(F.col("t_stat")).alias("t_stat"),
+        r6p(F.col("welch_df")).alias("welch_df"),
+    )
+
+
+@q(
+    "q_lag_autocorr",
+    """
+    WITH seq AS (
+      SELECT user_id, value AS y,
+             lag(value, 1) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS x
+      FROM events
+    ),
+    p AS (SELECT user_id, x, y FROM seq WHERE x IS NOT NULL AND y IS NOT NULL),
+    s AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS acf
+    FROM s
+    """,
+)
+def q_lag_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values over the
+    deterministic (ts, event_id) sequence
+    (operators/stats.py::lag_autocorr) — the is-this-series-noise-or-trend
+    probe. One lag window + one 5-sum aggregate; Pearson r is closed-form
+    on the sufficient statistics. Groups with zero variance on either
+    side yield NULL (ANSI-safe)."""
+    from .operators.stats import lag_autocorr
+
+    ev = events(spark, sf_dir)
+    out = lag_autocorr(ev, "user_id", EV_ORDER, "value", lag=1)
+    return out.select("user_id", "n_pairs", r6p(F.col("acf")).alias("acf"))
+
+
+@q(
+    "q_mutual_info",
+    """
+    WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+    m AS (
+      SELECT obs,
+             CAST(SUM(obs) OVER (PARTITION BY lang) AS DOUBLE) AS na,
+             CAST(SUM(obs) OVER (PARTITION BY source) AS DOUBLE) AS nb,
+             CAST(SUM(obs) OVER () AS DOUBLE) AS nn
+      FROM cells
+    ),
+    t AS (
+      SELECT SUM((obs / nn) * ln(obs / nn * nn * nn / (na * nb))) AS mi,
+             SUM(-(obs / nn) * ln(na / nn)) AS h_a,
+             SUM(-(obs / nn) * ln(nb / nn)) AS h_b
+      FROM m
+    )
+    SELECT floor(mi * 1000000.0 + 0.5) / 1000000.0 AS mi,
+           floor(h_a * 1000000.0 + 0.5) / 1000000.0 AS h_a,
+           floor(h_b * 1000000.0 + 0.5) / 1000000.0 AS h_b,
+           floor(mi / sqrt(h_a * h_b) * 1000000.0 + 0.5) / 1000000.0 AS nmi
+    FROM t
+    """,
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information (nats) between lang and source plus marginal
+    entropies and normalized MI (operators/stats.py::mutual_info) — the
+    dependence audit run after stratified sampling. ONE cell aggregate;
+    both entropies fall out of the same cell pass via
+    Σ_cells p_ij·ln(p_a) = Σ_a p_a·ln(p_a)."""
+    from .operators.stats import mutual_info
+
+    docs = table(spark, sf_dir, "documents")
+    out = mutual_info(docs, "lang", "source")
+    return out.select(
+        r6p(F.col("mi")).alias("mi"),
+        r6p(F.col("h_a")).alias("h_a"),
+        r6p(F.col("h_b")).alias("h_b"),
+        r6p(F.col("nmi")).alias("nmi"),
+    )
+
+
+@q(
+    "q_gini_concentration",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars AS x,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, count(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sx > 0
+                THEN CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE)
+           END AS gini
+    FROM s
+    """,
+)
+def q_gini_concentration(spark, sf_dir):
+    """Per-language Gini coefficient of document lengths
+    (operators/stats.py::gini_by_rank) — corpus-concentration audit (is
+    one tail of documents hogging the bytes?). Exact rank formula
+    G = (2Σi·x₍ᵢ₎ − (n+1)Σx)/(nΣx) with deterministic (n_chars, doc_id)
+    ordering; numerator and denominator are BIGINT-exact, so NO rounding
+    is needed anywhere — the single final division is bit-identical on
+    any engine."""
+    from .operators.stats import gini_by_rank
+
+    docs = table(spark, sf_dir, "documents")
+    return gini_by_rank(docs, "lang", "n_chars", "doc_id")
+
+
+@q(
+    "q_cusum_drift",
+    """
+    WITH dev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor((value - 50.0) * 1000000.0 + 0.5) AS BIGINT) AS d
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, ts_us, event_id,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dev
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             cum - LEAST(CAST(0 AS BIGINT),
+                         MIN(cum) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING)) AS s_units
+      FROM c
+    ),
+    m AS (
+      SELECT user_id, ts_us, s_units,
+             MAX(s_units) OVER (PARTITION BY user_id) AS mx
+      FROM s
+    )
+    SELECT user_id,
+           CAST(MAX(s_units) AS DOUBLE) / 1000000.0 AS max_cusum,
+           MIN(ts_us) AS peak_at
+    FROM m WHERE s_units = mx GROUP BY user_id
+    """,
+)
+def q_cusum_drift(spark, sf_dir):
+    """Per-user one-sided CUSUM drift detector
+    (operators/stats.py::cusum_max_excursion): the recursion
+    S_t = max(0, S_{t−1} + (x_t − 50)) rewritten shuffle-free as
+    C_t − min(0, running-min C) — a cumulative window plus a running
+    min, no iteration. Deviations quantized to BIGINT µ-units first so
+    the cumulative sums are exact under ANY summation association
+    (a float cumsum's value depends on the window implementation's
+    tree shape) — bit-identical cross-engine with zero rounding."""
+    from .operators.stats import cusum_max_excursion
+
+    ev = events(spark, sf_dir)
+    return cusum_max_excursion(ev, "user_id", EV_ORDER, "value", target=50.0)
+
+
+@q(
+    "q_assoc_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM items),
+    marg AS (SELECT item, count(*) AS item_n FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, pair_n,
+           ma.item_n AS n_a, mb.item_n AS n_b,
+           CAST(pair_n AS DOUBLE) / CAST(ma.item_n AS DOUBLE) AS conf_a_b,
+           CAST(pair_n AS DOUBLE) / CAST(mb.item_n AS DOUBLE) AS conf_b_a,
+           CAST(pair_n AS DOUBLE) * nb.n
+             / (CAST(ma.item_n AS DOUBLE) * CAST(mb.item_n AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.item = pairs.item_a
+    JOIN marg mb ON mb.item = pairs.item_b
+    CROSS JOIN nb
+    """,
+)
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over order×brand baskets
+    (operators/itemsets.py::association_rules): pair support, both
+    confidences and lift for every brand pair co-bought in ≥2 orders —
+    the correlated-sources audit before corpus mixing. Presence matrix =
+    one distinct; pairs = basket-keyed self-join (volume Σ k_b²/2,
+    bounded by per-basket distinct items, never |items|²); marginals
+    broadcast back onto the support-pruned pair table. All metrics are
+    single divisions of exact BIGINT counts — no rounding anywhere."""
+    from .operators.itemsets import association_rules
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(baskets, "basket", "item", min_support=2)
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6435,6 +6692,8 @@ _DRIVER_FIRST = [
     "q_chi2_independence", "q_kl_drift", "q_graph_triangles", "q_skyline_frontier",
     "txt_bpe_encode", "j1_cogrouped_twin", "q_rendezvous_shards",
     "q_peak_concurrency", "q_group_ols", "q_quantile_transform",
+    "q_welch_ttest", "q_lag_autocorr", "q_mutual_info",
+    "q_gini_concentration", "q_cusum_drift", "q_assoc_rules",
 ]
 
 

@@ -40,6 +40,190 @@ def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def welch_one_vs_rest(
+    df: DataFrame, group_col: str, value_col: str, anchor: float = 0.0
+) -> DataFrame:
+    """Welch's unequal-variance t statistic of each group's values vs the
+    REST of the table (one-vs-rest A/B readout), with the
+    Welch–Satterthwaite degrees of freedom. ONE aggregate computes each
+    group's (n, Σx, Σx²); the complement's sufficient statistics are the
+    global sums (windows over the |groups|-row table) minus the group's —
+    no second scan, no self-join. ``anchor`` is subtracted before squaring
+    so Σx² stays well-conditioned when values sit far from 0 (the
+    q_group_ols trick).
+
+    Guards: groups (or complements) with n < 2 yield NULL t/df rather
+    than dividing by zero — ANSI-safe."""
+    x = F.col(value_col) - F.lit(float(anchor))
+    s = df.filter(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n1"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("q1"),
+    )
+    w = Window.partitionBy()
+    s = s.select(
+        group_col,
+        "n1",
+        "s1",
+        "q1",
+        (F.sum("n1").over(w) - F.col("n1")).alias("n2"),
+        (F.sum("s1").over(w) - F.col("s1")).alias("s2"),
+        (F.sum("q1").over(w) - F.col("q1")).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    se1 = v1 / F.col("n1")
+    se2 = v2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    return s.select(
+        group_col,
+        F.col("n1").cast("long").alias("n_group"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("welch_df"),
+    )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lag: int = 1,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation (sample ACF on the paired
+    formulation): Pearson r between (x_t, x_{t−k}) over the group's
+    deterministic (order_cols) sequence. One lag window + one aggregate of
+    the 5 sufficient sums — closed-form r, no iterative pass. Groups with
+    fewer than k+2 points (or zero variance on either side) yield NULL."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    y = F.col(value_col)
+    xl = F.lag(value_col, lag).over(w)
+    pairs = df.select(group_col, y.alias("y"), xl.alias("x")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    s = pairs.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ok = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    return s.select(
+        group_col,
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(ok, cov / F.sqrt(vx * vy)).alias("acf"),
+    )
+
+
+def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus the
+    marginal entropies and the normalized MI — the dependence audit run
+    after stratified sampling to confirm the strata stayed independent of
+    a sensitive column. ONE cell aggregate; every margin/total is a window
+    over the |a|·|b|-row cell table. Both entropies come from the SAME
+    cell pass via Σ_cells p_ij·ln(p_a) = Σ_a p_a·ln(p_a) — no second
+    aggregate. Output: a single row (mi, h_a, h_b, nmi)."""
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs"))
+    na = F.sum("obs").over(Window.partitionBy(a_col)).cast("double")
+    nb = F.sum("obs").over(Window.partitionBy(b_col)).cast("double")
+    nn = F.sum("obs").over(Window.partitionBy()).cast("double")
+    p = F.col("obs").cast("double") / nn
+    terms = cells.select(
+        (p * F.log(p * nn * nn / (na * nb))).alias("mi_term"),
+        (-p * F.log(na / nn)).alias("ha_term"),
+        (-p * F.log(nb / nn)).alias("hb_term"),
+    )
+    agg = terms.agg(
+        F.sum("mi_term").alias("mi"),
+        F.sum("ha_term").alias("h_a"),
+        F.sum("hb_term").alias("h_b"),
+    )
+    return agg.select(
+        "mi",
+        "h_a",
+        "h_b",
+        (F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b"))).alias("nmi"),
+    )
+
+
+def gini_by_rank(
+    df: DataFrame, group_col: str, value_col: str, tiebreak: str
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative measure (corpus
+    concentration: is one source hogging the bytes?) via the exact rank
+    formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x sorted ascending
+    and a deterministic tiebreak. For integer measures the numerator and
+    denominator are computed ENTIRELY in BIGINT — bit-identical on any
+    engine — and only the final division is floating. One window + one
+    aggregate; shuffle = one exchange on the group."""
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    s = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return s.select(
+        group_col,
+        F.col("n").alias("n"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+def cusum_max_excursion(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    units: float = 1e6,
+) -> DataFrame:
+    """Per-group one-sided CUSUM drift detector: the classic recursion
+    S_t = max(0, S_{t−1} + (x_t − target)) rewritten shuffle-free as
+    S_t = C_t − min(0, min_{j≤t} C_j) where C is the running sum of
+    deviations — a cumulative window plus a running min, no iteration.
+    Deviations are first quantized to integer ``units`` (µ-units by
+    default) so the cumulative sums are BIGINT — exact under ANY
+    summation association, hence bit-identical across engines (a float
+    cumsum's value depends on the window implementation's tree shape).
+    Output: per group, the maximum excursion (back in value units) and
+    where it peaked."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    dev = F.floor(
+        (F.col(value_col) - F.lit(float(target))) * F.lit(float(units)) + F.lit(0.5)
+    ).cast("bigint")
+    cum = F.sum(dev).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    run_min = F.min(cum).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    s = df.select(
+        group_col,
+        *order_cols,
+        (cum - F.least(F.lit(0).cast("bigint"), run_min)).alias("s_units"),
+    )
+    mx = F.max("s_units").over(Window.partitionBy(group_col))
+    peaked = s.withColumn("mx", mx).filter(F.col("s_units") == F.col("mx"))
+    return peaked.groupBy(group_col).agg(
+        (F.max("s_units").cast("double") / F.lit(float(units))).alias("max_cusum"),
+        F.min(order_cols[0]).alias("peak_at"),
+    )
+
+
 def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     """KL(P_group ‖ P_global) over the categorical column, one row per
     group — how far each slice's category mix drifts from the corpus.

@@ -2,7 +2,15 @@
 
 import math
 
-from seaexplorertools_spark.operators.stats import contingency_chi2, kl_from_global
+from seaexplorertools_spark.operators.stats import (
+    contingency_chi2,
+    cusum_max_excursion,
+    gini_by_rank,
+    kl_from_global,
+    lag_autocorr,
+    mutual_info,
+    welch_one_vs_rest,
+)
 
 
 def test_chi2_matches_hand_computation(spark):
@@ -38,3 +46,98 @@ def test_kl_zero_for_matching_mix_and_positive_for_drift(spark):
     # hand: p=(.75,.25) vs q=(.5,.5) -> KL = .75 ln1.5 + .25 ln .5
     want = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
     assert abs(out2["g1"] - want) < 1e-12 and abs(out2["g2"] - want) < 1e-12
+
+
+def test_welch_matches_scipy_formula(spark):
+    # two groups; compare the one-vs-rest t for "a" against a numpy replay
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 30.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in welch_one_vs_rest(df, "g", "v").collect()}
+
+    def welch(x, y):
+        x, y = np.asarray(x), np.asarray(y)
+        v1, v2 = x.var(ddof=1), y.var(ddof=1)
+        se1, se2 = v1 / len(x), v2 / len(y)
+        t = (x.mean() - y.mean()) / math.sqrt(se1 + se2)
+        df_ = (se1 + se2) ** 2 / (se1**2 / (len(x) - 1) + se2**2 / (len(y) - 1))
+        return t, df_
+
+    t, dof = welch(a, b)
+    assert abs(out["a"]["t_stat"] - t) < 1e-9
+    assert abs(out["a"]["welch_df"] - dof) < 1e-9
+    assert out["a"]["n_group"] == 5
+    # symmetry: b-vs-rest is a-vs-rest negated (two groups only)
+    assert abs(out["b"]["t_stat"] + t) < 1e-9
+
+
+def test_welch_small_group_is_null(spark):
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"])
+    out = {r["g"]: r for r in welch_one_vs_rest(df, "g", "v").collect()}
+    assert out["a"]["t_stat"] is None and out["a"]["welch_df"] is None
+
+
+def test_lag_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = lag_autocorr(df, "g", ["t"], "v", lag=1).collect()[0]
+    x, y = np.array(vals[:-1]), np.array(vals[1:])
+    want = np.corrcoef(x, y)[0, 1]
+    assert out["n_pairs"] == 9
+    assert abs(out["acf"] - want) < 1e-12
+
+
+def test_lag_autocorr_constant_series_null(spark):
+    df = spark.createDataFrame([("u", i, 7.0) for i in range(5)], ["g", "t", "v"])
+    assert lag_autocorr(df, "g", ["t"], "v").collect()[0]["acf"] is None
+
+
+def test_mutual_info_independent_and_identical(spark):
+    # independent 2x2 uniform -> MI = 0
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mutual_info(df, "a", "b").collect()[0]
+    assert abs(r["mi"]) < 1e-12 and abs(r["nmi"]) < 1e-12
+    assert abs(r["h_a"] - math.log(2)) < 1e-12
+
+    # perfectly dependent -> MI = H = ln 2, NMI = 1
+    rows2 = [("x", "p")] * 10 + [("y", "q")] * 10
+    r2 = mutual_info(spark.createDataFrame(rows2, ["a", "b"]), "a", "b").collect()[0]
+    assert abs(r2["mi"] - math.log(2)) < 1e-12
+    assert abs(r2["nmi"] - 1.0) < 1e-12
+
+
+def test_gini_extremes_and_known_value(spark):
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([("g", i, 10) for i in range(4)], ["g", "id", "x"])
+    assert gini_by_rank(eq, "g", "x", "id").collect()[0]["gini"] == 0.0
+    # one holder of everything, n=4: rank formula gives (n-1)/n = 0.75
+    one = spark.createDataFrame(
+        [("g", 0, 0), ("g", 1, 0), ("g", 2, 0), ("g", 3, 100)], ["g", "id", "x"]
+    )
+    assert abs(gini_by_rank(one, "g", "x", "id").collect()[0]["gini"] - 0.75) < 1e-12
+    # hand value: x = [1,2,3,4]: G = (2*(1+4+9+16) - 5*10)/(4*10) = 10/40
+    h = spark.createDataFrame([("g", i, i + 1) for i in range(4)], ["g", "id", "x"])
+    assert abs(gini_by_rank(h, "g", "x", "id").collect()[0]["gini"] - 0.25) < 1e-12
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    vals = [1.0, 5.0, 5.0, 5.0, -3.0, -9.0, 2.0, 8.0, 8.0, -1.0]
+    target = 1.0
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = cusum_max_excursion(df, "g", ["t"], "v", target=target).collect()[0]
+    # sequential reference: S_t = max(0, S_{t-1} + (x - target))
+    s, best, best_t = 0.0, 0.0, 0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - target))
+        if s > best:
+            best, best_t = s, i
+    assert abs(out["max_cusum"] - best) < 1e-9
+    assert out["peak_at"] == best_t
