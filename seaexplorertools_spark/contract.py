@@ -3167,6 +3167,36 @@ def q_assoc_rules(spark, sf_dir):
     return association_rules(baskets, "basket", "item", min_support=2)
 
 
+@q(
+    "q_winsorize",
+    """
+    WITH b AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p_lo,
+             quantile_cont(n_chars, 0.95) AS p_hi
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, b.p_lo, b.p_hi,
+           least(greatest(CAST(d.n_chars AS DOUBLE), b.p_lo), b.p_hi) AS clipped
+    FROM documents d JOIN b USING (lang)
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Per-language winsorization of document lengths at the exact
+    [p05, p95] band (operators/stats.py::winsorize) — the robust outlier
+    clip before tail-dominated statistics. Spark's exact ``percentile``
+    (sorted linear interpolation) is bit-identical to DuckDB's
+    ``quantile_cont`` — verified cross-engine — so the oracle is exact
+    with ZERO rounding. Bounds table (|langs| rows) broadcast back; data
+    rows never re-shuffle."""
+    from .operators.stats import winsorize
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize(docs, "lang", "n_chars", 0.05, 0.95).select(
+        "doc_id", "lang", "n_chars", "p_lo", "p_hi", "clipped"
+    )
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6693,7 +6723,7 @@ _DRIVER_FIRST = [
     "txt_bpe_encode", "j1_cogrouped_twin", "q_rendezvous_shards",
     "q_peak_concurrency", "q_group_ols", "q_quantile_transform",
     "q_welch_ttest", "q_lag_autocorr", "q_mutual_info",
-    "q_gini_concentration", "q_cusum_drift", "q_assoc_rules",
+    "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
 ]
 
 

@@ -224,6 +224,33 @@ def cusum_max_excursion(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip the value into its group's exact
+    [lo, hi] percentile band — the robust outlier treatment applied to
+    document lengths / feature columns before statistics that a heavy
+    tail would dominate. Percentiles use Spark's exact ``percentile``
+    (sorted linear interpolation — bit-identical to DuckDB's
+    ``quantile_cont``, verified cross-engine); the |groups|-row bound
+    table is broadcast back, so rows never re-shuffle. At 100 TB swap
+    ``percentile`` for ``approx_percentile(…, accuracy)`` — same plan
+    shape, sketch-mergeable map-side."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    out = df.join(F.broadcast(bounds), group_col)
+    x = F.col(value_col).cast("double")
+    return out.withColumn(
+        "clipped", F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
+    )
+
+
 def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     """KL(P_group ‖ P_global) over the categorical column, one row per
     group — how far each slice's category mix drifts from the corpus.

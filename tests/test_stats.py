@@ -141,3 +141,36 @@ def test_cusum_matches_sequential_recursion(spark):
             best, best_t = s, i
     assert abs(out["max_cusum"] - best) < 1e-9
     assert out["peak_at"] == best_t
+
+
+def test_association_rules_hand_values(spark):
+    from seaexplorertools_spark.operators.itemsets import association_rules
+
+    # baskets: {A,B}, {A,B}, {A,C}, {B} -> pair (A,B) support 2 of 4 baskets
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+        (2, "A"),  # duplicate line in a basket must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["item_a"], r["item_b"]): r for r in association_rules(df, "basket", "item").collect()}
+    assert set(out) == {("A", "B")}  # (A,C) has support 1, pruned
+    r = out[("A", "B")]
+    assert r["pair_n"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert abs(r["conf_a_b"] - 2 / 3) < 1e-15
+    assert abs(r["lift"] - (2 * 4) / (3 * 3)) < 1e-15
+
+
+def test_winsorize_clips_into_band(spark):
+    from seaexplorertools_spark.operators.stats import winsorize
+
+    vals = list(range(1, 101))  # 1..100 -> p05 ~ 5.95, p95 ~ 95.05
+    df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)], ["g", "id", "x"])
+    out = winsorize(df, "g", "x", 0.05, 0.95).collect()
+    lo = 1 + 0.05 * 99  # numpy-style linear interpolation on sorted values
+    hi = 1 + 0.95 * 99
+    for r in out:
+        assert abs(r["p_lo"] - lo) < 1e-12 and abs(r["p_hi"] - hi) < 1e-12
+        assert r["clipped"] == min(max(float(r["x"]), lo), hi)
