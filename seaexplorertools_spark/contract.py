@@ -3197,6 +3197,116 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+@q(
+    "q_markov_transitions",
+    """
+    WITH steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ),
+    t AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM steps WHERE from_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+    FROM t
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types over each
+    user's (ts, event_id) sequence
+    (operators/stats.py::markov_transitions) — the what-follows-what
+    behavioral model. One lag window + one pair aggregate; row totals
+    are a window over the |states|²-row transition table; probabilities
+    are divisions of exact BIGINT counts — no rounding."""
+    from .operators.stats import markov_transitions
+
+    ev = events(spark, sf_dir)
+    return markov_transitions(ev, "user_id", EV_ORDER, "event_type")
+
+
+@q(
+    "q_benford_audit",
+    """
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit,
+             count(*) AS obs
+      FROM events WHERE value >= 1 GROUP BY 1
+    ),
+    m AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM obs)
+    SELECT digit, obs,
+           floor(obs / n * 1000000.0 + 0.5) / 1000000.0 AS obs_p,
+           floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+             AS benford_p,
+           floor((obs - log10(1.0 + 1.0 / digit) * n)
+                 * (obs - log10(1.0 + 1.0 / digit) * n)
+                 / (log10(1.0 + 1.0 / digit) * n) * 1000000.0 + 0.5) / 1000000.0
+             AS chi2_contrib
+    FROM obs CROSS JOIN m
+    """,
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of event values
+    (operators/quality.py::benford_audit) — the fabricated-data detector.
+    One conditional aggregate; expected shares are log10(1+1/d) literals;
+    the digit comes from the BIGINT string form so extraction is
+    engine-exact. 6-dp portable rounding absorbs libm log10 noise."""
+    from .operators.quality import benford_audit
+
+    ev = events(spark, sf_dir)
+    out = benford_audit(ev, "value")
+    return out.select(
+        "digit",
+        "obs",
+        r6p(F.col("obs_p")).alias("obs_p"),
+        r6p(F.col("benford_p")).alias("benford_p"),
+        r6p(F.col("chi2_contrib")).alias("chi2_contrib"),
+    )
+
+
+@q(
+    "q_quantile_sketch",
+    """
+    WITH h AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h,
+             doc_id
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM h
+    )
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS q_50,
+           quantile_cont(n_chars, 0.9) AS q_90,
+           count(*) AS sample_n
+    FROM s WHERE rn <= 64 GROUP BY lang
+    """,
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Deterministic mergeable quantile sketch per language
+    (operators/sketches.py::quantile_sketch): bottom-64 md5-hash row
+    sample → exact interpolated quantiles over the sample. Deterministic
+    (same rows win on any partitioning — reproducible AND exactly
+    oracle-checkable, unlike approx_percentile), mergeable by the KMV
+    law. The oracle replays the identical hash selection and
+    interpolation — bit-identical, zero rounding."""
+    from .operators.sketches import quantile_sketch
+
+    docs = table(spark, sf_dir, "documents")
+    return quantile_sketch(
+        docs, "doc_id", "n_chars", ["lang"], k=64, qs=(0.5, 0.9)
+    )
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6724,6 +6834,7 @@ _DRIVER_FIRST = [
     "q_peak_concurrency", "q_group_ols", "q_quantile_transform",
     "q_welch_ttest", "q_lag_autocorr", "q_mutual_info",
     "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
+    "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
 ]
 
 

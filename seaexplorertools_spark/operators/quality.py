@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def not_null(col: str) -> tuple[str, Column]:
@@ -89,3 +90,39 @@ def observed_checks(df: DataFrame, checks: list[tuple[str, Column]], name: str =
         for cname, pred in checks
     ]
     return df.observe(obs, *metrics), obs
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column — the
+    classic fabricated-data detector (natural multiplicative quantities
+    follow P(d) = log10(1 + 1/d); uniform or hand-typed data doesn't).
+    One conditional aggregate over the rows; expected probabilities are
+    literals. Output per digit 1-9: observed count, observed share,
+    Benford share, and the chi-squared contribution. The digit is taken
+    from the string form of floor(x) — explicit floor because
+    double→BIGINT CAST semantics differ across engines (truncate vs
+    round-half-even); rows below 1 have no integer first digit and are
+    excluded."""
+    d = F.substring(F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1).cast(
+        "int"
+    )
+    obs = (
+        df.filter(F.col(col) >= 1)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("obs"))
+    )
+    n = F.sum("obs").over(Window.partitionBy()).cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp_n = exp_p * n
+    return obs.select(
+        "digit",
+        "obs",
+        (F.col("obs").cast("double") / n).alias("obs_p"),
+        exp_p.alias("benford_p"),
+        (
+            (F.col("obs").cast("double") - exp_n)
+            * (F.col("obs").cast("double") - exp_n)
+            / exp_n
+        ).alias("chi2_contrib"),
+    )

@@ -238,3 +238,42 @@ def kmv_merge(shard_sketches: DataFrame, group_cols: list[str], k: int = 64) -> 
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
         .withColumn("est_distinct", F.round(est, 6))
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch via bottom-k hashing: keep
+    the k rows with the SMALLEST md5-derived hash of the row id (a
+    uniform row sample that any two shards agree on), estimate quantiles
+    by exact interpolation over the sample. Error is the usual sampling
+    bound ~1/√k per quantile; k trades memory for accuracy.
+
+    Why this sketch when Spark has approx_percentile: bottom-k is (1)
+    DETERMINISTIC — the same rows win on any partitioning, so results are
+    reproducible run-to-run and exactly oracle-checkable; (2) mergeable
+    by construction — bottom-k of a union is the bottom-k of the
+    concatenated per-shard bottom-k sets (the KMV law), so shard sketches
+    combine without bias; (3) engine-portable — nothing in it is
+    Spark-specific. At scale the per-group top-k should be pre-pruned
+    with the threshold trick (see sampling.py::reservoir_per_group);
+    the window here IS that formulation's exact baseline."""
+    gs = list(group_cols or [])
+    h = uniform_hash48(F.col(id_col))
+    w = Window.partitionBy(*gs).orderBy("h", id_col)
+    s = (
+        df.select(*gs, id_col, value_col, h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(f"q_{int(round(q * 100))}")
+        for q in qs
+    ]
+    aggs.append(F.count("*").alias("sample_n"))
+    return s.groupBy(*gs).agg(*aggs)

@@ -224,6 +224,34 @@ def cusum_max_excursion(
     )
 
 
+def markov_transitions(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-sequence state
+    chains: for every (from_state, to_state), the transition count and the
+    row-normalized probability — the behavioral model (what follows what)
+    behind sessionized-event analysis and synthetic-sequence generation.
+    One lag window per sequence + one pair aggregate; row totals come from
+    a window over the |states|²-row transition table. Probabilities are
+    divisions of exact BIGINT counts — bit-identical cross-engine."""
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    steps = df.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    t = steps.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("from_state"))
+    return t.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias("p"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,

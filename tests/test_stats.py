@@ -174,3 +174,85 @@ def test_winsorize_clips_into_band(spark):
     for r in out:
         assert abs(r["p_lo"] - lo) < 1e-12 and abs(r["p_hi"] - hi) < 1e-12
         assert r["clipped"] == min(max(float(r["x"]), lo), hi)
+
+
+def test_markov_transitions_hand_chain(spark):
+    from seaexplorertools_spark.operators.stats import markov_transitions
+
+    # u1: A B A B ; u2: A B B  -> from A: {B:3}; from B: {A:1, B:1}
+    rows = [("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "A"), ("u1", 3, "B"),
+            ("u2", 0, "A"), ("u2", 1, "B"), ("u2", 2, "B")]
+    df = spark.createDataFrame(rows, ["u", "t", "s"])
+    out = {(r["from_state"], r["to_state"]): r for r in
+           markov_transitions(df, "u", ["t"], "s").collect()}
+    assert out[("A", "B")]["n"] == 3 and out[("A", "B")]["p"] == 1.0
+    assert out[("B", "A")]["n"] == 1 and abs(out[("B", "A")]["p"] - 0.5) < 1e-15
+    assert out[("B", "B")]["n"] == 1 and abs(out[("B", "B")]["p"] - 0.5) < 1e-15
+    assert ("B", "A") in out and len(out) == 3  # no cross-user transition
+
+
+def test_benford_detects_fabricated_uniform(spark):
+    import math as m
+
+    from seaexplorertools_spark.operators.quality import benford_audit
+
+    # Benford-ish data: powers spread multiplicatively
+    nat = [1.0 * (1.35 ** i) for i in range(80)]
+    df = spark.createDataFrame([(v,) for v in nat], ["x"])
+    chi_nat = sum(r["chi2_contrib"] for r in benford_audit(df, "x").collect())
+    # fabricated: uniform 100..999 -> every first digit equally likely
+    fab = [float(100 + 900 * i / 200) for i in range(200)]
+    chi_fab = sum(
+        r["chi2_contrib"]
+        for r in benford_audit(spark.createDataFrame([(v,) for v in fab], ["x"]), "x").collect()
+    )
+    assert chi_fab > 5 * max(chi_nat, 1e-9)  # uniform flagged, natural not
+    # expected shares are exactly log10(1+1/d)
+    out = {r["digit"]: r["benford_p"] for r in benford_audit(df, "x").collect()}
+    for dgt, p in out.items():
+        assert abs(p - m.log10(1 + 1 / dgt)) < 1e-15
+
+
+def test_benford_sub_one_rows_excluded(spark):
+    from seaexplorertools_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame([(0.5,), (0.9,), (2.0,), (25.0,)], ["x"])
+    out = {r["digit"]: r["obs"] for r in benford_audit(df, "x").collect()}
+    assert out == {2: 2}  # 0.5/0.9 excluded; 2.0 and 25.0 both lead with 2
+
+
+def test_quantile_sketch_merge_law_and_accuracy(spark):
+    import numpy as np
+
+    from seaexplorertools_spark.operators.sketches import quantile_sketch
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(5, 1, 4000)
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "id", "x"])
+
+    direct = quantile_sketch(df, "id", "x", ["g"], k=256, qs=(0.5, 0.9)).collect()[0]
+    assert direct["sample_n"] == 256
+
+    # merge law: bottom-k of the union == bottom-k over concatenated
+    # per-shard bottom-k survivors (KMV property)
+    from pyspark.sql import functions as F
+    from seaexplorertools_spark.operators.sketches import uniform_hash48
+    from pyspark.sql.window import Window as W
+
+    shard = df.withColumn("shard", F.col("id") % 4)
+    h = uniform_hash48(F.col("id"))
+    w = W.partitionBy("g", "shard").orderBy("h", "id")
+    survivors = (
+        shard.select("g", "id", "x", h.alias("h"), "shard")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .select("g", "id", "x")
+    )
+    merged = quantile_sketch(survivors, "id", "x", ["g"], k=256, qs=(0.5, 0.9)).collect()[0]
+    assert merged["q_50"] == direct["q_50"] and merged["q_90"] == direct["q_90"]
+
+    # accuracy: within ~3/sqrt(k) quantile distance of the exact value
+    exact_rank_lo = np.quantile(vals, 0.5 - 3 / 16)
+    exact_rank_hi = np.quantile(vals, 0.5 + 3 / 16)
+    assert exact_rank_lo <= direct["q_50"] <= exact_rank_hi
