@@ -3307,6 +3307,86 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+@q(
+    "txt_pmi_bigrams",
+    f"""
+    WITH t AS (SELECT {_TOK_SQL} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT w1, w2, n,
+             CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS cl,
+             CAST(SUM(n) OVER (PARTITION BY w2) AS DOUBLE) AS cr,
+             CAST(SUM(n) OVER () AS DOUBLE) AS nn
+      FROM c
+    )
+    SELECT w1, w2, n,
+           floor(ln(CAST(n AS DOUBLE) * nn / (cl * cr)) * 1000000.0 + 0.5)
+             / 1000000.0 AS pmi
+    FROM m WHERE n >= 5
+    """,
+)
+def txt_pmi_bigrams(spark, sf_dir):
+    """PMI collocation mining over adjacent token pairs
+    (operators/text.py::pmi_bigrams) — multi-word-expression detection
+    before tokenizer training. One explode (volume = token count);
+    margins via windows over the distinct-bigram table, computed BEFORE
+    the min-count filter so denominators stay unbiased. Exact BIGINT
+    counts; 6-dp portable rounding on the single ln."""
+    from .operators.text import pmi_bigrams
+
+    docs = table(spark, sf_dir, "documents")
+    out = pmi_bigrams(docs, "text", min_count=5)
+    return out.select("w1", "w2", "n", r6p(F.col("pmi")).alias("pmi"))
+
+
+@q(
+    "q_two_hop_reach",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT u, count(*) AS n_one_hop FROM adj GROUP BY 1),
+    wed AS (
+      SELECT DISTINCT x.u AS u, y.v AS w
+      FROM adj x JOIN adj y ON x.v = y.u WHERE x.u <> y.v
+    ),
+    s2 AS (
+      SELECT wed.u, wed.w FROM wed
+      ANTI JOIN adj ON wed.u = adj.u AND wed.w = adj.v
+    ),
+    two AS (SELECT u, count(*) AS n_two_hop FROM s2 GROUP BY 1)
+    SELECT deg.u AS node, deg.n_one_hop,
+           COALESCE(two.n_two_hop, 0) AS n_two_hop
+    FROM deg LEFT JOIN two USING (u)
+    """,
+)
+def q_two_hop_reach(spark, sf_dir):
+    """Per-part graph-expansion profile on the co-purchase graph
+    (operators/graph.py::two_hop_counts): degree + distinct
+    strictly-2-hop reach (friends-of-friends minus friends) — the
+    contamination-spread / candidate-sizing metric. One mid-node-keyed
+    wedge join (Σ deg², the triangle counter's budget), anti-join removes
+    direct edges. Exact set arithmetic, no rounding."""
+    from .operators.graph import two_hop_counts
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    return two_hop_counts(pairs, "a", "b")
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6835,6 +6915,7 @@ _DRIVER_FIRST = [
     "q_welch_ttest", "q_lag_autocorr", "q_mutual_info",
     "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
+    "txt_pmi_bigrams", "q_two_hop_reach",
 ]
 
 

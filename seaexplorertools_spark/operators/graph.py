@@ -222,3 +222,48 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         .groupBy("node")
         .agg(F.count("*").alias("tri"))
     )
+
+
+def two_hop_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Per-node graph-expansion profile: degree and the count of DISTINCT
+    nodes at distance exactly 2 (friends-of-friends that aren't already
+    friends) — the reach metric behind contamination-spread and
+    recommendation-candidate sizing. Symmetrized adjacency, one
+    mid-node-keyed self-join (wedge volume Σ deg² — same budget as the
+    triangle counter; hub-cap the adjacency upstream when a key is
+    pathological), direct edges and self removed, distinct, count.
+    Everything is exact set arithmetic — no rounding."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        # adj feeds FOUR consumers (degree, both wedge sides, the
+        # anti-join) — without materialization the upstream edge
+        # derivation re-executes per consumer (4× at any scale)
+        .cache()
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("n_one_hop"))
+    x, y = adj.alias("x"), adj.alias("y")
+    # wedges stay NON-distinct through the anti-join: a standalone
+    # distinct would add a full (u, w) exchange only to be followed by
+    # another — countDistinct's partial-aggregate does the dedup inside
+    # the one shuffle the count needs anyway
+    wedges = (
+        x.join(y, F.col("x.v") == F.col("y.u"))
+        .filter(F.col("x.u") != F.col("y.v"))
+        .select(F.col("x.u").alias("u"), F.col("y.v").alias("w"))
+    )
+    # the exclusion side is the EDGE list (tiny next to the Σ deg² wedge
+    # stream) — broadcast it so the anti-join never shuffles the wedges;
+    # the only wedge-volume exchange left is the final count's
+    strict2 = wedges.join(
+        F.broadcast(adj.select(F.col("u"), F.col("v").alias("w"))),
+        ["u", "w"],
+        "left_anti",
+    )
+    two = strict2.groupBy("u").agg(F.countDistinct("w").alias("n_two_hop"))
+    return deg.join(two, "u", "left").select(
+        F.col("u").alias("node"),
+        "n_one_hop",
+        F.coalesce("n_two_hop", F.lit(0)).alias("n_two_hop"),
+    )

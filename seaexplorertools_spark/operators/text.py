@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import tokens
 
@@ -365,3 +366,45 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the classic
+    collocation detector ("new york" scores high, "of the" doesn't) used
+    to mine multi-word expressions from a corpus before tokenizer
+    training. One explode produces the bigram stream (volume = token
+    count, bounded); margins are windows over the DISTINCT-bigram table —
+    margins must be computed before the min-count filter or the
+    denominators would be biased. PMI = ln(c₁₂·N / (c₁·c₂)) on exact
+    BIGINT counts."""
+    t = docs.select(tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    c = bg.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
+        F.count("*").alias("n")
+    )
+    cl = F.sum("n").over(Window.partitionBy("w1")).cast("double")
+    cr = F.sum("n").over(Window.partitionBy("w2")).cast("double")
+    nn = F.sum("n").over(Window.partitionBy()).cast("double")
+    m = c.select(
+        "w1",
+        "w2",
+        "n",
+        F.log(F.col("n").cast("double") * nn / (cl * cr)).alias("pmi"),
+    )
+    return m.filter(F.col("n") >= min_count)

@@ -50,3 +50,24 @@ def test_dup_clusters_keep_flag(spark):
         3: (3, True), 5: (3, False), 9: (3, False),
         20: (20, True), 21: (20, False),
     }
+
+
+def test_two_hop_counts_path_and_square(spark):
+    from seaexplorertools_spark.operators.graph import two_hop_counts
+
+    # path 1-2-3-4: strict 2-hop: 1->{3}, 2->{4}, 3->{1}, 4->{2}
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    out = {r["node"]: (r["n_one_hop"], r["n_two_hop"]) for r in
+           two_hop_counts(path, "a", "b").collect()}
+    assert out == {1: (1, 1), 2: (2, 1), 3: (2, 1), 4: (1, 1)}
+
+    # square 1-2-3-4-1: everyone's 2-hop neighbor is the opposite corner
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["a", "b"])
+    out2 = {r["node"]: (r["n_one_hop"], r["n_two_hop"]) for r in
+            two_hop_counts(sq, "a", "b").collect()}
+    assert out2 == {1: (2, 1), 2: (2, 1), 3: (2, 1), 4: (2, 1)}
+
+    # triangle: no strict 2-hop (everything reachable in 1)
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
+    out3 = {r["node"]: r["n_two_hop"] for r in two_hop_counts(tri, "a", "b").collect()}
+    assert out3 == {1: 0, 2: 0, 3: 0}

@@ -60,3 +60,36 @@ def test_observed_checks_ride_existing_job(spark, sf_dir):
     }
     assert n == o.count()
     assert got == direct
+
+
+def test_pmi_flags_collocation(spark):
+    from seaexplorertools_spark.operators.text import pmi_bigrams
+    import math
+    from collections import Counter
+
+    docs = [
+        "new york a cat", "new york the cat", "new york a dog",
+        "the dog sees new york", "a cat sees the dog", "the cat sees a dog",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): (r["n"], r["pmi"]) for r in
+           pmi_bigrams(df, "text", min_count=2).collect()}
+
+    # pure-python replay of the definition
+    bigrams = []
+    for t in docs:
+        toks = t.split()
+        bigrams += list(zip(toks, toks[1:]))
+    c12 = Counter(bigrams)
+    cl = Counter(w1 for w1, _ in bigrams)
+    cr = Counter(w2 for _, w2 in bigrams)
+    n = len(bigrams)
+    want = {
+        (a, b): (k, math.log(k * n / (cl[a] * cr[b])))
+        for (a, b), k in c12.items()
+        if k >= 2
+    }
+    assert set(out) == set(want)
+    for pair, (k, p) in want.items():
+        assert out[pair][0] == k
+        assert abs(out[pair][1] - p) < 1e-12
