@@ -40,6 +40,10 @@ GLOBAL_WINDOW_OK = {
     # peak-concurrency's offset window is over |partitions| rows
     "q_chi2_independence", "q_kl_drift", "q_skyline_frontier",
     "q_peak_concurrency",
+    # stats-pack bounded-input windows: welch's complement sums run over
+    # the |groups|-row sufficient-statistics table; mutual_info margins
+    # over the |a|·|b|-row cell table; benford's total over ≤ 9 digit rows
+    "q_welch_ttest", "q_mutual_info", "q_benford_audit",
 }
 
 # Declared-exact baselines and axis densification: the crossJoin is the point
@@ -54,6 +58,9 @@ CROSSJOIN_OK = {
     # bounded NL sides: 9-offset neighbor fanout (spatial), k×dim literal
     # centroid/LUT broadcasts (k-means, PQ)
     "q_spatial_eps_join", "q_kmeans_assign", "q_kmeans_iterate", "ann_topk_pq",
+    # 1-row scalar-broadcast sides (the J5 pattern): PMI's global bigram
+    # total; association-rules' basket total is folded into a literal
+    "txt_pmi_bigrams",
 }
 
 

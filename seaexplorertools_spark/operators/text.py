@@ -398,13 +398,22 @@ def pmi_bigrams(
     c = bg.select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
         F.count("*").alias("n")
     )
+    # margins: per-word windows partition by the word (bounded per key);
+    # the GLOBAL total must NOT be an unpartitioned window — the distinct-
+    # bigram table is vocab²-shaped at scale, so a single-partition window
+    # over it is a scale trap. A 1-row aggregate broadcast (the scalar-
+    # broadcast pattern) costs one extra tiny stage instead.
     cl = F.sum("n").over(Window.partitionBy("w1")).cast("double")
     cr = F.sum("n").over(Window.partitionBy("w2")).cast("double")
-    nn = F.sum("n").over(Window.partitionBy()).cast("double")
-    m = c.select(
+    tot = c.agg(F.sum("n").alias("nn_total"))
+    m = c.join(F.broadcast(tot)).select(
         "w1",
         "w2",
         "n",
-        F.log(F.col("n").cast("double") * nn / (cl * cr)).alias("pmi"),
+        F.log(
+            F.col("n").cast("double")
+            * F.col("nn_total").cast("double")
+            / (cl * cr)
+        ).alias("pmi"),
     )
     return m.filter(F.col("n") >= min_count)
