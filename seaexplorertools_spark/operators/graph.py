@@ -224,15 +224,29 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
     )
 
 
-def two_hop_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+def two_hop_counts(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_mid_degree: int | None = None,
+) -> DataFrame:
     """Per-node graph-expansion profile: degree and the count of DISTINCT
     nodes at distance exactly 2 (friends-of-friends that aren't already
     friends) — the reach metric behind contamination-spread and
     recommendation-candidate sizing. Symmetrized adjacency, one
-    mid-node-keyed self-join (wedge volume Σ deg² — same budget as the
-    triangle counter; hub-cap the adjacency upstream when a key is
-    pathological), direct edges and self removed, distinct, count.
-    Everything is exact set arithmetic — no rounding."""
+    mid-node-keyed self-join, direct edges and self removed, distinct,
+    count. Everything is exact set arithmetic — no rounding.
+
+    Scale budget: wedge volume is Σ deg(mid)² — QUADRATIC in hub degree
+    (measured: 5.9 s at sf0.01 → 54 s at sf0.1 on local[32]; the only
+    super-linear operator in the contract, and inherently so — exact
+    2-hop must enumerate every wedge). The production mitigation is
+    ``max_mid_degree``: drop wedges whose MIDDLE node is a hub above the
+    cap (each hop through a k-hub contributes k² wedges but its
+    neighbors are usually reachable through lower-degree mids too; the
+    standard friend-of-friend recommender cap). Capped results are a
+    documented lower bound, so the exact (None) form stays the contract
+    default."""
     adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -243,7 +257,15 @@ def two_hop_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         .cache()
     )
     deg = adj.groupBy("u").agg(F.count("*").alias("n_one_hop"))
-    x, y = adj.alias("x"), adj.alias("y")
+    mid = adj
+    if max_mid_degree is not None:
+        # fresh select + rename guards against shared-lineage attribute
+        # collapse (deg derives from adj)
+        keep = deg.filter(F.col("n_one_hop") <= max_mid_degree).select(
+            F.col("u").alias("v")
+        )
+        mid = adj.join(F.broadcast(keep), "v", "left_semi")
+    x, y = mid.alias("x"), adj.alias("y")
     # wedges stay NON-distinct through the anti-join: a standalone
     # distinct would add a full (u, w) exchange only to be followed by
     # another — countDistinct's partial-aggregate does the dedup inside

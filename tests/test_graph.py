@@ -71,3 +71,21 @@ def test_two_hop_counts_path_and_square(spark):
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
     out3 = {r["node"]: r["n_two_hop"] for r in two_hop_counts(tri, "a", "b").collect()}
     assert out3 == {1: 0, 2: 0, 3: 0}
+
+
+def test_two_hop_hub_cap_drops_hub_wedges(spark):
+    from seaexplorertools_spark.operators.graph import two_hop_counts
+
+    # star center 0 with leaves 1..5, plus chain 1-6-7: leaves reach each
+    # other only through the hub (degree 5)
+    edges = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 7)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    exact = {r["node"]: r["n_two_hop"] for r in two_hop_counts(df, "a", "b").collect()}
+    assert exact[2] == 4  # leaves 1,3,4,5 via the hub
+    capped = {r["node"]: r["n_two_hop"] for r in
+              two_hop_counts(df, "a", "b", max_mid_degree=3).collect()}
+    # with the hub (deg 5) capped out as a mid, leaf-to-leaf wedges vanish
+    assert capped[2] == 0
+    # wedges through low-degree mids survive: 0 still reaches 6 via 1 (deg 2)
+    assert capped[0] == exact[0] == 1
+    assert capped[7] == exact[7] == 1  # 7-6-1 chain unaffected
