@@ -3387,6 +3387,77 @@ def q_two_hop_reach(spark, sf_dir):
     return two_hop_counts(pairs, "a", "b")
 
 
+@q(
+    "q_target_encode",
+    """
+    WITH s AS (
+      SELECT event_type, SUM(value) AS sum_g, COUNT(value) AS n_g
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT SUM(value) / COUNT(value) AS mu_global FROM events)
+    SELECT e.event_id, e.event_type, e.value,
+           floor((s.sum_g - e.value + 20.0 * g.mu_global)
+                 / (s.n_g - 1 + 20.0) * 1000000.0 + 0.5) / 1000000.0 AS te_loo
+    FROM events e JOIN s USING (event_type) CROSS JOIN g
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding of event_type against value with an
+    m=20 global-mean prior (operators/stats.py::target_encode_loo) — the
+    high-cardinality categorical encoder, leak-free by construction.
+    ONE aggregate → |categories|-row broadcast; the global mean is a
+    1-row scalar broadcast; data rows never shuffle."""
+    from .operators.stats import target_encode_loo
+
+    ev = events(spark, sf_dir).filter(F.col("value").isNotNull())
+    out = target_encode_loo(ev, "event_type", "value", smoothing=20.0)
+    return out.select(
+        "event_id", "event_type", "value", r6p(F.col("te_loo")).alias("te_loo")
+    )
+
+
+@q(
+    "q_hopping_counts",
+    """
+    WITH hops AS (
+      SELECT unnest([
+               (epoch_us(ts) // 300000000) * 300000000 - 300000000,
+               (epoch_us(ts) // 300000000) * 300000000
+             ]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type,
+           count(*) AS n,
+           floor(SUM(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+    FROM hops WHERE win_start >= 0 GROUP BY 1, 2
+    """,
+)
+def q_hopping_counts(spark, sf_dir):
+    """Batch hopping-window aggregate: 10-minute windows sliding every
+    5 minutes, so each event lands in exactly size/slide = 2 windows
+    [s1−slide, s1] with s1 = (ts div slide)·slide. The window starts are
+    computed with INTEGER µs arithmetic rather than ``F.window`` so
+    boundaries are session-timezone-proof (a :30/:45-offset zone shifts
+    F.window's epoch alignment on TIMESTAMP inputs) and engine-exact.
+    Plan: 2-element explode → ONE partial-agg exchange — the batch twin
+    of streaming/windowed.py's hopping counts."""
+    ev = events(spark, sf_dir)
+    slide = 300000000
+    s1 = (F.col("ts_us") - (F.col("ts_us") % F.lit(slide))).cast("bigint")
+    out = (
+        ev.withColumn("win_start", F.explode(F.array(s1 - F.lit(slide), s1)))
+        .filter(F.col("win_start") >= 0)
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r6p(F.sum("value")).alias("sum_value"),
+        )
+    )
+    return out
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6915,7 +6986,7 @@ _DRIVER_FIRST = [
     "q_welch_ttest", "q_lag_autocorr", "q_mutual_info",
     "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
-    "txt_pmi_bigrams", "q_two_hop_reach",
+    "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
 ]
 
 

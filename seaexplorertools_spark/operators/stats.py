@@ -224,6 +224,46 @@ def cusum_max_excursion(
     )
 
 
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column — the
+    standard high-cardinality feature encoder for tree/linear models.
+    Each row gets its category's target mean COMPUTED WITHOUT ITSELF
+    (closed form: (Σ_g y − y_i)/(n_g − 1)), which kills the target-leak
+    that naive mean encoding has. ``smoothing`` m blends in the global
+    mean as an m-observation prior: (Σ_g y − y_i + m·μ)/(n_g − 1 + m) —
+    singleton categories then fall back to μ instead of NULL.
+
+    Shape: ONE aggregate to the |categories|-row stats table, broadcast
+    back — the data rows never shuffle. The global mean is a 1-row
+    scalar broadcast."""
+    s = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("sum_g"),
+        F.count(target_col).alias("n_g"),
+    )
+    out = df.join(F.broadcast(s), cat_col)
+    if smoothing > 0:
+        g = df.agg(
+            (F.sum(target_col) / F.count(target_col)).alias("mu_global")
+        )
+        out = out.join(F.broadcast(g))
+        enc = (
+            F.col("sum_g")
+            - F.col(target_col)
+            + F.lit(float(smoothing)) * F.col("mu_global")
+        ) / (F.col("n_g") - 1 + F.lit(float(smoothing)))
+    else:
+        enc = F.when(
+            F.col("n_g") > 1,
+            (F.col("sum_g") - F.col(target_col)) / (F.col("n_g") - 1),
+        )
+    return out.withColumn("te_loo", enc)
+
+
 def markov_transitions(
     df: DataFrame,
     seq_col: str,

@@ -71,3 +71,85 @@ def kmv_stateful(hashed_stream: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QSKETCH_OUT = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("sample_n", LongType(), True),
+        StructField("q_50", DoubleType(), True),
+        StructField("q_90", DoubleType(), True),
+    ]
+)
+
+# bottom-k survivors: parallel arrays of (hash, value) — ≤ k entries forever
+QSKETCH_STATE = StructType(
+    [
+        StructField("hs", ArrayType(LongType()), True),
+        StructField("vs", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _interp_quantile(xs: list[float], q: float) -> float:
+    """Sorted-linear-interpolation quantile — the SAME definition as
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont``, so the
+    streaming sketch is value-compatible with the batch twin."""
+    if not xs:
+        return float("nan")
+    pos = q * (len(xs) - 1)
+    lo = int(pos)
+    hi = min(lo + 1, len(xs) - 1)
+    frac = pos - lo
+    return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+
+def quantile_sketch_stateful(hashed_stream: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming bottom-k quantile sketch: per group, keep the k rows
+    with the SMALLEST uniform hash (with their values) — the same
+    deterministic sample operators/sketches.py::quantile_sketch selects
+    in batch, maintained incrementally with O(k) state per key and no
+    watermark. Each micro-batch emits refreshed q50/q90 interpolated over
+    the survivor sample. Because bottom-k is mergeable and order-free,
+    the stream converges to EXACTLY the batch sketch on the same data —
+    the equivalence test pins it bit-for-bit.
+
+    ``hashed_stream`` needs (event_type string, h long, value double)."""
+
+    def fn(key, pdfs, state):
+        (etype,) = key
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            return
+        if state.exists:
+            hs, vs = list(state.get[0]), list(state.get[1])
+            best = dict(zip(hs, vs))
+        else:
+            best = {}
+        for pdf in pdfs:
+            for h, v in zip(pdf["h"], pdf["value"]):
+                if pd.notna(h) and pd.notna(v):
+                    best[int(h)] = float(v)
+        kept = sorted(best.items())[:k]
+        state.update(([h for h, _ in kept], [v for _, v in kept]))
+        if not kept:
+            return
+        xs = sorted(v for _, v in kept)
+        yield pd.DataFrame(
+            [
+                (
+                    etype,
+                    len(kept),
+                    _interp_quantile(xs, 0.5),
+                    _interp_quantile(xs, 0.9),
+                )
+            ],
+            columns=[f.name for f in QSKETCH_OUT],
+        )
+
+    return hashed_stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=QSKETCH_OUT,
+        stateStructType=QSKETCH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

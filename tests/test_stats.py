@@ -256,3 +256,35 @@ def test_quantile_sketch_merge_law_and_accuracy(spark):
     exact_rank_lo = np.quantile(vals, 0.5 - 3 / 16)
     exact_rank_hi = np.quantile(vals, 0.5 + 3 / 16)
     assert exact_rank_lo <= direct["q_50"] <= exact_rank_hi
+
+
+def test_target_encode_loo_hand_values(spark):
+    from seaexplorertools_spark.operators.stats import target_encode_loo
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    # unsmoothed: each row's encoding = mean of its group WITHOUT itself
+    out = {(r["g"], r["y"]): r["te_loo"] for r in target_encode_loo(df, "g", "y").collect()}
+    assert abs(out[("a", 1.0)] - 2.5) < 1e-15  # (2+3)/2
+    assert abs(out[("b", 10.0)] - 20.0) < 1e-15
+    assert out[("c", 7.0)] is None  # singleton, no prior
+
+    # smoothed m=2: (sum_g - y + 2*mu)/(n_g - 1 + 2); mu = 43/6
+    mu = 43.0 / 6.0
+    sm = {(r["g"], r["y"]): r["te_loo"]
+          for r in target_encode_loo(df, "g", "y", smoothing=2.0).collect()}
+    assert abs(sm[("a", 1.0)] - (5.0 + 2 * mu) / 4.0) < 1e-12
+    assert abs(sm[("c", 7.0)] - (0.0 + 2 * mu) / 2.0) < 1e-12  # prior-dominated
+
+
+def test_target_encode_no_leak(spark):
+    from seaexplorertools_spark.operators.stats import target_encode_loo
+
+    # one extreme outlier: its own encoding must NOT include itself
+    rows = [("a", 0.0)] * 5 + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    out = target_encode_loo(df, "g", "y").collect()
+    enc_outlier = [r["te_loo"] for r in out if r["y"] == 1000.0][0]
+    enc_normal = [r["te_loo"] for r in out if r["y"] == 0.0][0]
+    assert enc_outlier == 0.0           # sees only the five zeros
+    assert abs(enc_normal - 200.0) < 1e-12  # (1000+4*0)/5 — sees the outlier

@@ -54,3 +54,53 @@ def test_streaming_kmv_matches_batch(spark, sf_dir):
     for r in rows:
         final[r["event_type"]] = (r["n_kept"], r["kth_hash"], r["est_distinct"])
     assert final == batch
+
+
+def test_streaming_quantile_sketch_matches_batch(spark, sf_dir):
+    from seaexplorertools_spark.operators.sketches import quantile_sketch
+    from seaexplorertools_spark.streaming.sketch import quantile_sketch_stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    batch = {
+        r["event_type"]: (r["sample_n"], r["q_50"], r["q_90"])
+        for r in quantile_sketch(
+            ev, "event_id", "value", ["event_type"], k=16, qs=(0.5, 0.9)
+        ).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/ev"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, event_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(
+                "event_type",
+                uniform_hash48(F.col("event_id")).alias("h"),
+                "value",
+            )
+        )
+        q = (
+            quantile_sketch_stateful(stream, k=16)
+            .writeStream.format("memory")
+            .queryName("qsketch_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        rows = spark.sql("SELECT * FROM qsketch_stream").collect()
+
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = (r["sample_n"], r["q_50"], r["q_90"])
+    # bottom-k is order-free and mergeable: stream end-state == batch sketch,
+    # bit-for-bit (same hash selection, same interpolation definition)
+    assert final == batch
