@@ -3458,6 +3458,80 @@ def q_hopping_counts(spark, sf_dir):
     return out
 
 
+@q(
+    "q_l_diversity",
+    """
+    WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+    per AS (
+      SELECT lang, n,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS class_size,
+             COUNT(*) OVER (PARTITION BY lang) AS l_distinct,
+             CAST(MAX(n) OVER (PARTITION BY lang) AS BIGINT) AS max_n
+      FROM cells
+    )
+    SELECT lang, class_size, l_distinct,
+           CAST(max_n AS DOUBLE) / CAST(class_size AS DOUBLE) AS majority_share,
+           floor(SUM(-(CAST(n AS DOUBLE) / CAST(class_size AS DOUBLE))
+                     * ln(CAST(n AS DOUBLE) / CAST(class_size AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sens_entropy
+    FROM per GROUP BY lang, class_size, l_distinct, max_n
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit of source (the sensitive attribute) within each
+    language class (operators/privacy.py::l_diversity_audit) — a
+    k-anonymous class still leaks if everyone in it shares the sensitive
+    value. Reports class size, distinct-sensitive count (the l),
+    majority share, and sensitive-mix entropy. One (QI × sensitive)
+    cell aggregate; margins are windows over that cell table."""
+    from .operators.privacy import l_diversity_audit
+
+    docs = table(spark, sf_dir, "documents")
+    out = l_diversity_audit(docs, ["lang"], "source")
+    return out.select(
+        "lang",
+        "class_size",
+        "l_distinct",
+        "majority_share",
+        r6p(F.col("sens_entropy")).alias("sens_entropy"),
+    )
+
+
+@q(
+    "q_dp_counts",
+    """
+    WITH counts AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+    nz AS (
+      SELECT event_type, true_n,
+             (CAST(('0x' || substr(md5('dp' || chr(31) || event_type), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 - 0.5 AS u
+      FROM counts
+    )
+    SELECT event_type, true_n,
+           floor(greatest(
+                   CAST(true_n AS DOUBLE)
+                   + sign(u) * (-ln(1.0 - 2.0 * abs(u)) / 1.0),
+                   0.0) * 1000000.0 + 0.5) / 1000000.0 AS noisy_n
+    FROM nz
+    """,
+)
+def q_dp_counts(spark, sf_dir):
+    """Laplace-mechanism noisy per-group counts (ε=1, sensitivity 1)
+    with DETERMINISTIC salted-hash noise
+    (operators/privacy.py::dp_noisy_counts) — the inverse-CDF transform
+    −(1/ε)·sgn(u)·ln(1−2|u|) on a md5-derived uniform. Deterministic
+    noise is exactly oracle-checkable and is the right property for
+    TESTING the release plumbing; production swaps in a secure RNG (the
+    docstring spells out that replayable noise is NOT a DP guarantee)."""
+    from .operators.privacy import dp_noisy_counts
+
+    ev = events(spark, sf_dir)
+    out = dp_noisy_counts(ev, ["event_type"], epsilon=1.0, salt="dp")
+    return out.select(
+        "event_type", "true_n", r6p(F.col("noisy_n")).alias("noisy_n")
+    )
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -6987,6 +7061,7 @@ _DRIVER_FIRST = [
     "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
+    "q_l_diversity", "q_dp_counts",
 ]
 
 

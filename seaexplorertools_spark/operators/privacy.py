@@ -52,3 +52,74 @@ def k_anonymity_levels(
         )
     out = out.withColumn("anon_level", F.coalesce(safe, F.lit(len(ladder))))
     return out.drop(*[c for c in out.columns if c.startswith("__n")])
+
+
+def l_diversity_audit(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """Per-equivalence-class l-diversity (Machanavajjhala et al., ICDE
+    '06): a class that is k-anonymous can still leak the sensitive value
+    if everyone in it SHARES that value. Reports, per QI class: size,
+    distinct sensitive values (the l), the majority sensitive share, and
+    the entropy of the sensitive mix (entropy l-diversity requires
+    H ≥ ln l). One aggregate to the (QI × sensitive)-cardinality cell
+    table; everything else is windows over it — never row volume."""
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(*qi_cols, sensitive_col).agg(F.count("*").alias("n"))
+    wq = Window.partitionBy(*qi_cols)
+    size = F.sum("n").over(wq)
+    p = F.col("n").cast("double") / size.cast("double")
+    per = cells.select(
+        *qi_cols,
+        size.alias("class_size"),
+        F.count("*").over(wq).alias("l_distinct"),
+        F.max(F.col("n")).over(wq).alias("max_n"),
+        (-p * F.log(p)).alias("h_term"),
+    )
+    return per.groupBy(*qi_cols, "class_size", "l_distinct", "max_n").agg(
+        F.sum("h_term").alias("sens_entropy")
+    ).select(
+        *qi_cols,
+        "class_size",
+        "l_distinct",
+        (F.col("max_n").cast("double") / F.col("class_size").cast("double")).alias(
+            "majority_share"
+        ),
+        "sens_entropy",
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """Laplace-mechanism noisy counts (sensitivity 1 per group) with the
+    noise DERIVED DETERMINISTICALLY from a salted md5 of the group key:
+    u ~ Uniform(−1/2, 1/2) from the hash, noise = −(1/ε)·sgn(u)·ln(1−2|u|)
+    (the standard inverse-CDF Laplace transform). Deterministic noise
+    makes the mechanism exactly oracle-checkable and reproducible across
+    engines/runs — which is the right property for TESTING the release
+    pipeline's plumbing (scale of noise vs ε, clamping, post-processing).
+    A production release MUST swap the hash for a secure RNG: noise that
+    an adversary can recompute provides NO differential privacy — this is
+    the mechanism's shape, deterministically replayable, not a DP
+    guarantee."""
+    from .sketches import HASH_SPACE, uniform_hash48
+
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in group_cols])
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("true_n"))
+    # +0.5 centers the integer hash into (0, 2^48) so u never hits −1/2
+    # exactly (ln(0) guard)
+    u = (uniform_hash48(key).cast("double") + F.lit(0.5)) / F.lit(
+        HASH_SPACE
+    ) - F.lit(0.5)
+    mag = -F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)) / F.lit(float(epsilon))
+    noise = F.signum(u) * mag
+    noisy = F.col("true_n").cast("double") + noise
+    if clamp_nonneg:
+        noisy = F.greatest(noisy, F.lit(0.0))
+    return counts.select(*group_cols, "true_n", noisy.alias("noisy_n"))
