@@ -69,6 +69,13 @@ EXTRA = [
     "q_group_ols",          # sufficient-stats regression
     "q_rendezvous_shards",  # HRW consistent placement
     "q_k_anonymity",        # generalization-ladder audit
+    # round-3 session additions
+    "q_assoc_rules",        # market-basket pair mining (Σ k_b² pair join)
+    "txt_pmi_bigrams",      # PMI collocations (explode = token volume)
+    "q_cusum_drift",        # CUSUM via single-shuffle window stack
+    "q_target_encode",      # leave-one-out encoder (broadcast stats)
+    "q_quantile_sketch",    # bottom-k deterministic quantile sample
+    "q_hopping_counts",     # hopping windows (2-element explode)
 ]
 
 

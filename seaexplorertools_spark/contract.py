@@ -3532,6 +3532,91 @@ def q_dp_counts(spark, sf_dir):
     )
 
 
+@q(
+    "txt_readability",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOK_SQL}) AS DOUBLE) AS words,
+             greatest(1.0, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS DOUBLE)) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS DOUBLE) AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           floor((206.835 - 1.015 * (words / sentences)
+                  - 84.6 * (syllables / greatest(words, 1.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS flesch
+    FROM t
+    """,
+)
+def txt_readability(spark, sf_dir):
+    """Flesch reading-ease per document
+    (operators/text.py::readability_features) — the cheap quality signal
+    corpus filters threshold on. Words/sentence-runs/vowel-group
+    syllables are pure codegen regex counts (identical classes in Java
+    regex and RE2); the formula is replayed verbatim in the oracle."""
+    from .operators.text import readability_features
+
+    docs = table(spark, sf_dir, "documents")
+    out = readability_features(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        r6p(F.col("flesch")).alias("flesch"),
+    )
+
+
+@q(
+    "ann_isotropy_probe",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (
+      SELECT s.stride, a.emb AS va, b.emb AS vb
+      FROM (VALUES (1), (7), (31)) s(stride)
+      JOIN v a ON TRUE
+      JOIN v b ON b.vec_id = a.vec_id + s.stride
+    ),
+    c AS (
+      SELECT stride,
+             round(list_dot_product(va, vb)
+                   / (sqrt(list_dot_product(va, va))
+                      * sqrt(list_dot_product(vb, vb))), 6) AS cos
+      FROM p
+    )
+    SELECT stride, count(*) AS n_pairs,
+           floor(AVG(cos) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos,
+           MIN(cos) AS min_cos, MAX(cos) AS max_cos
+    FROM c GROUP BY stride
+    """,
+)
+def ann_isotropy_probe(spark, sf_dir):
+    """Embedding-space isotropy probe
+    (operators/similarity.py::isotropy_probe): mean/extreme cosine over
+    deterministic id-stride pairs (strides 1, 7, 31) — collapsed
+    (anisotropic) embedding spaces show large positive mean cosine, a
+    known failure mode of contrastive encoders. Each stride is ONE
+    equi-join (linear volume, no crossJoin, no RNG) — the O(N) health
+    check run before any ANN index build."""
+    from .operators.similarity import isotropy_probe
+
+    e = table(spark, sf_dir, "embeddings")
+    out = isotropy_probe(e, strides=(1, 7, 31))
+    return out.select(
+        "stride",
+        "n_pairs",
+        r6p(F.col("mean_cos")).alias("mean_cos"),
+        "min_cos",
+        "max_cos",
+    )
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7061,7 +7146,7 @@ _DRIVER_FIRST = [
     "q_gini_concentration", "q_cusum_drift", "q_assoc_rules", "q_winsorize",
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
-    "q_l_diversity", "q_dp_counts",
+    "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
 ]
 
 

@@ -639,3 +639,41 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "sim")
     )
+
+
+def isotropy_probe(
+    embeddings: DataFrame,
+    strides: tuple[int, ...] = (1, 7, 31),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space health probe: mean/extreme cosine over
+    DETERMINISTIC id-stride pairs (i, i+s) for each stride — an isotropic
+    (healthy) embedding space has near-zero mean pairwise cosine, while a
+    collapsed/anisotropic one (a known failure of contrastively trained
+    encoders) shows a large positive mean. Stride pairing gives a
+    reproducible linear-volume sample of the pair space: each stride is
+    ONE equi-join on id (no crossJoin, no RNG), so the probe costs
+    O(strides · N) at any scale."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    outs = []
+    for s in strides:
+        a = base.select((F.col("id") + F.lit(int(s))).alias("id"), F.col("v").alias("va"))
+        j = a.join(base.select("id", F.col("v").alias("vb")), "id")
+        outs.append(
+            j.select(
+                F.lit(int(s)).alias("stride"),
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+        )
+    allp = outs[0]
+    for o in outs[1:]:
+        allp = allp.unionByName(o)
+    return allp.groupBy("stride").agg(
+        F.count("*").alias("n_pairs"),
+        F.avg("cos").alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )

@@ -417,3 +417,36 @@ def pmi_bigrams(
         ).alias("pmi"),
     )
     return m.filter(F.col("n") >= min_count)
+
+
+def readability_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease feature per document — the classic quality
+    signal corpus filters threshold on (very low scores flag boilerplate
+    / machine-generated sludge). Words = whitespace tokens; sentences =
+    terminal-punctuation runs (floored at 1 for fragments); syllables ≈
+    vowel-group runs per lowercased text (the standard cheap proxy).
+    Pure codegen expressions — scan-speed, no UDF; the regex classes
+    ([aeiouy]+, [.!?]+) evaluate identically in Java regex and RE2."""
+    words = F.size(tokens(F.col(text_col))).cast("double")
+    sentences = F.greatest(
+        F.lit(1.0), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("double")
+    )
+    syllables = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")).cast(
+        "double"
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / F.greatest(words, F.lit(1.0)))
+    )
+    return docs.select(
+        id_col,
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -93,3 +93,20 @@ def test_pmi_flags_collocation(spark):
     for pair, (k, p) in want.items():
         assert out[pair][0] == k
         assert abs(out[pair][1] - p) < 1e-12
+
+
+def test_readability_hand_values(spark):
+    from seaexplorertools_spark.operators.text import readability_features
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "word")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in readability_features(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # vowel runs: e,a,a,e,o,a -> 6
+    assert r1["n_syllables"] == 6
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1["flesch"] - want) < 1e-9
+    # fragment: sentences floored at 1
+    assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 1

@@ -104,3 +104,23 @@ def test_pq_codes_compress(emb):
     ).count()
     assert bad == 0
     assert codes.count() == emb.count()
+
+
+def test_isotropy_probe_random_vs_collapsed(spark):
+    from seaexplorertools_spark.operators.similarity import isotropy_probe
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # healthy: random gaussian vectors -> mean cosine ~ 0
+    healthy = [(i, rng.randn(16).tolist()) for i in range(200)]
+    h = spark.createDataFrame(healthy, ["vec_id", "embedding"])
+    hp = {r["stride"]: r for r in isotropy_probe(h, strides=(1, 7)).collect()}
+    assert abs(hp[1]["mean_cos"]) < 0.15 and abs(hp[7]["mean_cos"]) < 0.15
+    assert hp[1]["n_pairs"] == 199 and hp[7]["n_pairs"] == 193
+
+    # collapsed: every vector = shared direction + small noise -> mean near 1
+    base = rng.randn(16)
+    collapsed = [(i, (base + 0.05 * rng.randn(16)).tolist()) for i in range(200)]
+    c = spark.createDataFrame(collapsed, ["vec_id", "embedding"])
+    cp = {r["stride"]: r for r in isotropy_probe(c, strides=(1,)).collect()}
+    assert cp[1]["mean_cos"] > 0.95
