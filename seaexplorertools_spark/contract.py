@@ -3617,6 +3617,34 @@ def ann_isotropy_probe(spark, sf_dir):
     )
 
 
+@q(
+    "mm_wav_features",
+    """
+    SELECT doc_id AS media_id,
+           44 + strlen(text) AS n_bytes,
+           8000 + (doc_id % 8) * 1000 AS sample_rate,
+           1 + doc_id % 2 AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           strlen(text) // (2 * (1 + doc_id % 2)) AS n_frames,
+           (strlen(text) // (2 * (1 + doc_id % 2))) * 1000
+             // (8000 + (doc_id % 8) * 1000) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_wav_features(spark, sf_dir):
+    """Audio-metadata extraction over REAL RIFF/WAVE containers
+    (operators/multimodal.py::parse_wav_header via mapInPandas): the
+    adapter wraps text bytes in a spec-valid PCM WAV whose fmt fields
+    derive deterministically from doc_id, so the genuinely-parsed
+    sample_rate/channels/bits/frames/duration are oracle-checkable
+    arithmetic. Sample DECODE stays gated on absent codec libs — this is
+    the real metadata layer, the audio twin of the PNG header parse."""
+    from .operators.multimodal import documents_as_audio, extract_audio_features
+
+    media = documents_as_audio(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7147,6 +7175,7 @@ _DRIVER_FIRST = [
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
+    "mm_wav_features",
 ]
 
 

@@ -73,3 +73,42 @@ def test_frame_sampling_explodes_rows(spark, sf_dir):
     counts = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
     assert all(r["n"] == 4 for r in counts)
     assert len(counts) == media.count()
+
+
+def test_wav_header_parse_against_stdlib_wave(spark):
+    import io
+    import wave as wavemod
+
+    from seaexplorertools_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    # genuine WAV written by the stdlib — independent of our encoder
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x01\x02\x03\x04" * 1000)  # 1000 stereo frames
+    raw = buf.getvalue()
+
+    p = parse_wav_header(raw)
+    assert p == {
+        "sample_rate": 44100,
+        "channels": 2,
+        "bits": 16,
+        "n_frames": 1000,
+        "duration_ms": 1000 * 1000 // 44100,
+    }
+    # non-WAV payloads are rejected, not misparsed
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\nXXXXXXXX") is None
+    assert parse_wav_header(None) is None
+
+    # distributed path sees the same metadata
+    df = spark.createDataFrame([(1, bytearray(raw))], ["media_id", "payload"])
+    row = extract_audio_features(df).collect()[0]
+    assert (row["sample_rate"], row["channels"], row["bits"], row["n_frames"]) == (
+        44100, 2, 16, 1000,
+    )
+    assert row["n_bytes"] == len(raw)
