@@ -3645,6 +3645,60 @@ def mm_wav_features(spark, sf_dir):
     return extract_audio_features(media)
 
 
+def _lpa_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB replay of operators/graph.py::label_propagation — the same
+    deterministic synchronous rounds unrolled as CTEs (mode of neighbor
+    labels, ties to the smallest label via row_number)."""
+    its = [
+        "it0 AS (SELECT DISTINCT u AS node, u AS label FROM adj)",
+    ]
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""it{k} AS (
+      SELECT u AS node, label FROM (
+        SELECT a.u, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY a.u
+                                  ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM adj a JOIN it{k - 1} l ON l.node = a.v
+        GROUP BY a.u, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    """
+        + ",\n    ".join(its)
+        + f"\n    SELECT node, label FROM it{n_iter}"
+    )
+
+
+@q("q_label_propagation", _lpa_oracle_sql(3))
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds) on the
+    part co-purchase graph (operators/graph.py::label_propagation) —
+    community detection with mode-of-neighbors updates, ties to the
+    smallest label (the reproducible LPA variant; async+random LPA can't
+    be oracle-checked). Per round: one |edges| join + one (node, label)
+    aggregate + one argmax — linear in edges; the oracle unrolls the
+    identical rounds in SQL."""
+    from .operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    return label_propagation(pairs, n_iter=3)
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7175,7 +7229,7 @@ _DRIVER_FIRST = [
     "q_markov_transitions", "q_benford_audit", "q_quantile_sketch",
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
-    "mm_wav_features",
+    "mm_wav_features", "q_label_propagation",
 ]
 
 

@@ -289,3 +289,42 @@ def two_hop_counts(
         "n_one_hop",
         F.coalesce("n_two_hop", F.lit(0)).alias("n_two_hop"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each round it adopts the most common
+    label among its neighbors, ties broken by the SMALLEST label — the
+    deterministic variant of Raghavan et al.'s LPA (async+random LPA
+    doesn't converge reproducibly, which would make the operator
+    untestable). Fixed ``n_iter`` rounds, so the whole run is exactly
+    replayable (the oracle unrolls the same rounds in SQL).
+
+    Per round: one |edges|-volume join + one (node, label) aggregate +
+    one argmax — linear in edges, the standard distributed LPA shape.
+    The adjacency is cached across rounds."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_iter):
+        msgs = adj.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = msgs.groupBy("u", "label").agg(F.count("*").alias("cnt"))
+        # min over (−cnt, label): highest count, then smallest label —
+        # deterministic for any orderable label type
+        labels = counts.groupBy("u").agg(
+            F.expr("min_by(label, struct(-cnt, label))").alias("label")
+        ).select(F.col("u").alias("node"), "label")
+    return labels

@@ -89,3 +89,45 @@ def test_two_hop_hub_cap_drops_hub_wedges(spark):
     # wedges through low-degree mids survive: 0 still reaches 6 via 1 (deg 2)
     assert capped[0] == exact[0] == 1
     assert capped[7] == exact[7] == 1  # 7-6-1 chain unaffected
+
+
+def test_label_propagation_two_cliques(spark):
+    from seaexplorertools_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA labels each clique by
+    # its minimum id; the bridge doesn't flip anything (minority label)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    out = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+    assert all(out[n] == 0 for n in range(4))
+    assert all(out[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from collections import Counter
+
+    from seaexplorertools_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for u, nbrs in adj.items():
+            c = Counter(labels[v] for v in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[u] = best[0]
+        labels = new
+    assert got == labels
