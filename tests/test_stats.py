@@ -288,3 +288,24 @@ def test_target_encode_no_leak(spark):
     enc_normal = [r["te_loo"] for r in out if r["y"] == 0.0][0]
     assert enc_outlier == 0.0           # sees only the five zeros
     assert abs(enc_normal - 200.0) < 1e-12  # (1000+4*0)/5 — sees the outlier
+
+
+def test_approx_percentile_within_declared_accuracy(spark):
+    """winsorize() declares approx_percentile(…, accuracy) as the 100 TB
+    swap-in; pin the bound: with accuracy A, rank error ≤ n/A."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    vals = np.sort(rng.lognormal(3, 1, 5000))
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    acc = 1000  # rank error <= 5000/1000 = 5 ranks
+    row = df.agg(
+        F.expr(f"approx_percentile(x, array(0.05, 0.5, 0.95), {acc})").alias("ap"),
+        F.expr("percentile(x, array(0.05, 0.5, 0.95))").alias("ex"),
+    ).collect()[0]
+    for q, (a, e) in zip((0.05, 0.5, 0.95), zip(row["ap"], row["ex"])):
+        # convert the approx value back to a rank and compare
+        rank_a = np.searchsorted(vals, a)
+        rank_e = q * (len(vals) - 1)
+        assert abs(rank_a - rank_e) <= 5 + 1, (q, rank_a, rank_e)

@@ -67,3 +67,72 @@ def test_buckets_bound_both_dimensions(spark, sf_dir):
         .collect()[0][0]
     )
     assert wide > (shi - slo + 1) / 2
+
+
+def test_hilbert_bijective_and_unit_step():
+    from seaexplorertools_spark.operators.hilbert import xy2d_reference
+
+    bits = 4
+    n = 1 << bits
+    d_of = {(x, y): xy2d_reference(bits, x, y) for x in range(n) for y in range(n)}
+    ds = sorted(d_of.values())
+    assert ds == list(range(n * n))  # bijection onto [0, n^2)
+    # defining Hilbert property: consecutive d-cells are spatially adjacent
+    cell_of = {d: xy for xy, d in d_of.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cell_of[d], cell_of[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_matches_reference(spark):
+    from seaexplorertools_spark.operators.hilbert import (
+        with_hilbert_key,
+        xy2d_reference,
+    )
+
+    bits = 5
+    n = 1 << bits
+    cells = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(cells, ["qx", "qy"])
+    got = {
+        (r["qx"], r["qy"]): r["hkey"]
+        for r in with_hilbert_key(df, "qx", "qy", bits=bits).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == xy2d_reference(bits, x, y)
+
+
+def test_hilbert_buckets_tighter_than_zorder():
+    """The locality claim, measured: average per-bucket bounding-box area
+    over equal key ranges is smaller for Hilbert than Morton."""
+    from seaexplorertools_spark.operators.hilbert import xy2d_reference
+
+    def morton(bits, x, y):
+        d = 0
+        for i in range(bits):
+            d |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return d
+
+    # 16 buckets would be power-of-4-ALIGNED blocks where Morton ties
+    # Hilbert (both give perfect squares); unaligned ranges expose the
+    # Morton seams (measured: 119 vs 196 mean box area at 12 buckets)
+    bits, buckets = 5, 12
+    n = 1 << bits
+    span = (n * n + buckets - 1) // buckets
+
+    def avg_area(keyfn):
+        boxes = {}
+        for x in range(n):
+            for y in range(n):
+                b = keyfn(bits, x, y) // span
+                lo = boxes.get(b)
+                if lo is None:
+                    boxes[b] = [x, x, y, y]
+                else:
+                    lo[0], lo[1] = min(lo[0], x), max(lo[1], x)
+                    lo[2], lo[3] = min(lo[2], y), max(lo[3], y)
+        return sum(
+            (b[1] - b[0] + 1) * (b[3] - b[2] + 1) for b in boxes.values()
+        ) / len(boxes)
+
+    assert avg_area(xy2d_reference) < avg_area(morton)
