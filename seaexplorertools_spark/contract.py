@@ -3775,6 +3775,153 @@ def q_hilbert_layout(spark, sf_dir):
     )
 
 
+@q(
+    "q_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_orderstatus <> v2.o_orderstatus
+                     OR v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           v1.o_orderstatus AS status_before,
+           v2.o_orderstatus AS status_after
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_orderstatus <> v2.o_orderstatus
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two table versions (the data-engineering
+    audit behind every backfill sign-off): full-outer join on the key,
+    classify added / removed / changed (value comparison), emit only the
+    delta. Versions are simulated as date-cutoff views with a
+    deterministic mutation (status flip on orderkey % 97). One co-keyed
+    shuffle join; at scale both sides bucket/sort by the key so the join
+    is exchange-free on read."""
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    v2 = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("s1").isNull(), F.lit("added"))
+        .when(F.col("s2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("s1") != F.col("s2")) | (F.col("p1") != F.col("p2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select(
+            "o_orderkey",
+            "change",
+            F.col("s1").alias("status_before"),
+            F.col("s2").alias("status_after"),
+        )
+    )
+
+
+@q(
+    "q_column_corr",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             SUM(l_quantity) AS sq, SUM(l_quantity * l_quantity) AS sqq,
+             SUM(l_extendedprice) AS se,
+             SUM(l_extendedprice * l_extendedprice) AS see,
+             SUM(l_discount) AS sd, SUM(l_discount * l_discount) AS sdd,
+             SUM(l_quantity * l_extendedprice) AS sqe,
+             SUM(l_quantity * l_discount) AS sqd,
+             SUM(l_extendedprice * l_discount) AS sed
+      FROM lineitem
+    )
+    SELECT pair, floor(num / sqrt(vx * vy) * 1000000.0 + 0.5) / 1000000.0 AS corr
+    FROM (
+      SELECT 'quantity~extendedprice' AS pair,
+             n * sqe - sq * se AS num,
+             n * sqq - sq * sq AS vx, n * see - se * se AS vy FROM s
+      UNION ALL
+      SELECT 'quantity~discount', n * sqd - sq * sd,
+             n * sqq - sq * sq, n * sdd - sd * sd FROM s
+      UNION ALL
+      SELECT 'extendedprice~discount', n * sed - se * sd,
+             n * see - se * se, n * sdd - sd * sd FROM s
+    )
+    """,
+)
+def q_column_corr(spark, sf_dir):
+    """Pairwise Pearson correlation of three lineitem measures in ONE
+    scan — the correlated-columns statistic a cost-based optimizer (and
+    any feature-selection pass) needs. All 10 sufficient sums come from
+    a single map-side-combined aggregate; each pair's r is closed-form
+    arithmetic on that 1-row table (no per-pair rescan, no corr() UDAF
+    whose internal update order differs across engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    q, e, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("sq"), F.sum(q * q).alias("sqq"),
+        F.sum(e).alias("se"), F.sum(e * e).alias("see"),
+        F.sum(d).alias("sd"), F.sum(d * d).alias("sdd"),
+        F.sum(q * e).alias("sqe"), F.sum(q * d).alias("sqd"),
+        F.sum(e * d).alias("sed"),
+    )
+
+    def pair(name, num, vx, vy):
+        return s.select(
+            F.lit(name).alias("pair"),
+            r6p((num) / F.sqrt((vx) * (vy))).alias("corr"),
+        )
+
+    n = F.col("n")
+    out = pair(
+        "quantity~extendedprice",
+        n * F.col("sqe") - F.col("sq") * F.col("se"),
+        n * F.col("sqq") - F.col("sq") * F.col("sq"),
+        n * F.col("see") - F.col("se") * F.col("se"),
+    ).unionByName(
+        pair(
+            "quantity~discount",
+            n * F.col("sqd") - F.col("sq") * F.col("sd"),
+            n * F.col("sqq") - F.col("sq") * F.col("sq"),
+            n * F.col("sdd") - F.col("sd") * F.col("sd"),
+        )
+    ).unionByName(
+        pair(
+            "extendedprice~discount",
+            n * F.col("sed") - F.col("se") * F.col("sd"),
+            n * F.col("see") - F.col("se") * F.col("se"),
+            n * F.col("sdd") - F.col("sd") * F.col("sd"),
+        )
+    )
+    return out
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7306,6 +7453,7 @@ _DRIVER_FIRST = [
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
+    "q_snapshot_diff", "q_column_corr",
 ]
 
 
