@@ -59,8 +59,9 @@ CROSSJOIN_OK = {
     # centroid/LUT broadcasts (k-means, PQ)
     "q_spatial_eps_join", "q_kmeans_assign", "q_kmeans_iterate", "ann_topk_pq",
     # 1-row scalar-broadcast sides (the J5 pattern): PMI's global bigram
-    # total; association-rules' basket total is folded into a literal
-    "txt_pmi_bigrams",
+    # total; association-rules' basket total is folded into a literal;
+    # target encoding's global-mean prior
+    "txt_pmi_bigrams", "q_target_encode",
 }
 
 
