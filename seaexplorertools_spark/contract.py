@@ -3922,6 +3922,42 @@ def q_column_corr(spark, sf_dir):
     return out
 
 
+@q(
+    "q_table_checksum",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                     CAST(o_orderkey AS VARCHAR) || chr(31)
+                     || o_orderstatus || chr(31)
+                     || CAST(o_totalprice AS VARCHAR)), 1, 12)) AS BIGINT))
+                AS DECIMAL(38, 0)) AS checksum
+    FROM orders
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive table checksum — the anti-entropy primitive for
+    comparing replicas/backfills without sorting or moving the data: sum
+    of per-row 48-bit content hashes, accumulated in DECIMAL(38,0) so the
+    sum is EXACT under any partitioning/association (a BIGINT sum could
+    wrap engine-dependently; decimal can't). One map-side-combined
+    aggregate; equal checksums + equal counts ⇒ replicas agree with
+    2^-48-scale collision odds per differing row. Float columns are
+    stringified through CAST — both engines print shortest-roundtrip
+    doubles, verified by the hash match itself."""
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("bigint")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7453,7 +7489,7 @@ _DRIVER_FIRST = [
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
-    "q_snapshot_diff", "q_column_corr",
+    "q_snapshot_diff", "q_column_corr", "q_table_checksum",
 ]
 
 
