@@ -3958,6 +3958,66 @@ def q_table_checksum(spark, sf_dir):
     )
 
 
+def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
+    """DuckDB replay of operators/pca.py::top_component_gram — covariance
+    cells in SQL, then the SAME driver-side iteration unrolled as CTEs
+    (matrix-vector product per round, normalize, sign-canonicalize)."""
+    its = []
+    prev = "v0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""y{k} AS (
+      SELECT cov.i AS i, SUM(cov.c * {prev}.v) AS y
+      FROM cov JOIN {prev} ON {prev}.i = cov.j GROUP BY 1
+    ),
+    v{k} AS (SELECT i, y / (SELECT sqrt(SUM(y * y)) FROM y{k}) AS v FROM y{k})"""
+        )
+        prev = f"v{k}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+    flat AS (SELECT vec_id, i, emb[i] AS xi FROM x CROSS JOIN idx),
+    sums AS (SELECT i, SUM(xi) AS si FROM flat GROUP BY i),
+    cells AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sxx
+      FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT cells.i, cells.j, sxx - sa.si * sb.si / n.n AS c
+      FROM cells JOIN sums sa ON sa.i = cells.i
+                 JOIN sums sb ON sb.i = cells.j
+                 CROSS JOIN n
+    ),
+    v0 AS (SELECT i, 1.0 / sqrt({dim}.0) AS v FROM idx),
+    {its_sql},
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM {prev} ORDER BY abs(v) DESC, i ASC LIMIT 1)
+    SELECT CAST(i - 1 AS INTEGER) AS dim,
+           floor(v * sgn.s * 1000000.0 + 0.5) / 1000000.0 AS loading
+    FROM {prev} CROSS JOIN sgn
+    """
+
+
+@q("ann_pca_gram", _pca_gram_oracle_sql(64, 6))
+def ann_pca_gram(spark, sf_dir):
+    """Top principal component via the ONE-PASS Gram/covariance matrix +
+    driver-side power iteration (operators/pca.py::top_component_gram) —
+    the right PCA regime when dim is small enough to materialize dim²:
+    one distributed aggregation total, versus one distributed pass PER
+    iteration (ann_pca_top, the large-dim regime; both conventions
+    identical, loadings agree to 6 dp — pinned in tests). The oracle
+    computes the covariance cells in SQL and unrolls the same six
+    matrix-vector rounds as CTEs."""
+    from .operators.pca import top_component_gram
+
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    return top_component_gram(spark, e, "v", dim=64, n_iter=6)
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::power_iteration_top — the SAME
     update expressions (s = x·v − μ·v; y = Σ x s − μ Σ s; normalize;
@@ -7489,7 +7549,7 @@ _DRIVER_FIRST = [
     "txt_pmi_bigrams", "q_two_hop_reach", "q_target_encode", "q_hopping_counts",
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
-    "q_snapshot_diff", "q_column_corr", "q_table_checksum",
+    "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
 ]
 
 

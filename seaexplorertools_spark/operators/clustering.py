@@ -52,6 +52,45 @@ def assign_clusters(
     )
 
 
+def assign_clusters_literal(
+    vecs: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ZERO-SHUFFLE assignment for the Lloyd loop, where the centroids are
+    already driver-side: per row, an array of rounded d² against literal
+    centroids; argmin = array_position(array_min) — first minimal wins,
+    which IS the lowest-c_id tiebreak because ``cent_rows`` is ordered by
+    id. Identical semantics (and bit-identical rounded d²) to the
+    windowed ``assign_clusters``, without the k× crossJoin row blowup or
+    the per-vector window shuffle. v·v is staged once; c·c is a
+    driver-computed literal (same left-to-right fold as the JVM
+    aggregate)."""
+    v = F.col(vec_col)
+    staged = vecs.withColumn("__vv", dot(v, v))
+    d2s = F.array(
+        *[
+            F.round(
+                F.col("__vv")
+                - F.lit(2.0) * dot(v, F.array(*[F.lit(float(x)) for x in cv]))
+                + F.lit(float(sum(x * x for x in cv))),
+                6,
+            )
+            for _, cv in cent_rows
+        ]
+    )
+    cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_rows])
+    staged = staged.withColumn("__d2s", d2s)
+    best = F.array_min(F.col("__d2s"))
+    pos = F.array_position(F.col("__d2s"), best)
+    return staged.select(
+        id_col,
+        F.element_at(cids, pos.cast("int")).alias("cluster"),
+        best.alias("d2"),
+    )
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -65,8 +104,7 @@ def kmeans_lloyd(
     across iterations (pinned in tests/test_clustering.py)."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    spark = embeddings.sparkSession
+    ).cache()  # scanned by every iteration's assign + sse + update actions
     init = (
         e.orderBy("vec_id")
         .limit(k)
@@ -76,8 +114,9 @@ def kmeans_lloyd(
     sse_history: list[float] = []
     assign = None
     for _ in range(n_iter):
-        centroids = spark.createDataFrame(cent_rows, "c_id long, cv array<double>")
-        assign = assign_clusters(e, centroids)
+        # literal-centroid assignment: no crossJoin, no per-vector window
+        # shuffle — the centroids are already driver-side in the loop
+        assign = assign_clusters_literal(e, cent_rows)
         with_v = assign.join(e, "vec_id")
         sse_history.append(with_v.agg(F.sum("d2")).collect()[0][0])
         dims = with_v.select("cluster", F.posexplode("v").alias("i", "x"))

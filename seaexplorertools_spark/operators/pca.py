@@ -64,6 +64,9 @@ def power_iteration_top(
     """(loadings, eigenvalue) of the top principal component of the
     (optionally centered) row vectors, after ``n_iter`` fixed power
     iterations from v₀ = 1/√dim."""
+    # one aggregate ACTION per iteration (plus the mean pass): cache the
+    # input so the 7 jobs share one materialization instead of re-scanning
+    df = df.select(vec_col).cache()
     mu = mean_vector(df, vec_col, dim) if center else [0.0] * dim
     v = [1.0 / math.sqrt(dim)] * dim
     eig = 0.0
@@ -103,4 +106,77 @@ def top_component_df(
     """(dim, loading) rows, loadings 6-dp rounded — the contract shape."""
     v, _ = power_iteration_top(df, vec_col, dim, n_iter=n_iter, center=center)
     rows = [(i, round(c, 6) + 0.0) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, loading double")
+
+
+def gram_covariance(df: DataFrame, vec_col: str, dim: int) -> list[list[float]]:
+    """Centered covariance-scatter matrix C = Σ x xᵀ − n·μμᵀ as a
+    driver-side dim×dim list — computed in ONE distributed aggregation
+    (explode each row's (i, j, xᵢ·xⱼ) pairs → 4096-group sum). This is
+    the right PCA regime for SMALL dim: one pass over the data and the
+    eigenproblem becomes driver-side arithmetic on dim² numbers, versus
+    one distributed pass PER power iteration (power_iteration_top — the
+    right regime when dim is too large to materialize dim²)."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col(vec_col), i + 1).cast("double")
+                        * F.element_at(F.col(vec_col), j + 1).cast("double")
+                    ).alias("xx"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.xx").alias("sxx"))
+        .collect()
+    )
+    sums = df.select(
+        F.posexplode(vec_col).alias("i", "x")
+    ).groupBy("i").agg(F.sum(F.col("x").cast("double")).alias("si"), F.count("*").alias("n"))
+    srows = sums.collect()
+    n = float(srows[0]["n"])
+    s = [0.0] * dim
+    for r in srows:
+        s[r["i"]] = r["si"]
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in cells:
+        C[r["i"]][r["j"]] = r["sxx"] - s[r["i"]] * s[r["j"]] / n
+    return C
+
+
+def top_component_gram(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+) -> DataFrame:
+    """Top principal component via the one-pass Gram matrix + driver-side
+    power iteration — same v₀/update/sign conventions as
+    power_iteration_top, same (dim, loading) contract shape. The 6-dp
+    rounding uses the portable floor form so the oracle's SQL replay is
+    bit-compatible."""
+    C = gram_covariance(df, vec_col, dim)
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(n_iter):
+        y = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        nrm = math.sqrt(sum(c * c for c in y))
+        v = [c / nrm for c in y]
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-c for c in v]
+    rows = [
+        (i, math.floor(c * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+        for i, c in enumerate(v)
+    ]
     return spark.createDataFrame(rows, "dim int, loading double")

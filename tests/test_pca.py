@@ -56,3 +56,21 @@ def test_converges_on_planted_dominant_direction(spark):
     assert cos > 0.99
     # eigenvalue ~ N * var(coef) for the dominant direction
     assert eig > 100.0
+
+
+def test_gram_and_power_paths_agree(spark, sf_dir):
+    from seaexplorertools_spark.operators.pca import (
+        top_component_df,
+        top_component_gram,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    power = {r["dim"]: r["loading"] for r in top_component_df(spark, e, "v", 64).collect()}
+    gram = {r["dim"]: r["loading"] for r in top_component_gram(spark, e, "v", 64).collect()}
+    assert set(power) == set(gram) == set(range(64))
+    # same component, same conventions: agree to the 6-dp output rounding
+    for i in range(64):
+        assert abs(power[i] - gram[i]) <= 2e-6, (i, power[i], gram[i])
