@@ -44,6 +44,9 @@ GLOBAL_WINDOW_OK = {
     # the |groups|-row sufficient-statistics table; mutual_info margins
     # over the |a|·|b|-row cell table; benford's total over ≤ 9 digit rows
     "q_welch_ttest", "q_mutual_info", "q_benford_audit",
+    # RFM quartile ntiles run over the |users|-row aggregate (global_rank
+    # is the documented row-volume swap)
+    "q_rfm_segments",
 }
 
 # Declared-exact baselines and axis densification: the crossJoin is the point

@@ -3958,6 +3958,105 @@ def q_table_checksum(spark, sf_dir):
     )
 
 
+@q(
+    "q_dataset_split",
+    """
+    WITH h AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5('split' || chr(31)
+                                      || CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN hv % 10 < 8 THEN 'train'
+                WHEN hv % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10 by salted doc-id
+    hash) with the per-language composition report — the
+    reproducible-split primitive every training pipeline needs (hash
+    split ⇒ membership is stable under re-runs, insertions never move an
+    existing doc between splits). Pure map-side expressions + one
+    aggregate; the oracle replays the identical hash arithmetic."""
+    from .operators.sketches import uniform_hash48
+
+    docs = table(spark, sf_dir, "documents")
+    hv = uniform_hash48(
+        F.concat_ws("\x1f", F.lit("split"), F.col("doc_id").cast("string"))
+    )
+    split = (
+        F.when(hv % 10 < 8, F.lit("train"))
+        .when(hv % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_rfm_segments",
+    """
+    WITH m AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS frequency,
+             floor(COALESCE(SUM(value), 0.0) * 1000000.0 + 0.5) / 1000000.0
+               AS monetary
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(last_us) AS now_us FROM m)
+    SELECT user_id,
+           (g.now_us - last_us) // 86400000000 AS recency_days,
+           frequency, monetary,
+           ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM m CROSS JOIN g
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    behavioral-cohort readout: per user, days since last event, event
+    count, value sum, and the 1-4 quartile along each axis (deterministic
+    ntile with user_id tiebreak; quartile 1 = best). One aggregate to the
+    |users|-row table; the reference "now" is that table's max timestamp
+    (a 1-row scalar broadcast), so results are reproducible, not
+    wall-clock-dependent. The ntile windows run over |users| rows — at
+    100 TB swap in rank.global_rank (range-partitioned) for the same
+    quartile arithmetic without a single-partition window."""
+    ev = events(spark, sf_dir)
+    m = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        F.count("*").alias("frequency"),
+        r6p(F.coalesce(F.sum("value"), F.lit(0.0))).alias("monetary"),
+    )
+    g = m.agg(F.max("last_us").alias("now_us"))
+    out = m.join(F.broadcast(g))
+    return out.select(
+        "user_id",
+        F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_us").desc(), F.col("user_id")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_quartile"),
+    )
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7550,6 +7649,7 @@ _DRIVER_FIRST = [
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
+    "q_dataset_split", "q_rfm_segments",
 ]
 
 
