@@ -64,7 +64,7 @@ CROSSJOIN_OK = {
     # 1-row scalar-broadcast sides (the J5 pattern): PMI's global bigram
     # total; association-rules' basket total is folded into a literal;
     # target encoding's global-mean prior
-    "txt_pmi_bigrams", "q_target_encode",
+    "txt_pmi_bigrams", "q_target_encode", "q_rfm_segments",
 }
 
 
