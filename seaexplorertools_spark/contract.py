@@ -4057,6 +4057,49 @@ def q_rfm_segments(spark, sf_dir):
     )
 
 
+@q(
+    "q_unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount',
+             CAST(l_discount AS DOUBLE) FROM lineitem
+    )
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_unpivot_melt(spark, sf_dir):
+    """Wide→long reshaping via Spark's native ``unpivot`` (melt) — the R2
+    pivot's inverse, needed to feed per-measure operators (histograms,
+    drift audits) from wide fact tables. Catalyst expands it with a
+    single Expand node — one scan, no join, 3× rows out; the oracle is
+    the equivalent UNION ALL. Filter kept pushed BELOW the expand (plan
+    prunes before multiplying)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "val",
+    )
+    return long.select(
+        "l_orderkey", "l_linenumber", "measure", r6(F.col("val")).alias("val")
+    )
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7649,7 +7692,7 @@ _DRIVER_FIRST = [
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
-    "q_dataset_split", "q_rfm_segments",
+    "q_dataset_split", "q_rfm_segments", "q_unpivot_melt",
 ]
 
 
