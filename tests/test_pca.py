@@ -74,3 +74,25 @@ def test_gram_and_power_paths_agree(spark, sf_dir):
     # same component, same conventions: agree to the 6-dp output rounding
     for i in range(64):
         assert abs(power[i] - gram[i]) <= 2e-6, (i, power[i], gram[i])
+
+
+def test_gram_arrow_twin_matches_explode_path(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.pca import (
+        gram_covariance,
+        gram_covariance_arrow,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    C1 = gram_covariance(e, "v", 64)
+    C2 = gram_covariance_arrow(e, "v", 64)
+    # identical up to float-summation association (BLAS pairwise vs hash-agg)
+    scale = max(abs(C1[i][j]) for i in range(64) for j in range(64))
+    for i in range(64):
+        for j in range(64):
+            assert math.isclose(C1[i][j], C2[i][j], rel_tol=1e-9, abs_tol=scale * 1e-12)
