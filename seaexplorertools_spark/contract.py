@@ -4100,6 +4100,63 @@ def q_unpivot_melt(spark, sf_dir):
     )
 
 
+@q(
+    "q_lttb_downsample",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket,
+             epoch_us(ts) AS t, value AS val, event_id AS pid
+      FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+      SELECT event_type, bucket,
+             AVG(CAST(t AS DOUBLE)) AS mx, AVG(val) AS my
+      FROM pts GROUP BY 1, 2
+    ),
+    anch AS (
+      SELECT event_type, bucket,
+             COALESCE(lag(mx) OVER w, mx) AS px,
+             COALESCE(lag(my) OVER w, my) AS py,
+             COALESCE(lead(mx) OVER w, mx) AS nx,
+             COALESCE(lead(my) OVER w, my) AS ny
+      FROM means WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    scored AS (
+      SELECT p.event_type, p.bucket, p.t, p.val, p.pid,
+             CAST(floor(abs((a.px - a.nx) * (p.val - a.py)
+                            - (a.px - CAST(p.t AS DOUBLE)) * (a.ny - a.py))
+                        * 1000000.0 + 0.5) AS BIGINT) AS area_u
+      FROM pts p JOIN anch a USING (event_type, bucket)
+    )
+    SELECT event_type, bucket, t AS ts, val
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                   ORDER BY area_u DESC, t, pid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_lttb_downsample(spark, sf_dir):
+    """Distributed LTTB-style plot downsampling
+    (operators/downsample.py::lttb_mean): per (event_type, hour bucket),
+    keep the point whose triangle against the neighboring buckets' means
+    is largest — the shape-preserving reduction that makes plotting a
+    100M-point series feasible (the engine-side answer to the
+    reference's scoped-out matplotlib surface,
+    /root/reference/seaexplorertools/process_adcp.py's plot_* functions).
+    Area quantized to BIGINT µ-units before the argmax so the selection
+    is engine-exact; one bucket aggregate + tiny anchor windows +
+    broadcast back — data rows shuffle once."""
+    from .operators.downsample import lttb_mean
+
+    ev = events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return lttb_mean(
+        ev, "ts_us", "value", bucket_us=3600000000, id_col="event_id",
+        group_cols=["event_type"],
+    )
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7692,7 +7749,7 @@ _DRIVER_FIRST = [
     "q_l_diversity", "q_dp_counts", "txt_readability", "ann_isotropy_probe",
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
-    "q_dataset_split", "q_rfm_segments", "q_unpivot_melt",
+    "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
 ]
 
 
