@@ -4456,15 +4456,35 @@ def txt_bpe_tokens(spark, sf_dir):
     )
 
 
-@q("mm_resize_frames")  # binary payloads → rows-only check
+@q(
+    "mm_resize_frames",
+    """
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             (1 + doc_id % 64) * (1 + doc_id % 48) AS target
+      FROM documents
+    ),
+    s AS (SELECT media_id, target, greatest(target // 4, 1) AS step FROM t)
+    SELECT media_id, CAST(4 AS BIGINT) AS n_frames,
+           (greatest(0, least(target, 1 * step) - 0 * step)
+            + greatest(0, least(target, 2 * step) - 1 * step)
+            + greatest(0, least(target, 3 * step) - 2 * step)
+            + greatest(0, least(target, 4 * step) - 3 * step)) AS total_frame_bytes
+    FROM s
+    """,
+)
 def mm_resize_frames(spark, sf_dir):
-    """Multimodal resize + frame-sample plumbing (stub decode): documents as
-    fake media → resize to 64x64 payloads → 4 sampled frames each. Binary
-    outputs ⇒ rows-only driver check; shapes asserted in tests."""
+    """Multimodal resize + frame-sample plumbing (stub decode): documents
+    as fake media → resize to each row's OWN (width, height) metadata
+    target → 4 sampled frames each. The stub's byte arithmetic is
+    deterministic and input-dependent (target = (1+id%64)·(1+id%48)), so
+    the driver check is an EXACT integer oracle over the whole
+    mapInPandas path (upgraded from rows-only; frame-slice truncation
+    replayed with least/greatest arithmetic)."""
     from .operators.multimodal import documents_as_media, resize_images, sample_frames
 
     media = documents_as_media(table(spark, sf_dir, "documents"))
-    resized = resize_images(media, 64, 64)
+    resized = resize_images(media, per_row_dims=True)
     frames = sample_frames(resized, 4)
     return frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames"),

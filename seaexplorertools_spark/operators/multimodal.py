@@ -231,26 +231,42 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    per_row_dims: bool = False,
+) -> DataFrame:
     """Image resize plumbing (decode/encode STUBBED): real code would
     PIL-decode, resize, re-encode; the stub deterministically truncates/pads
     the payload to width*height bytes so batch shapes, schema and
-    partition-preservation are exercised end-to-end."""
-    target = width * height
+    partition-preservation are exercised end-to-end. With
+    ``per_row_dims=True`` the target is each row's OWN (width, height)
+    metadata — input-dependent outputs, which is what lets the contract
+    check the whole path against integer arithmetic instead of a
+    constant."""
 
     def do_resize(batches):
         for pdf in batches:
             out = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            for mid, kind, payload, w0, h0 in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
                 if payload is None:
                     out.append((mid, kind, None, None, None))
                     continue
+                w = int(w0) if per_row_dims and pd.notna(w0) else width
+                h = int(h0) if per_row_dims and pd.notna(h0) else height
+                target = w * h
                 b = bytes(payload)
                 resized = (b * (target // max(len(b), 1) + 1))[:target]
-                out.append((mid, kind, resized, width, height))
+                out.append((mid, kind, resized, w, h))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "width", "height"])
 
-    return media.select("media_id", "kind", "payload").mapInPandas(do_resize, RESIZED_SCHEMA)
+    return media.select("media_id", "kind", "payload", "width", "height").mapInPandas(
+        do_resize, RESIZED_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
