@@ -4157,6 +4157,75 @@ def q_lttb_downsample(spark, sf_dir):
     )
 
 
+@q(
+    "q_session_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, t,
+             SUM(boundary) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY t, event_id), 1, 5),
+               '>') AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def q_session_paths(spark, sf_dir):
+    """Top session paths (sequence mining): sessionize on a 30-min gap,
+    reduce each session to its first-5-event type sequence, count path
+    frequencies above min support — the what-do-journeys-look-like
+    readout behind funnel design. The per-session sequence is built with
+    sort_array(collect_list(struct)) so ordering is deterministic inside
+    the aggregate (no ordered-window re-shuffle); everything else is two
+    map-side-combinable aggregates."""
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(*EV_ORDER)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.sum(boundary).over(wc).cast("long").alias("session_id"),
+    )
+    seq = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ),
+            1,
+            5,
+        ),
+        lambda st: st["event_type"],
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(seq, ">").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7770,6 +7839,7 @@ _DRIVER_FIRST = [
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
+    "q_session_paths",
 ]
 
 
