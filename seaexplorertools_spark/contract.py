@@ -4106,12 +4106,13 @@ def q_unpivot_melt(spark, sf_dir):
     WITH pts AS (
       SELECT event_type,
              epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket,
-             epoch_us(ts) AS t, value AS val, event_id AS pid
+             epoch_us(ts) AS t,
+             CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS xn,
+             value AS val, event_id AS pid
       FROM events WHERE value IS NOT NULL
     ),
     means AS (
-      SELECT event_type, bucket,
-             AVG(CAST(t AS DOUBLE)) AS mx, AVG(val) AS my
+      SELECT event_type, bucket, AVG(xn) AS mx, AVG(val) AS my
       FROM pts GROUP BY 1, 2
     ),
     anch AS (
@@ -4125,7 +4126,7 @@ def q_unpivot_melt(spark, sf_dir):
     scored AS (
       SELECT p.event_type, p.bucket, p.t, p.val, p.pid,
              CAST(floor(abs((a.px - a.nx) * (p.val - a.py)
-                            - (a.px - CAST(p.t AS DOUBLE)) * (a.ny - a.py))
+                            - (a.px - p.xn) * (a.ny - a.py))
                         * 1000000.0 + 0.5) AS BIGINT) AS area_u
       FROM pts p JOIN anch a USING (event_type, bucket)
     )

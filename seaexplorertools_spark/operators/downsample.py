@@ -42,10 +42,15 @@ def lttb_mean(
     point. Returns (group_cols…, bucket, ts, val)."""
     gs = list(group_cols or [])
     b = (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_us)).alias("bucket")
-    pts = df.select(*gs, b, F.col(ts_col).alias("ts"), F.col(val_col).alias("val"),
-                    F.col(id_col).alias("pid"))
+    # x is normalized to BUCKET-WIDTH units before any area arithmetic: a
+    # pure x-rescale multiplies every area by the same factor (argmax
+    # invariant), and it keeps the µ-unit-quantized area inside BIGINT —
+    # raw epoch-µs x would overflow it (ts·Δy·1e6 ≈ 1e19)
+    xn = (F.col(ts_col).cast("double") / F.lit(float(bucket_us))).alias("xn")
+    pts = df.select(*gs, b, F.col(ts_col).alias("ts"), xn,
+                    F.col(val_col).alias("val"), F.col(id_col).alias("pid"))
     means = pts.groupBy(*gs, "bucket").agg(
-        F.avg(F.col("ts").cast("double")).alias("mx"),
+        F.avg("xn").alias("mx"),
         F.avg("val").alias("my"),
     )
     w = Window.partitionBy(*gs).orderBy("bucket")
@@ -58,7 +63,7 @@ def lttb_mean(
         F.coalesce(F.lead("my").over(w), F.col("my")).alias("ny"),
     )
     joined = pts.join(F.broadcast(anchors), gs + ["bucket"])
-    x = F.col("ts").cast("double")
+    x = F.col("xn")
     area = F.abs(
         (F.col("px") - F.col("nx")) * (F.col("val") - F.col("py"))
         - (F.col("px") - x) * (F.col("ny") - F.col("py"))
