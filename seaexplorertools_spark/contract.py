@@ -4227,6 +4227,47 @@ def q_session_paths(spark, sf_dir):
     )
 
 
+@q(
+    "q_weighted_quantiles",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS x,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS wtot
+      FROM lineitem
+    )
+    SELECT grp, CAST(MAX(wtot) AS BIGINT) AS w_total,
+           MIN(CASE WHEN 4 * cum >= wtot THEN x END) AS p25,
+           MIN(CASE WHEN 2 * cum >= wtot THEN x END) AS p50,
+           MIN(CASE WHEN 10 * cum >= 9 * wtot THEN x END) AS p90
+    FROM s GROUP BY grp
+    """,
+)
+def q_weighted_quantiles(spark, sf_dir):
+    """Per-returnflag QUANTITY-weighted price quantiles
+    (operators/stats.py::weighted_quantiles): the smallest price whose
+    cumulative quantity reaches q·W — "the median unit ships at what
+    price", each row counted by its weight. Thresholds are
+    cross-multiplied INTEGER comparisons (4·cum ≥ W …) over a BIGINT
+    cumsum — bit-identical cross-engine, zero rounding. One ordered
+    window + one aggregate."""
+    from .operators.stats import weighted_quantiles
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__tb", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    out = weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", F.col("l_quantity"), "__tb"
+    )
+    return out.select(
+        F.col("l_returnflag").alias("grp"), "w_total", "p25", "p50", "p90"
+    )
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7840,7 +7881,7 @@ _DRIVER_FIRST = [
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
-    "q_session_paths",
+    "q_session_paths", "q_weighted_quantiles",
 ]
 
 

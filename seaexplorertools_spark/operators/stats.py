@@ -224,6 +224,47 @@ def cusum_max_excursion(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-group WEIGHTED lower quantiles (p25/p50/p90): the smallest
+    value whose cumulative weight reaches q·W — the corpus statistic that
+    answers "the median TOKEN sits in how long a document?" (each row
+    counts by its weight, not once). Entirely INTEGER arithmetic: weights
+    are cast to BIGINT, the q·W threshold is cleared by cross-multiplied
+    integer comparisons (4·cum ≥ W, 2·cum ≥ W, 10·cum ≥ 9·W), so the
+    selection is bit-identical on any engine with zero rounding. One
+    ordered window pass + one aggregate; shuffle = one exchange on the
+    group."""
+    staged = df.select(
+        group_col,
+        F.col(value_col).alias("x"),
+        F.col(tiebreak).alias("__tb"),
+        weight_col.cast("bigint").alias("__w"),
+    )
+    w = Window.partitionBy(group_col).orderBy("x", "__tb")
+    cum = F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("__w").over(Window.partitionBy(group_col))
+    s = staged.select(
+        group_col,
+        "x",
+        cum.alias("cum"),
+        tot.alias("wtot"),
+    )
+    def pick(cond):
+        return F.min(F.when(cond, F.col("x")))
+    return s.groupBy(group_col).agg(
+        F.max("wtot").alias("w_total"),
+        pick(4 * F.col("cum") >= F.col("wtot")).alias("p25"),
+        pick(2 * F.col("cum") >= F.col("wtot")).alias("p50"),
+        pick(10 * F.col("cum") >= 9 * F.col("wtot")).alias("p90"),
+    )
+
+
 def target_encode_loo(
     df: DataFrame,
     cat_col: str,

@@ -309,3 +309,22 @@ def test_approx_percentile_within_declared_accuracy(spark):
         rank_a = np.searchsorted(vals, a)
         rank_e = q * (len(vals) - 1)
         assert abs(rank_a - rank_e) <= 5 + 1, (q, rank_a, rank_e)
+
+
+def test_weighted_quantiles_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.stats import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 (W=10): weighted median sits in the
+    # heavy value 4 (cum: 1,2,3,10 -> first 2*cum>=10 is x=4); p25 -> x=3
+    rows = [("g", 1.0, 1, 0), ("g", 2.0, 1, 1), ("g", 3.0, 1, 2), ("g", 4.0, 7, 3)]
+    df = spark.createDataFrame(rows, ["g", "x", "w", "id"])
+    r = weighted_quantiles(df, "g", "x", F.col("w"), "id").collect()[0]
+    assert r["w_total"] == 10
+    assert r["p25"] == 3.0 and r["p50"] == 4.0 and r["p90"] == 4.0
+    # unweighted sanity: all weights 1 -> lower quantiles of 1..4
+    u = spark.createDataFrame([("g", float(v), 1, v) for v in range(1, 5)],
+                              ["g", "x", "w", "id"])
+    r2 = weighted_quantiles(u, "g", "x", F.col("w"), "id").collect()[0]
+    assert (r2["p25"], r2["p50"], r2["p90"]) == (1.0, 2.0, 4.0)
