@@ -4268,6 +4268,76 @@ def q_weighted_quantiles(spark, sf_dir):
     )
 
 
+@q(
+    "q_best_split",
+    """
+    WITH cells AS (
+      SELECT n_chars AS t, count(*) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY 1
+    ),
+    s AS (
+      SELECT t,
+             CAST(SUM(n) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pp
+      FROM cells
+    ),
+    g AS (
+      SELECT t, nl,
+             (CASE WHEN pp > 0 AND pp < nn
+                   THEN -(CAST(pp AS DOUBLE) / nn) * ln(CAST(pp AS DOUBLE) / nn)
+                   ELSE 0.0 END
+              + CASE WHEN pp > 0 AND pp < nn
+                     THEN -(1.0 - CAST(pp AS DOUBLE) / nn)
+                          * ln(1.0 - CAST(pp AS DOUBLE) / nn)
+                     ELSE 0.0 END) AS hp,
+             (CASE WHEN pl > 0 AND pl < nl
+                   THEN -(CAST(pl AS DOUBLE) / nl) * ln(CAST(pl AS DOUBLE) / nl)
+                   ELSE 0.0 END
+              + CASE WHEN pl > 0 AND pl < nl
+                     THEN -(1.0 - CAST(pl AS DOUBLE) / nl)
+                          * ln(1.0 - CAST(pl AS DOUBLE) / nl)
+                     ELSE 0.0 END) AS hl,
+             (CASE WHEN pp - pl > 0 AND pp - pl < nn - nl
+                   THEN -(CAST(pp - pl AS DOUBLE) / (nn - nl))
+                        * ln(CAST(pp - pl AS DOUBLE) / (nn - nl))
+                   ELSE 0.0 END
+              + CASE WHEN pp - pl > 0 AND pp - pl < nn - nl
+                     THEN -(1.0 - CAST(pp - pl AS DOUBLE) / (nn - nl))
+                          * ln(1.0 - CAST(pp - pl AS DOUBLE) / (nn - nl))
+                     ELSE 0.0 END) AS hr,
+             nn
+      FROM s WHERE nl < nn
+    ),
+    scored AS (
+      SELECT t, nl,
+             floor((hp - (CAST(nl AS DOUBLE) / nn * hl
+                          + CAST(nn - nl AS DOUBLE) / nn * hr))
+                   * 1000000.0 + 0.5) / 1000000.0 AS ig,
+             floor(hp * 1000000.0 + 0.5) / 1000000.0 AS parent_entropy
+      FROM g
+    )
+    SELECT t AS split_at, ig, parent_entropy, nl AS n_left
+    FROM (SELECT *, row_number() OVER (ORDER BY ig DESC, t ASC) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_best_split(spark, sf_dir):
+    """Distributed decision-tree split finding: the n_chars threshold
+    that best separates lang='en' by information gain
+    (operators/stats.py::best_split). ONE aggregate to the
+    |distinct values| table, cumulative class counts over it, closed-form
+    entropies from exact BIGINT counts, 6-dp-rounded-gain argmax with
+    smallest-threshold tiebreak. The shuffle is |distinct values| — a
+    tree trainer fans this out per (feature, node), never per row."""
+    from .operators.stats import best_split
+
+    docs = table(spark, sf_dir, "documents")
+    return best_split(docs, "n_chars", F.col("lang") == "en")
+
+
 def _pca_gram_oracle_sql(dim: int = 64, n_iter: int = 6) -> str:
     """DuckDB replay of operators/pca.py::top_component_gram — covariance
     cells in SQL, then the SAME driver-side iteration unrolled as CTEs
@@ -7881,7 +7951,7 @@ _DRIVER_FIRST = [
     "mm_wav_features", "q_label_propagation", "q_hilbert_layout",
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
-    "q_session_paths", "q_weighted_quantiles",
+    "q_session_paths", "q_weighted_quantiles", "q_best_split",
 ]
 
 

@@ -265,6 +265,70 @@ def weighted_quantiles(
     )
 
 
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+) -> DataFrame:
+    """Best binary split of a numeric feature against a boolean label by
+    information gain — the inner loop of decision-tree training,
+    distributed: ONE aggregate to the |distinct feature values| table,
+    one ordered cumsum window over it, closed-form entropies from exact
+    BIGINT counts, argmax with 6-dp-rounded gain and smallest-threshold
+    tiebreak. Returns one row: (split_at, ig, parent_entropy, n_left).
+    Candidates are "feature ≤ t" at every distinct value except the last
+    (empty right side). This is per-feature work a tree trainer fans out
+    across features/nodes; the shuffle is |distinct values|, never row
+    volume."""
+    cells = df.groupBy(F.col(feature_col).alias("t")).agg(
+        F.count("*").alias("n"),
+        F.sum(label_col.cast("int")).cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    s = cells.select(
+        "t",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(wt).alias("nn"),
+        F.sum("pos").over(wt).alias("pp"),
+    ).filter(F.col("nl") < F.col("nn"))
+
+    def ent(p, n):
+        q = p.cast("double") / n.cast("double")
+        term = lambda z: F.when((z > 0) & (z < 1), -z * F.log(z)).otherwise(0.0)
+        return term(q) + term(1 - q)
+
+    parent = ent(F.col("pp"), F.col("nn"))
+    left = ent(F.col("pl"), F.col("nl"))
+    right = ent(F.col("pp") - F.col("pl"), F.col("nn") - F.col("nl"))
+    ig = parent - (
+        F.col("nl").cast("double") / F.col("nn").cast("double") * left
+        + (F.col("nn") - F.col("nl")).cast("double")
+        / F.col("nn").cast("double")
+        * right
+    )
+    scored = s.select(
+        "t",
+        "nl",
+        (F.floor(ig * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("ig"),
+        (F.floor(parent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "parent_entropy"
+        ),
+    )
+    rw = Window.orderBy(F.col("ig").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("t").alias("split_at"),
+            "ig",
+            "parent_entropy",
+            F.col("nl").alias("n_left"),
+        )
+    )
+
+
 def target_encode_loo(
     df: DataFrame,
     cat_col: str,

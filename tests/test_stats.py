@@ -328,3 +328,24 @@ def test_weighted_quantiles_hand_values(spark):
                               ["g", "x", "w", "id"])
     r2 = weighted_quantiles(u, "g", "x", F.col("w"), "id").collect()[0]
     assert (r2["p25"], r2["p50"], r2["p90"]) == (1.0, 2.0, 4.0)
+
+
+def test_best_split_finds_planted_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.stats import best_split
+
+    # label is TRUE exactly when x <= 42: the planted split is perfect
+    rows = [(float(x), x <= 42) for x in range(1, 101)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = best_split(df, "x", F.col("y")).collect()[0]
+    assert r["split_at"] == 42.0
+    assert r["n_left"] == 42
+    # perfect split: IG equals the parent entropy (both sides pure)
+    assert abs(r["ig"] - r["parent_entropy"]) < 2e-6
+
+    # pure label -> zero entropy, zero gain everywhere, earliest t wins
+    pure = spark.createDataFrame([(float(x), True) for x in range(10)], ["x", "y"])
+    r2 = best_split(pure, "x", F.col("y")).collect()[0]
+    assert r2["ig"] == 0.0 and r2["parent_entropy"] == 0.0
+    assert r2["split_at"] == 0.0
