@@ -47,6 +47,10 @@ GLOBAL_WINDOW_OK = {
     # RFM quartile ntiles run over the |users|-row aggregate (global_rank
     # is the documented row-volume swap)
     "q_rfm_segments",
+    # best-split's cumulative class counts run over the |distinct feature
+    # values| table — bounded here (integer n_chars); continuous features
+    # pre-bin upstream (the LightGBM histogram trick), keeping it |bins|
+    "q_best_split",
 }
 
 # Declared-exact baselines and axis densification: the crossJoin is the point
