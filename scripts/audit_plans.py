@@ -29,24 +29,21 @@ GLOBAL_WINDOW_OK = {
     "w3_cumsum", "w3b_cumsum_reverse", "w4_cumsum_reset", "w5_ffill",
     "w6_demean", "w7_tail_flag", "j1_interp_join", "j2_asof_nearest",
     "j2b_asof_backward", "r1_regrid_ladder", "ref_vertical_integration",
-    # bounded-input windows: ranks over <= |partitions| offset rows,
-    # dim-sized aggregates, histogram bins (~30 rows), or an already
-    # TakeOrdered-limited top-k (rank over k rows)
-    "q_curriculum_order", "q_corpus_shuffle", "q_hybrid_rrf",
-    "a10_histogram", "q_topk_orders",
+    # bounded-input windows: dim-sized aggregates, histogram bins
+    # (~30 rows), or an already TakeOrdered-limited top-k (rank over k
+    # rows). (global_rank/concurrency_profile offset windows were
+    # eliminated in round 4 — their prefix sums are now windowless
+    # explode+aggregate — so q_curriculum_order / q_corpus_shuffle /
+    # q_peak_concurrency / q_rfm_segments need no entry here.)
+    "q_hybrid_rrf", "a10_histogram", "q_topk_orders",
     # round-3 bounded-input windows: chi2/KL margins run over the
     # category-cardinality cell table (|a|·|b| rows, never row volume);
-    # skyline's exact pass sees only per-partition frontier survivors;
-    # peak-concurrency's offset window is over |partitions| rows
+    # skyline's exact pass sees only per-partition frontier survivors
     "q_chi2_independence", "q_kl_drift", "q_skyline_frontier",
-    "q_peak_concurrency",
     # stats-pack bounded-input windows: welch's complement sums run over
     # the |groups|-row sufficient-statistics table; mutual_info margins
     # over the |a|·|b|-row cell table; benford's total over ≤ 9 digit rows
     "q_welch_ttest", "q_mutual_info", "q_benford_audit",
-    # RFM quartile ntiles run over the |users|-row aggregate (global_rank
-    # is the documented row-volume swap)
-    "q_rfm_segments",
     # best-split's cumulative class counts run over the |distinct feature
     # values| table — bounded here (integer n_chars); continuous features
     # pre-bin upstream (the LightGBM histogram trick), keeping it |bins|
@@ -67,7 +64,9 @@ CROSSJOIN_OK = {
     "q_spatial_eps_join", "q_kmeans_assign", "q_kmeans_iterate", "ann_topk_pq",
     # 1-row scalar-broadcast sides (the J5 pattern): PMI's global bigram
     # total; association-rules' basket total is folded into a literal;
-    # target encoding's global-mean prior
+    # target encoding's global-mean prior; RFM's (now, n_users) scalar
+    # pair (the quartiles themselves are windowless global_rank
+    # arithmetic — the only NL sides left are these 1-row scalars)
     "txt_pmi_bigrams", "q_target_encode", "q_rfm_segments",
 }
 

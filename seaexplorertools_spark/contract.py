@@ -4026,34 +4026,52 @@ def q_rfm_segments(spark, sf_dir):
     """RFM (recency / frequency / monetary) segmentation — the classic
     behavioral-cohort readout: per user, days since last event, event
     count, value sum, and the 1-4 quartile along each axis (deterministic
-    ntile with user_id tiebreak; quartile 1 = best). One aggregate to the
-    |users|-row table; the reference "now" is that table's max timestamp
-    (a 1-row scalar broadcast), so results are reproducible, not
-    wall-clock-dependent. The ntile windows run over |users| rows — at
-    100 TB swap in rank.global_rank (range-partitioned) for the same
-    quartile arithmetic without a single-partition window."""
+    ntile semantics with user_id tiebreak; quartile 1 = best). One
+    aggregate to the |users|-row table; the reference "now" and the user
+    count ride a 1-row equi-join on a literal key (BroadcastHashJoin, not
+    a nested loop), so results are reproducible, not wall-clock-dependent.
+    The quartiles are NOT window ntiles: each axis gets an exact global
+    row_number from rank.global_rank (range-partitioned, windowless) and
+    the 1-4 bucket is recovered arithmetically — the first n%4 buckets
+    take ceil(n/4) rows, the rest floor(n/4), which is ntile(4)'s exact
+    contract — so the |users| row volume never crosses a single
+    partition at any scale."""
+    from .operators.rank import global_rank
+
     ev = events(spark, sf_dir)
     m = ev.groupBy("user_id").agg(
         F.max("ts_us").alias("last_us"),
         F.count("*").alias("frequency"),
         r6p(F.coalesce(F.sum("value"), F.lit(0.0))).alias("monetary"),
     )
-    g = m.agg(F.max("last_us").alias("now_us"))
-    out = m.join(F.broadcast(g))
+    g = (
+        m.agg(F.max("last_us").alias("now_us"), F.count("*").alias("n_users"))
+        .withColumn("__k", F.lit(1))
+    )
+    out = m.withColumn("__k", F.lit(1)).join(F.broadcast(g), "__k").drop("__k")
+    out = global_rank(out, [F.col("last_us").desc(), F.col("user_id")], "__rr")
+    out = global_rank(out, [F.col("frequency").desc(), F.col("user_id")], "__fr")
+    out = global_rank(out, [F.col("monetary").desc(), F.col("user_id")], "__mr")
+
+    def ntile4(rname: str):
+        # exact ntile(4) from the exact global row_number r over n rows:
+        # bucket sizes differ by at most 1, larger buckets first
+        return F.expr(
+            f"CAST(IF({rname} <= (n_users % 4) * (n_users div 4 + 1), "
+            f"({rname} - 1) div (n_users div 4 + 1) + 1, "
+            f"(n_users % 4) + ({rname} - (n_users % 4) * (n_users div 4 + 1) "
+            f"+ greatest(n_users div 4, 1) - 1) div greatest(n_users div 4, 1)"
+            f") AS INT)"
+        )
+
     return out.select(
         "user_id",
         F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_us").desc(), F.col("user_id")))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
-        .alias("m_quartile"),
+        ntile4("__rr").alias("r_quartile"),
+        ntile4("__fr").alias("f_quartile"),
+        ntile4("__mr").alias("m_quartile"),
     )
 
 
@@ -5540,6 +5558,120 @@ def q_profile_table(spark, sf_dir):
             f"stack({len(_PROFILE_COLS)}, {stack}) AS "
             "(column_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
         )
+    )
+
+
+_PROFILE_APPROX_ORACLE = (
+    """
+    WITH stacked AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    + """
+    ),
+    q AS (
+      SELECT column_name, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM stacked WHERE v IS NOT NULL
+    ),
+    h AS (
+      SELECT column_name,
+             ('0x' || substr(md5(qv::VARCHAR), 1, 12))::BIGINT AS h
+      FROM q
+    ),
+    b AS (SELECT column_name, h >> 40 AS idx, h % 1099511627776 AS w FROM h),
+    r AS (
+      SELECT column_name, idx,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m_rho
+      FROM b GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT column_name, sum(power(2.0, -m_rho)) AS s_nz, count(*) AS nz
+      FROM r GROUP BY 1
+    ),
+    est AS (
+      SELECT column_name,
+             round(CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                               / (s_nz + (256 - nz)) <= 640.0
+                         AND nz < 256
+                        THEN 256.0 * ln(256.0 / (256 - nz))
+                        ELSE ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                               / (s_nz + (256 - nz)) END, 2) AS est_distinct
+      FROM s
+    ),
+    ex AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               round(min({c}), 6) AS min_v, round(max({c}), 6) AS max_v,
+               round(avg({c}), 6) AS mean_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    )
+    + """
+    )
+    SELECT ex.column_name, ex.n_rows, ex.n_null, est.est_distinct,
+           ex.min_v, ex.max_v, ex.mean_v
+    FROM ex JOIN est USING (column_name)
+    """
+)
+
+
+@q("q_profile_table_approx", _PROFILE_APPROX_ORACLE)
+def q_profile_table_approx(spark, sf_dir):
+    """The 100 TB twin of q_profile_table: identical exact stats
+    (rows/nulls/min/max/mean from ONE aggregate — no distinct, so no
+    Expand), with the NDV column swapped from count(DISTINCT) to the
+    from-scratch HLL sketch (operators/sketches.py, p=8). The exact
+    query's 4-way Expand shuffles every distinct value and its scan slope
+    measured ~2.7× per 100× (SCALING.md); here the stack-unpivoted values
+    partial-aggregate map-side to ≤ |cols|·256 register rows per
+    partition, so the shuffle is CONSTANT-sized in the row count — the
+    profile every large ingest can afford. Values are micro-quantized
+    (×1e6, round-half-up — injective for these ≤2-decimal columns) to
+    BIGINT before hashing so the md5-based hash is byte-identical across
+    engines, making this APPROXIMATE sketch exactly reproducible by the
+    DuckDB oracle (same falsifiability bar as q_hll_distinct). Standard
+    HLL error at p=8 is ~1.04/√256 ≈ 6.5 %; the exact-NDV twin remains
+    registered for parity-critical profiling."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            r6(F.min(c)).alias(f"{c}__mn"),
+            r6(F.max(c)).alias(f"{c}__mx"),
+            r6(F.avg(c)).alias(f"{c}__av"),
+        ]
+    one = li.agg(*aggs)
+    stack_ex = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__mn, {c}__mx, {c}__av" for c in _PROFILE_COLS
+    )
+    exact = one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_ex}) AS "
+            "(column_name, n_rows, n_null, min_v, max_v, mean_v)"
+        )
+    )
+    stack_v = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
+    stacked = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_v}) AS (column_name, v)")
+    ).where(F.col("v").isNotNull())
+    quant = stacked.select(
+        "column_name",
+        F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("qv"),
+    )
+    regs = hll_registers(quant, "qv", ["column_name"], p=8)
+    est = hll_estimate(regs, ["column_name"], p=8).select("column_name", "est_distinct")
+    return exact.join(F.broadcast(est), "column_name").select(
+        "column_name", "n_rows", "n_null", "est_distinct", "min_v", "max_v", "mean_v"
     )
 
 
@@ -7912,28 +8044,15 @@ ORACLES["q_countmin_tokens"] = ORACLES["q_countmin_tokens"].format(tok=_TOK_SQL)
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    # errored in round 2 (events.ts type change; fixed by ts_us_col) — need a
-    # green row
-    "st_windowed_counts", "ref_vertical_integration", "a2_orientation_detect",
-    "q_sessionize", "q_salted_agg", "q_json_extract", "q_range_frame_trailing",
-    "w1b_running_median_minmax", "st_first_seen", "q_interval_join",
-    "q_salted_join",
-    # registered in round 2 but past the driver's per-round cap — never checked
-    "txt_hash_classifier", "q_profile_table", "dd_semdedup", "q_pagerank",
-    "q_pack_sequences", "txt_chunk", "pipe_pretrain_prep", "txt_normalize",
-    "q_cdc_snapshot", "q_scd2_intervals", "q_funnel_conversion",
-    "q_cohort_retention", "q_session_window_native", "q_spatial_eps_join",
-    "q_tpch_q3", "txt_top_ngrams",
-    # new in round 3 — no driver row yet (names appended as queries land)
-    "q_grouping_sets", "q_window_distribution", "q_mad_outliers",
-    "q_bloom_semi_reduction", "txt_chunk_dedup", "ann_topk_pq",
-    "st_enrich_static",
-    "q_tpch_q5", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",
-    "q_kmv_distinct", "txt_winnow", "udtf_sentences", "q_tumbling_ohlc",
-    "q_decayed_agg", "dd_winnow_containment", "q_curriculum_order", "q_bm25_search",
-    # registered past the 50-cap this round; driver-checked in round 4+ (all
-    # locally oracle-verified)
-    "q_tpch_q4", "q_tpch_q6", "q_tpch_q12", "q_tpch_q16", "q_first_touch",
+    # The 50 names the round-3 driver sampled (CORRECTNESS_r03.json) all
+    # came back green and moved to the back of the registration order.
+    # What remains up front is the never-driver-sampled tail (71 queries
+    # after round 3 — every one locally oracle-verified at sf0.01 AND
+    # sf0.1 by scripts/check_contract.py), oldest debt first, followed by
+    # queries newly registered in round 4. With the driver's 50-per-round
+    # cap, ~50 get official rows in round 4 and the remainder is
+    # explicitly queued for round 5.
+    "q_tpch_q16", "q_first_touch",
     "q_incremental_agg", "ann_recall_report", "q_hybrid_rrf", "q_corpus_shuffle",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
@@ -7952,6 +8071,8 @@ _DRIVER_FIRST = [
     "q_snapshot_diff", "q_column_corr", "q_table_checksum", "ann_pca_gram",
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
+    # new in round 4 — appended behind the older debt
+    "q_profile_table_approx",
 ]
 
 

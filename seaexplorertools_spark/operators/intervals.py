@@ -6,8 +6,10 @@ needs a GLOBAL prefix sum — the naive Spark spelling is a global window,
 i.e. all data through one task. This implementation distributes it the
 same way operators/rank.py::global_rank distributes row_number: range-
 repartition boundaries by time, per-partition local cumsum, then add each
-partition's total as a broadcast prefix offset (the single-partition
-window runs over |partitions| rows, not N).
+partition's total as a broadcast prefix offset. The offsets are computed
+WINDOW-free (partition ids are known up front, so each total explodes
+onto every higher id and a hash aggregate sums them — ≤ parts² tiny
+rows); no WindowExec with an empty partition spec appears in the plan.
 
 Semantics: half-open intervals [start, end) — an interval ending at t
 closes before one starting at t opens, so touching intervals never count
@@ -42,13 +44,22 @@ def concurrency_profile(
     local_w = Window.partitionBy("__pid").orderBy("t")
     ranged = ranged.withColumn("__local", F.sum("net").over(local_w))
     totals = ranged.groupBy("__pid").agg(F.sum("net").alias("__tot"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))
-    ).select("__pid", "__off")
+    contrib = totals.select(
+        F.explode(
+            F.when(
+                F.col("__pid") < F.lit(parts - 1),
+                F.sequence(F.col("__pid") + F.lit(1), F.lit(parts - 1)),
+            ).otherwise(F.lit(None).cast("array<int>"))
+        ).alias("__pid"),
+        F.col("__tot"),
+    )
+    offsets = contrib.groupBy("__pid").agg(F.sum("__tot").alias("__off"))
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        ranged.join(F.broadcast(offsets), "__pid", "left")
         .select(
-            "t", (F.col("__off") + F.col("__local")).cast("long").alias("concurrency")
+            "t",
+            (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local"))
+            .cast("long")
+            .alias("concurrency"),
         )
     )

@@ -11,8 +11,12 @@ curriculum ordering. The two-pass form here keeps the data distributed:
    PER-PARTITION window for the local row number (no cross-partition
    data movement).
 2. Per-partition row counts (a ≤-num-partitions-row aggregate) turn into
-   prefix offsets driver-free via a window over that tiny side, broadcast
-   back, and added to the local number.
+   prefix offsets driver-free and WINDOW-free: partition ids are known up
+   front (0..parts-1), so each count row contributes itself to every
+   higher id via a ``sequence``-explode (≤ parts² rows) + hash aggregate,
+   broadcast back, and added to the local number. No ``WindowExec`` with
+   an empty partition spec appears anywhere in the plan — the audit's
+   single-partition-window detector stays clean without an allowlist.
 
 The result is the exact global ``row_number`` for the given total order —
 independent of partition count or boundary sampling, because rank depends
@@ -46,14 +50,24 @@ def global_rank(
     local_w = Window.partitionBy("__pid").orderBy(*cols)
     ranged = ranged.withColumn("__local_rn", F.row_number().over(local_w))
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
-    # prefix-sum over <= num_partitions rows: the single-partition window
-    # is bounded by partition COUNT, not data size
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0))).select(
-        "__pid", "__off"
+    # prefix offsets with no window at all: partition p's count lands on
+    # every higher id p+1..parts-1 (ids known up front), then a hash
+    # aggregate sums contributions per target id — ≤ parts² tiny rows
+    contrib = counts.select(
+        F.explode(
+            F.when(
+                F.col("__pid") < F.lit(parts - 1),
+                F.sequence(F.col("__pid") + F.lit(1), F.lit(parts - 1)),
+            ).otherwise(F.lit(None).cast("array<int>"))
+        ).alias("__pid"),
+        F.col("__n"),
     )
+    offsets = contrib.groupBy("__pid").agg(F.sum("__n").alias("__off"))
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.col("__off") + F.col("__local_rn")).cast("long"))
+        ranged.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(
+            rank_col,
+            (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local_rn")).cast("long"),
+        )
         .drop("__pid", "__local_rn", "__off")
     )
