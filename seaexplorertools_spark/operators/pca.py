@@ -239,3 +239,45 @@ def gram_covariance_arrow(df: DataFrame, vec_col: str, dim: int) -> list[list[fl
         for j in range(dim):
             C[i][j] = g[i * dim + j] - s[i] * s[j] / n
     return C
+
+
+# Auto regime choice: dim² driver cells the Gram path may materialize before
+# we fall back to per-iteration distributed passes. 2^22 cells ≈ 32 MB of
+# doubles — comfortable driver state; past that (dim ≳ 2048) the Gram
+# matrix itself becomes the bottleneck and power iteration's
+# one-|dim|-aggregate-per-step shape is the scalable regime.
+MAX_GRAM_CELLS = 1 << 22
+
+
+def choose_pca_regime(dim: int, max_gram_cells: int = MAX_GRAM_CELLS) -> str:
+    """'gram' when the dim×dim scatter matrix fits driver memory
+    (dim² ≤ max_gram_cells), else 'power'. Gram costs ONE distributed
+    pass total; power iteration costs one per step but never
+    materializes dim² state — the classic small-dim/large-dim split
+    (PLANS.md walkthrough, now in code instead of prose)."""
+    return "gram" if dim * dim <= max_gram_cells else "power"
+
+
+def pca_top(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+    regime: str = "auto",
+    max_gram_cells: int = MAX_GRAM_CELLS,
+) -> DataFrame:
+    """Top principal component, (dim, loading) rows — regime-dispatching
+    front door. ``regime='auto'`` picks the one-pass Gram path when dim²
+    fits driver memory and per-iteration power passes otherwise
+    (choose_pca_regime); 'gram'/'power' force a path. Both regimes share
+    v₀/update/sign conventions, so loadings agree to ~1e-6 (pinned in
+    tests/test_pca.py); the contract queries keep explicit regimes so
+    their oracles replay a fixed computation."""
+    if regime == "auto":
+        regime = choose_pca_regime(dim, max_gram_cells)
+    if regime == "gram":
+        return top_component_gram(spark, df, vec_col, dim, n_iter=n_iter)
+    if regime == "power":
+        return top_component_df(spark, df, vec_col, dim, n_iter=n_iter)
+    raise ValueError(f"unknown PCA regime {regime!r} (auto|gram|power)")
