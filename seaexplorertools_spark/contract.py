@@ -2911,6 +2911,50 @@ def q_kl_drift(spark, sf_dir):
 
 
 @q(
+    "q_auc_scores",
+    """
+    WITH l AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    g AS (SELECT score, count(*) AS cnt, sum(pos) AS np FROM l GROUP BY 1),
+    c AS (SELECT score, cnt, np, sum(cnt) OVER (ORDER BY score) AS cum FROM g),
+    t AS (SELECT CAST(sum(np * (2 * cum - cnt + 1)) AS BIGINT) AS r2,
+                 CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(cnt - np) AS BIGINT) AS n_neg
+          FROM c)
+    SELECT n_pos, n_neg,
+           floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / nullif(2.0 * n_pos * n_neg, 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM t
+    """,
+)
+def q_auc_scores(spark, sf_dir):
+    """Exact ROC-AUC of `value` as a classifier score separating purchase
+    events (positives) from views (operators/stats.py::auc_mann_whitney)
+    — the evaluation every model-scored quality filter needs before its
+    threshold is trusted. Mann-Whitney rank-sum with average-rank tie
+    correction; rank arithmetic is all-BIGINT (2·midrank = 2·cum − cnt
+    + 1), so the statistic is exact and the DuckDB oracle reproduces it
+    bit-for-bit. Distribution: one |distinct scores| groupBy, then
+    rank.global_cumsum (range-partitioned, windowless prefix) — no
+    single-partition stage at any score cardinality; the oracle's plain
+    SUM OVER expresses the same prefix on the engine where one box is
+    fine."""
+    from .operators.stats import auc_mann_whitney
+
+    ev = events(spark, sf_dir)
+    labeled = ev.filter(
+        F.col("event_type").isin("view", "purchase") & F.col("value").isNotNull()
+    ).select(F.col("value").alias("score"), (F.col("event_type") == "purchase").alias("pos"))
+    out = auc_mann_whitney(labeled, "score", "pos")
+    return out.select("n_pos", "n_neg", r6p(F.col("auc")).alias("auc"))
+
+
+@q(
     "q_welch_ttest",
     """
     WITH s AS (
@@ -8072,7 +8116,7 @@ _DRIVER_FIRST = [
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
     # new in round 4 — appended behind the older debt
-    "q_profile_table_approx",
+    "q_profile_table_approx", "q_auc_scores",
 ]
 
 

@@ -43,6 +43,9 @@ def concurrency_profile(
     )
     local_w = Window.partitionBy("__pid").orderBy("t")
     ranged = ranged.withColumn("__local", F.sum("net").over(local_w))
+    # consistency cache (see rank.global_rank): the totals branch must see
+    # the same sampled range boundaries as the local-cumsum branch
+    ranged = ranged.cache()
     totals = ranged.groupBy("__pid").agg(F.sum("net").alias("__tot"))
     contrib = totals.select(
         F.explode(

@@ -64,27 +64,56 @@ def power_iteration_top(
     """(loadings, eigenvalue) of the top principal component of the
     (optionally centered) row vectors, after ``n_iter`` fixed power
     iterations from v₀ = 1/√dim."""
-    # one aggregate ACTION per iteration (plus the mean pass): cache the
-    # input so the 7 jobs share one materialization instead of re-scanning
+    # one aggregate ACTION per iteration: the mean pass is FUSED into the
+    # first iteration's aggregate (v₀ is a known constant, so the raw
+    # moments Σx_p, Σx_p·(x·v₀), Σ(x·v₀), n determine both μ and the
+    # first centered update: Σx_p·s = Σx_p(x·v₀) − (μ·v₀)Σx_p and
+    # Σs = Σ(x·v₀) − n(μ·v₀)) — n_iter jobs total instead of n_iter+1;
+    # cache the input so they share one materialization
     df = df.select(vec_col).cache()
-    mu = mean_vector(df, vec_col, dim) if center else [0.0] * dim
+    mu = [0.0] * dim
     v = [1.0 / math.sqrt(dim)] * dim
     eig = 0.0
-    for _ in range(n_iter):
-        mu_dot_v = sum(m * c for m, c in zip(mu, v))
-        s = (_dot_lit(F.col(vec_col), v) - F.lit(mu_dot_v)).alias("__s")
-        agg = (
-            df.select(s, F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("pos")
-            .agg(
-                F.sum(F.col("val").cast("double") * F.col("__s")).alias("xy"),
-                F.sum("__s").alias("ssum"),
+    for it in range(n_iter):
+        if it == 0 and center:
+            d = _dot_lit(F.col(vec_col), v).alias("__d")
+            agg = (
+                df.select(d, F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy("pos")
+                .agg(
+                    F.sum(F.col("val").cast("double") * F.col("__d")).alias("sxd"),
+                    F.sum(F.col("val").cast("double")).alias("sx"),
+                    F.sum("__d").alias("sd"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        y = [0.0] * dim
-        for r in agg:
-            y[r["pos"]] = r["xy"] - mu[r["pos"]] * r["ssum"]
+            n = agg[0]["n"]  # dense arrays: every position sees every row
+            sd = agg[0]["sd"]
+            sx = [0.0] * dim
+            sxd = [0.0] * dim
+            for r in agg:
+                sx[r["pos"]] = r["sx"]
+                sxd[r["pos"]] = r["sxd"]
+                mu[r["pos"]] = r["sx"] / r["n"]
+            mdv = sum(m * c for m, c in zip(mu, v))
+            ssum = sd - n * mdv
+            y = [sxd[p] - mdv * sx[p] - mu[p] * ssum for p in range(dim)]
+        else:
+            mu_dot_v = sum(m * c for m, c in zip(mu, v))
+            s = (_dot_lit(F.col(vec_col), v) - F.lit(mu_dot_v)).alias("__s")
+            agg = (
+                df.select(s, F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy("pos")
+                .agg(
+                    F.sum(F.col("val").cast("double") * F.col("__s")).alias("xy"),
+                    F.sum("__s").alias("ssum"),
+                )
+                .collect()
+            )
+            y = [0.0] * dim
+            for r in agg:
+                y[r["pos"]] = r["xy"] - mu[r["pos"]] * r["ssum"]
         nrm = math.sqrt(sum(c * c for c in y))
         eig = nrm  # Rayleigh-quotient estimate ‖C v‖ for unit v
         v = [c / nrm for c in y]

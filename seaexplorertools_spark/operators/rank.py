@@ -49,6 +49,13 @@ def global_rank(
     )
     local_w = Window.partitionBy("__pid").orderBy(*cols)
     ranged = ranged.withColumn("__local_rn", F.row_number().over(local_w))
+    # CORRECTNESS: the offsets branch below re-materializes `ranged`; the
+    # range partitioner samples boundaries per materialization and AQE may
+    # plan the two branches differently, so without a persisted cut the
+    # __pid assignment can DIFFER between the local-rank pass and the
+    # counts pass (observed at sf0.1: block-shifted prefix sums). One
+    # cache pins a single consistent partitioning for both consumers.
+    ranged = ranged.cache()
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
     # prefix offsets with no window at all: partition p's count lands on
     # every higher id p+1..parts-1 (ids known up front), then a hash
@@ -70,4 +77,53 @@ def global_rank(
             (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local_rn")).cast("long"),
         )
         .drop("__pid", "__local_rn", "__off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive global running sum of ``value_col``
+    under the total order ``order_cols`` — the same windowless two-pass
+    shape as ``global_rank``: range repartition, per-partition local
+    cumsum, per-partition totals turned into prefix offsets via the
+    sequence-explode aggregate (≤ parts² tiny rows, no unpartitioned
+    window anywhere). Deterministic whenever ``value_col`` is
+    integer-typed or the order is total (ties in the order can reorder
+    float additions within a tie group otherwise)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranged = ranged.withColumn("__local_cs", F.sum(value_col).over(local_w))
+    # same consistency cache as global_rank: totals must see the SAME
+    # sampled range boundaries as the local cumsum branch
+    ranged = ranged.cache()
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    contrib = totals.select(
+        F.explode(
+            F.when(
+                F.col("__pid") < F.lit(parts - 1),
+                F.sequence(F.col("__pid") + F.lit(1), F.lit(parts - 1)),
+            ).otherwise(F.lit(None).cast("array<int>"))
+        ).alias("__pid"),
+        F.col("__tot"),
+    )
+    offsets = contrib.groupBy("__pid").agg(F.sum("__tot").alias("__off"))
+    return (
+        ranged.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(
+            out_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local_cs")
+        )
+        .drop("__pid", "__local_cs", "__off")
     )

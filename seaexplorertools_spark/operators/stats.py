@@ -441,3 +441,48 @@ def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
         .groupBy(group_col)
         .agg(F.sum("term").alias("kl"))
     )
+
+
+def auc_mann_whitney(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum identity, fully
+    distributed: AUC = (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋)
+    with average ranks over score ties (the standard tie-corrected
+    estimator — equals P(score₊ > score₋) + ½P(=)).
+
+    Scale shape: one groupBy collapses rows to the |distinct scores|
+    table; the global rank prefix runs through rank.global_cumsum (range
+    repartition + windowless offsets — no single-partition stage); the
+    rest is a 1-row aggregate. All rank arithmetic stays in BIGINT
+    (2·midrank = 2·cum − cnt + 1 is integer), so the sum is exact and
+    engine-portable — the only float op is the final division. BIGINT
+    bound: Σ np·2·cum ≤ 2N² — exact to N ≈ 2×10⁹ rows; beyond that,
+    promote the sum to DECIMAL(38,0).
+
+    Returns 1 row: (n_pos, n_neg, auc) with auc NULL when either class
+    is empty."""
+    from .rank import global_cumsum
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = df.groupBy(score_col).agg(
+        F.count("*").alias("cnt"),
+        F.sum(lab.cast("long")).alias("np"),
+    )
+    c = global_cumsum(g, [score_col], "cnt", "cum", num_partitions=num_partitions)
+    t = c.agg(
+        F.sum(F.col("np") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))).alias("r2"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
+    )
+    auc = (
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))).cast("double")
+        / F.nullif(
+            F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return t.select("n_pos", "n_neg", auc.alias("auc"))

@@ -43,3 +43,26 @@ def test_global_rank_has_no_global_window(spark, sf_dir):
     # the only non-partitioned window is the offset prefix-sum (sum over __n)
     unpartitioned = [ln for ln in windows if "partitionBy" not in ln and "__n" not in ln and "row_number" in ln]
     assert not [ln for ln in unpartitioned if "__pid" not in ln], txt
+
+
+def test_global_cumsum_matches_naive_window(spark, sf_dir):
+    from seaexplorertools_spark.operators.rank import global_cumsum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    got = global_cumsum(docs, ["doc_id"], "n_chars", "cs", num_partitions=7)
+    naive = docs.withColumn(
+        "cs",
+        F.sum("n_chars").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_partition_count_independent(spark, sf_dir):
+    from seaexplorertools_spark.operators.rank import global_cumsum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    a = global_cumsum(docs, ["doc_id"], "n_chars", "cs", num_partitions=3).orderBy("doc_id").collect()
+    b = global_cumsum(docs, ["doc_id"], "n_chars", "cs", num_partitions=17).orderBy("doc_id").collect()
+    assert a == b

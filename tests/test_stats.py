@@ -349,3 +349,47 @@ def test_best_split_finds_planted_threshold(spark):
     r2 = best_split(pure, "x", F.col("y")).collect()[0]
     assert r2["ig"] == 0.0 and r2["parent_entropy"] == 0.0
     assert r2["split_at"] == 0.0
+
+
+def test_auc_mann_whitney_matches_numpy_midrank(spark):
+    """Exact tie-corrected AUC vs a from-scratch numpy midrank
+    computation, on data with heavy ties; degenerate one-class input
+    returns NULL auc."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.stats import auc_mann_whitney
+
+    rng = np.random.default_rng(11)
+    # quantized scores -> many ties; positives shifted up
+    neg = np.round(rng.normal(0.0, 1.0, 400), 1)
+    pos = np.round(rng.normal(0.7, 1.0, 300), 1)
+    scores = np.concatenate([neg, pos])
+    labels = np.concatenate([np.zeros(400, bool), np.ones(300, bool)])
+
+    # ground truth: average ranks over ties (scipy-free midranks)
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # midrank of positions i+1..j
+        i = j
+    r_pos = ranks[labels].sum()
+    n_pos, n_neg = labels.sum(), (~labels).sum()
+    want = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)], "score double, pos boolean"
+    )
+    got = auc_mann_whitney(df, "score", "pos").collect()[0]
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert abs(got["auc"] - want) < 1e-12
+    assert 0.6 < got["auc"] < 0.8  # the +0.7 shift must be visible
+
+    one_class = df.filter(F.col("pos"))
+    r = auc_mann_whitney(one_class, "score", "pos").collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
