@@ -1480,6 +1480,65 @@ def dd_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dd_jaccard_prefix_pairs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    dfreq AS (SELECT tok, count(*) AS dfr FROM tok GROUP BY 1),
+    lists AS (
+      SELECT id, array_agg(t.tok ORDER BY d.dfr, t.tok) AS ord
+      FROM tok t JOIN dfreq d USING (tok) GROUP BY id
+    ),
+    meta AS (
+      SELECT id, ord, len(ord) AS n,
+             CAST(len(ord) - ceil(0.8 * len(ord)) + 1 AS INT) AS plen
+      FROM lists
+    ),
+    pref AS (SELECT id, n, unnest(list_slice(ord, 1, plen)) AS tok FROM meta),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.id < b.id
+       AND CAST(least(a.n, b.n) AS DOUBLE) >= 0.8 * greatest(a.n, b.n)
+    ),
+    v AS (
+      SELECT id1, id2,
+             len(list_intersect(m1.ord, m2.ord)) AS inter,
+             m1.n + m2.n - len(list_intersect(m1.ord, m2.ord)) AS uni
+      FROM cand
+      JOIN meta m1 ON id1 = m1.id
+      JOIN meta m2 ON id2 = m2.id
+    )
+    SELECT id1 AS doc_id1, id2 AS doc_id2, inter, uni,
+           floor(CAST(inter AS DOUBLE) / uni * 1000000.0 + 0.5) / 1000000.0
+             AS jaccard
+    FROM v WHERE CAST(inter AS DOUBLE) >= 0.8 * uni
+    """,
+)
+def dd_jaccard_prefix_pairs(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.8 similarity self-join with AllPairs/PPJoin
+    prefix filtering (operators/dedup.py::jaccard_prefix_join) — the
+    zero-false-negative dedup path beside MinHash-LSH: candidates come
+    from an equi-join on each document's rare-first token PREFIX
+    (n − ceil(t·n) + 1 tokens), length-filtered, then verified by exact
+    array_intersect. No all-pairs or blocking stage; candidate volume is
+    the prefix-token collision count, the published AllPairs bound. The
+    oracle replays the identical prefix algebra; every comparison is on
+    integers or identical IEEE products, so the match is exact."""
+    from .operators.dedup import jaccard_prefix_join
+
+    out = jaccard_prefix_join(table(spark, sf_dir, "documents"), threshold=0.8)
+    return out.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        "inter",
+        "uni",
+        "jaccard",
+    )
+
+
+@q(
     "dd_embedding_dup",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -8116,7 +8175,7 @@ _DRIVER_FIRST = [
     "q_dataset_split", "q_rfm_segments", "q_unpivot_melt", "q_lttb_downsample",
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
     # new in round 4 — appended behind the older debt
-    "q_profile_table_approx", "q_auc_scores",
+    "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
 ]
 
 

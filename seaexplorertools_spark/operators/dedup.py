@@ -281,3 +281,88 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-Jaccard similarity self-join at ``jaccard >= threshold``
+    via AllPairs/PPJoin prefix filtering (Bayardo et al. 2007; Xiao et al.
+    2008 — public algorithms) — the deterministic complement to the
+    probabilistic MinHash-LSH path: zero false negatives, zero false
+    positives, no signature tuning.
+
+    The pruning theorem: order every document's distinct tokens by
+    ascending document frequency (rarest first, token as tiebreak); if
+    J(A,B) ≥ t, the first ``n − ceil(t·n) + 1`` tokens of A and B must
+    share at least one token — so candidate pairs come from an equi-join
+    on PREFIX tokens only, never all tokens. The rare-first order makes
+    prefixes meet on rare tokens, keeping per-token join fanout small; a
+    length filter (t·max(n₁,n₂) ≤ min(n₁,n₂)) prunes further before the
+    exact ``array_intersect`` verify.
+
+    Scale shape: one token-keyed shuffle for document frequencies, one
+    groupBy to the per-doc ordered array, a prefix-token equi-join whose
+    volume is Σ_tok |prefix-docs(tok)|² (bounded by rare-first ordering —
+    the quadratic term only exists for tokens rare enough to sit in
+    prefixes), and a |candidates|-sized verify join. No all-pairs stage
+    at any document count. Empty documents produce no tokens and drop
+    out (Jaccard undefined). Returns (id1, id2, inter, uni, jaccard)."""
+    t = float(threshold)
+    tok = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfr"))
+    ranked = tok.join(dfreq, "tok")
+    lists = (
+        ranked.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfr", "tok"))).alias("__ord"))
+        .select(
+            "id",
+            F.transform("__ord", lambda s: s["tok"]).alias("ord"),
+        )
+        .withColumn("n", F.size("ord"))
+        .withColumn(
+            "plen", (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + F.lit(1)).cast("int")
+        )
+    )
+    pref = lists.select(
+        "id", "n", F.explode(F.slice(F.col("ord"), F.lit(1), F.col("plen"))).alias("tok")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            ),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    sets = lists.select("id", "ord", "n")
+    inter = F.size(F.array_intersect(F.col("m1.ord"), F.col("m2.ord")))
+    out = (
+        cand.join(sets.alias("m1"), F.col("id1") == F.col("m1.id"))
+        .join(sets.alias("m2"), F.col("id2") == F.col("m2.id"))
+        .select(
+            "id1",
+            "id2",
+            inter.alias("inter"),
+            (F.col("m1.n") + F.col("m2.n") - inter).alias("uni"),
+        )
+    )
+    return out.filter(
+        F.col("inter").cast("double") >= F.lit(t) * F.col("uni").cast("double")
+    ).withColumn(
+        "jaccard",
+        F.floor(F.col("inter").cast("double") / F.col("uni") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6),
+    )

@@ -83,3 +83,39 @@ def test_jaccard_on_pairs_zero_overlap_kept(docs):
     rows = jaccard_on_pairs(docs, pairs).collect()
     assert len(rows) == 1
     assert rows[0]["jaccard"] == 0.0
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark):
+    """Prefix filtering must lose NOTHING: pairs and jaccard values equal
+    the all-pairs python computation exactly (the AllPairs theorem)."""
+    from seaexplorertools_spark.operators.dedup import jaccard_prefix_join
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text about spark engines"),
+        (5, "completely different text about spark planes"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (7, "one token"),
+        (8, ""),  # empty: no tokens, must not appear
+    ]
+    t = 0.6
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): (r["inter"], r["uni"])
+        for r in jaccard_prefix_join(df, threshold=t).collect()
+    }
+    sets = {i: set(s.split()) for i, s in docs if s.split()}
+    want = {}
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if inter >= t * uni:
+                    want[(a, b)] = (inter, uni)
+    assert got == want
+    assert (1, 6) in got and got[(1, 6)][0] == got[(1, 6)][1]  # exact dup
+    assert all(8 not in pair for pair in got)
