@@ -68,6 +68,9 @@ CROSSJOIN_OK = {
     # pair (the quartiles themselves are windowless global_rank
     # arithmetic — the only NL sides left are these 1-row scalars)
     "txt_pmi_bigrams", "q_target_encode", "q_rfm_segments",
+    # kappa's (total, diag, cross_sum) are three 1-row aggregates joined
+    # into one 1-row output — both NL sides are single rows
+    "q_kappa_langid",
 }
 
 

@@ -1691,6 +1691,69 @@ def txt_langid(spark, sf_dir):
 
 
 @q(
+    "q_kappa_langid",
+    f"""
+    WITH lid AS (SELECT lang, lang_guess FROM ({ORACLES["txt_langid"]})),
+    cells AS (SELECT lang, lang_guess, count(*) AS n FROM lid GROUP BY 1, 2),
+    rowm AS (SELECT lang, sum(n) AS nr FROM cells GROUP BY 1),
+    colm AS (SELECT lang_guess, sum(n) AS nc FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    agree AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS diag
+              FROM cells WHERE lang = lang_guess),
+    pe AS (SELECT CAST(COALESCE(sum(nr * nc), 0) AS BIGINT) AS cross_sum
+           FROM rowm JOIN colm ON rowm.lang = colm.lang_guess)
+    SELECT nn AS n, diag AS n_agree,
+           floor(CAST(diag AS DOUBLE) / nn * 1000000.0 + 0.5) / 1000000.0 AS po,
+           floor(CAST(cross_sum AS DOUBLE) / nn / nn * 1000000.0 + 0.5)
+             / 1000000.0 AS pe,
+           floor((CAST(diag AS DOUBLE) / nn - CAST(cross_sum AS DOUBLE) / nn / nn)
+                 / nullif(1.0 - CAST(cross_sum AS DOUBLE) / nn / nn, 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kappa
+    FROM tot, agree, pe
+    """,
+)
+def q_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the stored language label and the n-gram
+    langid heuristic — chance-corrected inter-rater agreement, the
+    honest readout of a heuristic classifier on a skewed label mix
+    (plain accuracy rewards majority-class guessing; kappa subtracts the
+    marginal-product chance term). Scale shape: one |langs|²-cell
+    contingency aggregate, then margins as two tiny aggregates joined
+    back (no windows at all, no second scan of the rows). All counts
+    stay BIGINT; po/pe/kappa derive from identical IEEE expressions in
+    both engines, so the oracle match is exact."""
+    docs = table(spark, sf_dir, "documents")
+    lid = T.langid(docs).select("lang", "lang_guess")
+    cells = lid.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    rowm = cells.groupBy("lang").agg(F.sum("n").alias("nr"))
+    colm = cells.groupBy("lang_guess").agg(F.sum("n").alias("nc"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    agree = (
+        cells.filter(F.col("lang") == F.col("lang_guess"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("diag"))
+    )
+    cross = (
+        rowm.join(colm, rowm["lang"] == colm["lang_guess"])
+        .agg(F.coalesce(F.sum(F.col("nr") * F.col("nc")), F.lit(0)).cast("bigint").alias("cross_sum"))
+    )
+    one = (
+        tot.withColumn("__k", F.lit(1))
+        .join(agree.withColumn("__k", F.lit(1)), "__k")
+        .join(cross.withColumn("__k", F.lit(1)), "__k")
+        .drop("__k")
+    )
+    po = F.col("diag").cast("double") / F.col("nn")
+    pe = F.col("cross_sum").cast("double") / F.col("nn") / F.col("nn")
+    return one.select(
+        F.col("nn").alias("n"),
+        F.col("diag").alias("n_agree"),
+        r6p(po).alias("po"),
+        r6p(pe).alias("pe"),
+        r6p((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
+    )
+
+
+@q(
     "txt_quality",
     f"""
     WITH t AS (
@@ -8176,6 +8239,7 @@ _DRIVER_FIRST = [
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
     # new in round 4 — appended behind the older debt
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
+    "q_kappa_langid",
 ]
 
 

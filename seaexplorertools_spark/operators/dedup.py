@@ -346,6 +346,13 @@ def jaccard_prefix_join(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+        # the verify below is CPU-dense (one array_intersect per pair),
+        # not byte-dense: AQE's size-based coalescing would pack millions
+        # of candidate pairs into 1-2 tasks and serialize the work, so fan
+        # the (id1, id2) keys out to the full parallelism explicitly —
+        # the extra shuffle moves only id pairs, negligible next to the
+        # per-pair intersect cost it parallelizes
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "id1", "id2")
     )
     sets = lists.select("id", "ord", "n")
     inter = F.size(F.array_intersect(F.col("m1.ord"), F.col("m2.ord")))

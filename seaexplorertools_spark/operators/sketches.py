@@ -163,12 +163,25 @@ def hll_registers(
     h = uniform_hash48(F.col(value_col))
     idx = F.shiftright(h, wbits)
     w = F.pmod(h, F.lit(1 << wbits))
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    # rho = wbits+1 - bitlength(w); bitlength as a descending CASE over
+    # integer thresholds instead of conv-to-binary-string + length (the
+    # per-row string round-trip dominated at high row volume; the
+    # integers are identical, so the DuckDB oracle's length(bin(w)) twin
+    # is unchanged). The hash is STAGED into its own projection first —
+    # CASE references the cheap column `__w` wbits times, never the
+    # md5 chain (the txt_quality expression-duplication lesson).
+    staged = df.where(F.col(value_col).isNotNull()).select(
+        *gcols, idx.alias("idx"), w.alias("__w")
+    )
+    bitlen = F.lit(1)
+    for k in range(2, wbits + 1):  # w >= 2^(k-1) => bitlength k; highest
+        bitlen = F.when(F.col("__w") >= F.lit(1 << (k - 1)), F.lit(k)).otherwise(bitlen)
+    # threshold wraps LAST, so it is checked first
+    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - bitlen
     )
     return (
-        df.where(F.col(value_col).isNotNull())
-        .select(*gcols, idx.alias("idx"), rho.alias("rho"))
+        staged.select(*gcols, "idx", rho.alias("rho"))
         .groupBy(*gcols, "idx")
         .agg(F.max("rho").alias("m_rho"))
     )
