@@ -76,6 +76,10 @@ EXTRA = [
     "q_target_encode",      # leave-one-out encoder (broadcast stats)
     "q_quantile_sketch",    # bottom-k deterministic quantile sample
     "q_hopping_counts",     # hopping windows (2-element explode)
+    "q_auc_scores",         # exact Mann-Whitney AUC (windowless global cumsum)
+    "q_rfm_segments",       # RFM quartiles via distributed global rank
+    "q_profile_table_approx",  # HLL-NDV table profile (constant shuffle)
+    "q_kappa_langid",       # chance-corrected langid agreement
 ]
 
 

@@ -232,3 +232,34 @@ def test_decayed_agg_anchor_is_broadcast_scalar(spark, sf_dir):
     no collect boundary, no wide shuffle."""
     txt = explain_str(contract.QUERIES["q_decayed_agg"](spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in txt, txt
+
+
+def test_auc_has_no_unpartitioned_window(spark, sf_dir):
+    """The AUC rank prefix must run through global_cumsum: every Window in
+    the plan is partitioned (by __pid); no single-partition stage."""
+    import re
+
+    df = contract.QUERIES["q_auc_scores"](spark, sf_dir)
+    txt = explain_str(df, "formatted")
+    for spec in re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", txt):
+        head = [a.strip() for a in spec.split(",") if a.strip()]
+        assert any((" ASC" not in a and " DESC" not in a) for a in head), txt
+
+
+def test_profile_approx_has_no_expand_distinct(spark, sf_dir):
+    """The HLL profile must not contain the exact query's countDistinct
+    Expand: NDV comes from the register aggregate (partial_max map-side)."""
+    df = contract.QUERIES["q_profile_table_approx"](spark, sf_dir)
+    txt = explain_str(df, "formatted")
+    assert "count(distinct" not in txt.lower(), txt
+    # the only Expand allowed is the stack unpivot (constant 4-way), and
+    # the register aggregate must partial-aggregate before the shuffle
+    assert "partial_max" in txt or "max#" in txt, txt
+
+
+def test_jaccard_prefix_verify_is_fanned_out(spark, sf_dir):
+    """The candidate pairs repartition to full parallelism before the
+    CPU-dense intersect verify (round-4 AQE-serialization fix)."""
+    df = contract.QUERIES["dd_jaccard_prefix_pairs"](spark, sf_dir)
+    txt = explain_str(df, "formatted")
+    assert "REPARTITION_BY_COL" in txt or "hashpartitioning(id1" in txt, txt

@@ -66,3 +66,52 @@ def test_global_cumsum_partition_count_independent(spark, sf_dir):
     a = global_cumsum(docs, ["doc_id"], "n_chars", "cs", num_partitions=3).orderBy("doc_id").collect()
     b = global_cumsum(docs, ["doc_id"], "n_chars", "cs", num_partitions=17).orderBy("doc_id").collect()
     assert a == b
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_rank_property(spark, vals, parts):
+    """Random values (with duplicates) + unique tiebreak: global_rank
+    equals the naive single-window row_number for ANY partition count."""
+    from seaexplorertools_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    order = [F.col("v"), F.col("i")]
+    got = {
+        r["i"]: r["rank"]
+        for r in global_rank(df, order, "rank", num_partitions=parts).collect()
+    }
+    naive = {
+        i: rank + 1
+        for rank, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == naive
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_cumsum_property(spark, vals, parts):
+    """Random integer weights keyed by unique order col: global_cumsum
+    equals the python prefix sum for ANY partition count."""
+    from seaexplorertools_spark.operators.rank import global_cumsum
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {
+        r["i"]: r["cs"]
+        for r in global_cumsum(df, ["i"], "v", "cs", num_partitions=parts).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
