@@ -71,6 +71,8 @@ CROSSJOIN_OK = {
     # kappa's (total, diag, cross_sum) are three 1-row aggregates joined
     # into one 1-row output — both NL sides are single rows
     "q_kappa_langid",
+    # global_ntile's N rides a 1-row count broadcast (the J5 pattern)
+    "q_equidepth_histogram",
 }
 
 

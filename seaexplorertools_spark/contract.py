@@ -5727,6 +5727,45 @@ def q_profile_table(spark, sf_dir):
     )
 
 
+@q(
+    "q_equidepth_histogram",
+    """
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram of l_extendedprice (8 buckets of equal row
+    count — the optimizer-statistics histogram, where equal-WIDTH
+    buckets like a10_histogram collapse under skew). Bucket membership
+    is exact ntile(8) semantics via rank.global_ntile: range-partitioned
+    global row_number + integer bucket arithmetic — NO single-partition
+    window at any row count, unlike the oracle's plain ntile, which is
+    the one-box spelling of the same statistic. Output is |buckets|
+    rows: per bucket the row count (equal ±1 by construction) and the
+    exact [lo, hi] value bounds."""
+    from .operators.rank import global_ntile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    tiled = global_ntile(
+        li, [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")], 8, "bucket"
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        r6(F.min("v")).alias("lo"),
+        r6(F.max("v")).alias("hi"),
+    )
+
+
 _PROFILE_APPROX_ORACLE = (
     """
     WITH stacked AS (
@@ -8239,7 +8278,7 @@ _DRIVER_FIRST = [
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
     # new in round 4 — appended behind the older debt
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
-    "q_kappa_langid",
+    "q_kappa_langid", "q_equidepth_histogram",
 ]
 
 

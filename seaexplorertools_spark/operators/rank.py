@@ -18,6 +18,14 @@ curriculum ordering. The two-pass form here keeps the data distributed:
    an empty partition spec appears anywhere in the plan — the audit's
    single-partition-window detector stays clean without an allowlist.
 
+Round-4 audit note: these prefix operators (and intervals.py's
+concurrency_profile) are the ONLY places in the engine where two plan
+branches must agree on a sampled partitioning — hence their consistency
+cache. Every other spark_partition_id/monotonically_increasing_id use
+(weighted-sample local top-k, skyline's partition-local prune, salt
+routing) is layout-independent by algebra: any partition assignment
+yields the same final result, so no cross-branch consistency is needed.
+
 The result is the exact global ``row_number`` for the given total order —
 independent of partition count or boundary sampling, because rank depends
 only on the order, so it is fully deterministic when the order columns are
@@ -127,3 +135,41 @@ def global_cumsum(
         )
         .drop("__pid", "__local_cs", "__off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles)`` under the total order ``order_cols``
+    without a single-partition window: global_rank supplies the exact
+    row_number, a 1-row count broadcast supplies N, and the 1-based
+    bucket is recovered arithmetically — the first N%n buckets take
+    ceil(N/n) rows, the rest floor(N/n), which is ntile's exact
+    contract. All arithmetic is integer (div/greatest guards), so the
+    result is engine-portable. The count branch re-reads global_rank's
+    consistency cache, so both consumers see one partitioning."""
+    ranked = global_rank(df, order_cols, "__gr", num_partitions=num_partitions)
+    cnt = ranked.agg(F.count("*").alias("__n")).withColumn("__k", F.lit(1))
+    out = (
+        ranked.withColumn("__k", F.lit(1))
+        .join(F.broadcast(cnt), "__k")
+        .drop("__k")
+    )
+    base = F.expr("__n div " + str(n_tiles))
+    rem = F.col("__n") % n_tiles
+    big = rem * (base + F.lit(1))
+    tile = F.when(
+        F.col("__gr") <= big,
+        F.expr(f"(__gr - 1) div (__n div {n_tiles} + 1) + 1"),
+    ).otherwise(
+        rem
+        + F.expr(
+            f"(__gr - (__n % {n_tiles}) * (__n div {n_tiles} + 1) "
+            f"+ greatest(__n div {n_tiles}, 1) - 1) div greatest(__n div {n_tiles}, 1)"
+        )
+    )
+    return out.withColumn(out_col, tile.cast("int")).drop("__gr", "__n")

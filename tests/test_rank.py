@@ -115,3 +115,27 @@ def test_global_cumsum_property(spark, vals, parts):
         acc += v
         want[i] = acc
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=80),
+    tiles=st.integers(min_value=1, max_value=7),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_ntile_property(spark, n, tiles, parts):
+    """global_ntile equals the naive window ntile for any N, tile count,
+    and partition count — including N < tiles."""
+    from seaexplorertools_spark.operators.rank import global_ntile
+
+    df = spark.createDataFrame([(i, (i * 37) % 13) for i in range(n)], "i long, v long")
+    order = [F.col("v"), F.col("i")]
+    got = {
+        r["i"]: r["tile"]
+        for r in global_ntile(df, order, tiles, num_partitions=parts).collect()
+    }
+    naive = {
+        r["i"]: r["tile"]
+        for r in df.withColumn("tile", F.ntile(tiles).over(Window.orderBy(*order))).collect()
+    }
+    assert got == naive
