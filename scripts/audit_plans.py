@@ -36,14 +36,10 @@ GLOBAL_WINDOW_OK = {
     # explode+aggregate — so q_curriculum_order / q_corpus_shuffle /
     # q_peak_concurrency / q_rfm_segments need no entry here.)
     "q_hybrid_rrf", "a10_histogram", "q_topk_orders",
-    # round-3 bounded-input windows: chi2/KL margins run over the
-    # category-cardinality cell table (|a|·|b| rows, never row volume);
-    # skyline's exact pass sees only per-partition frontier survivors
-    "q_chi2_independence", "q_kl_drift", "q_skyline_frontier",
-    # stats-pack bounded-input windows: welch's complement sums run over
-    # the |groups|-row sufficient-statistics table; mutual_info margins
-    # over the |a|·|b|-row cell table; benford's total over ≤ 9 digit rows
-    "q_welch_ttest", "q_mutual_info", "q_benford_audit",
+    # (round 4 removed the former bounded-input margin windows: chi2 /
+    # KL / welch / mutual_info / benford margins are now tiny broadcast
+    # aggregates and skyline's strict-predecessor max runs through
+    # rank.global_running_max — none of those queries needs an entry.)
     # best-split's cumulative class counts run over the |distinct feature
     # values| table — bounded here (integer n_chars); continuous features
     # pre-bin upstream (the LightGBM histogram trick), keeping it |bins|
@@ -73,6 +69,11 @@ CROSSJOIN_OK = {
     "q_kappa_langid",
     # global_ntile's N rides a 1-row count broadcast (the J5 pattern)
     "q_equidepth_histogram",
+    # round-4 windowless-margin rewrites: each query's total/margin rides
+    # a 1-row aggregate broadcast (the J5 pattern) instead of an
+    # unpartitioned window — the NL side is always a single row
+    "q_chi2_independence", "q_kl_drift", "q_welch_ttest", "q_mutual_info",
+    "q_benford_audit",
 }
 
 

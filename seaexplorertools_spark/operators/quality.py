@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def not_null(col: str) -> tuple[str, Column]:
@@ -111,8 +110,11 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
         .select(d.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("obs"))
+        .cache()  # ≤ 9 rows, feeds the total aggregate AND the output
     )
-    n = F.sum("obs").over(Window.partitionBy()).cast("double")
+    tot = obs.agg(F.sum("obs").alias("__t")).withColumn("__k", F.lit(1))
+    obs = obs.withColumn("__k", F.lit(1)).join(F.broadcast(tot), "__k")
+    n = F.col("__t").cast("double")
     exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     exp_n = exp_p * n
     return obs.select(

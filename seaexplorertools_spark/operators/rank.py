@@ -173,3 +173,53 @@ def global_ntile(
         )
     )
     return out.withColumn(out_col, tile.cast("int")).drop("__gr", "__n")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "running_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = global running max of ``value_col`` under the
+    total order ``order_cols`` — same windowless two-pass shape as
+    global_cumsum (max is order-insensitive, so no tiebreak caveats).
+    ``exclusive=True`` gives the strict-predecessor max (NULL for the
+    first row), i.e. ``max(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND -1)`` — what a Pareto-frontier domination test needs."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    end = -1 if exclusive else 0
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    ranged = ranged.withColumn("__local_mx", F.max(value_col).over(local_w))
+    # consistency cache (see global_rank): totals must see the SAME
+    # sampled range boundaries as the local pass
+    ranged = ranged.cache()
+    totals = ranged.groupBy("__pid").agg(F.max(value_col).alias("__tot"))
+    contrib = totals.select(
+        F.explode(
+            F.when(
+                F.col("__pid") < F.lit(parts - 1),
+                F.sequence(F.col("__pid") + F.lit(1), F.lit(parts - 1)),
+            ).otherwise(F.lit(None).cast("array<int>"))
+        ).alias("__pid"),
+        F.col("__tot"),
+    )
+    offsets = contrib.groupBy("__pid").agg(F.max("__tot").alias("__off"))
+    # greatest() skips NULLs, so a first-in-partition row (NULL local max
+    # under exclusive) correctly inherits the earlier partitions' max,
+    # and the very first row stays NULL
+    return (
+        ranged.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(out_col, F.greatest(F.col("__off"), F.col("__local_mx")))
+        .drop("__pid", "__local_mx", "__off")
+    )

@@ -25,16 +25,19 @@ def _exact_flags(df: DataFrame, x: str, y: str):
     has group-max y < this row's y. Duplicates of a frontier point are
     all kept (neither dominates the other)."""
     gmax = F.max(y).over(Window.partitionBy(x))
-    wx = Window.orderBy(F.col(x).desc())
-    # max y over all strictly-greater x: running max over x groups, lagged
-    grp = (
-        df.groupBy(x)
-        .agg(F.max(y).alias("__gy"))
-        .withColumn(
-            "__run",
-            F.max("__gy").over(wx.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("__strict", F.lag("__run").over(wx))
+    # max y over all strictly-greater x = the EXCLUSIVE global running max
+    # over x-groups ordered x desc — windowless via rank.global_running_max
+    # (round 4: the former unpartitioned running-max/lag pair was bounded
+    # by |distinct x| of the pruned survivors but still a single-partition
+    # stage; now it range-partitions like every other global prefix op)
+    from .rank import global_running_max
+
+    grp = global_running_max(
+        df.groupBy(x).agg(F.max(y).alias("__gy")),
+        [F.col(x).desc()],
+        "__gy",
+        "__strict",
+        exclusive=True,
     )
     return (
         df.withColumn("__gmax", gmax)

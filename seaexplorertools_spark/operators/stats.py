@@ -18,20 +18,29 @@ from pyspark.sql.window import Window
 def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Per-cell observed/expected counts and chi-squared contributions
     for the a×b contingency table. One aggregate over the rows; margins
-    via windows on the |a|·|b|-row cell table."""
-    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs"))
-    wa = Window.partitionBy(a_col)
-    wb = Window.partitionBy(b_col)
-    wn = Window.partitionBy()
+    as three tiny aggregates of the |a|·|b|-row cell table broadcast
+    back — fully windowless (round 4: the former margin windows were
+    bounded but still tripped WindowExec's single-partition warning; the
+    join form mirrors the oracle SQL exactly). The cell table is cached:
+    it feeds four consumers and is one aggregate away from the raw rows."""
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs")).cache()
     # margins cast to double BEFORE multiplying: the product is then the
     # same IEEE value any engine computes (counts < 2^53 are exact), so
     # results are bit-identical cross-engine with no rounding step
-    exp = (
-        F.sum("obs").over(wa).cast("double")
-        * F.sum("obs").over(wb).cast("double")
-        / F.sum("obs").over(wn).cast("double")
+    ra = cells.groupBy(a_col).agg(F.sum("obs").cast("double").alias("__rt"))
+    ca = cells.groupBy(b_col).agg(F.sum("obs").cast("double").alias("__ct"))
+    t = (
+        cells.agg(F.sum("obs").cast("double").alias("__n"))
+        .withColumn("__k", F.lit(1))
     )
-    return cells.select(
+    j = (
+        cells.join(F.broadcast(ra), a_col)
+        .join(F.broadcast(ca), b_col)
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(t), "__k")
+    )
+    exp = F.col("__rt") * F.col("__ct") / F.col("__n")
+    return j.select(
         a_col,
         b_col,
         "obs",
@@ -60,15 +69,30 @@ def welch_one_vs_rest(
         F.sum(x).alias("s1"),
         F.sum(x * x).alias("q1"),
     )
-    w = Window.partitionBy()
-    s = s.select(
-        group_col,
-        "n1",
-        "s1",
-        "q1",
-        (F.sum("n1").over(w) - F.col("n1")).alias("n2"),
-        (F.sum("s1").over(w) - F.col("s1")).alias("s2"),
-        (F.sum("q1").over(w) - F.col("q1")).alias("q2"),
+    # complement sums via a 1-row totals broadcast (windowless — the
+    # former unpartitioned window over the |groups| table tripped the
+    # WindowExec warning; the totals join is the same arithmetic)
+    s = s.cache()  # feeds the totals aggregate AND the main select
+    tot = (
+        s.agg(
+            F.sum("n1").alias("__tn"),
+            F.sum("s1").alias("__ts"),
+            F.sum("q1").alias("__tq"),
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    s = (
+        s.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            group_col,
+            "n1",
+            "s1",
+            "q1",
+            (F.col("__tn") - F.col("n1")).alias("n2"),
+            (F.col("__ts") - F.col("s1")).alias("s2"),
+            (F.col("__tq") - F.col("q1")).alias("q2"),
+        )
     )
     m1 = F.col("s1") / F.col("n1")
     m2 = F.col("s2") / F.col("n2")
@@ -134,12 +158,23 @@ def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     over the |a|·|b|-row cell table. Both entropies come from the SAME
     cell pass via Σ_cells p_ij·ln(p_a) = Σ_a p_a·ln(p_a) — no second
     aggregate. Output: a single row (mi, h_a, h_b, nmi)."""
-    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs"))
-    na = F.sum("obs").over(Window.partitionBy(a_col)).cast("double")
-    nb = F.sum("obs").over(Window.partitionBy(b_col)).cast("double")
-    nn = F.sum("obs").over(Window.partitionBy()).cast("double")
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs")).cache()
+    # margins as tiny broadcast aggregates (windowless — see
+    # contingency_chi2); cached: the cell table feeds four consumers
+    ma = cells.groupBy(a_col).agg(F.sum("obs").alias("__na"))
+    mb = cells.groupBy(b_col).agg(F.sum("obs").alias("__nb"))
+    mt = cells.agg(F.sum("obs").alias("__nn")).withColumn("__k", F.lit(1))
+    joined = (
+        cells.join(F.broadcast(ma), a_col)
+        .join(F.broadcast(mb), b_col)
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(mt), "__k")
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    nn = F.col("__nn").cast("double")
     p = F.col("obs").cast("double") / nn
-    terms = cells.select(
+    terms = joined.select(
         (p * F.log(p * nn * nn / (na * nb))).alias("mi_term"),
         (-p * F.log(na / nn)).alias("ha_term"),
         (-p * F.log(nb / nn)).alias("hb_term"),
@@ -430,14 +465,22 @@ def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     Categories absent from a group contribute 0 (0·ln 0 limit); the
     global distribution has full support by construction, so the
     divergence is always finite."""
-    cells = df.groupBy(group_col, cat_col).agg(F.count("*").alias("n"))
-    n_grp = F.sum("n").over(Window.partitionBy(group_col))
-    n_cat = F.sum("n").over(Window.partitionBy(cat_col))
-    n_all = F.sum("n").over(Window.partitionBy())
-    p = F.col("n") / n_grp
-    q = n_cat / n_all
+    cells = df.groupBy(group_col, cat_col).agg(F.count("*").alias("n")).cache()
+    # margins as tiny broadcast aggregates (windowless — see
+    # contingency_chi2); the cell table feeds four consumers, so cache it
+    grp = cells.groupBy(group_col).agg(F.sum("n").alias("__ng"))
+    cat = cells.groupBy(cat_col).agg(F.sum("n").alias("__nc"))
+    tot = cells.agg(F.sum("n").alias("__na")).withColumn("__k", F.lit(1))
+    j = (
+        cells.join(F.broadcast(grp), group_col)
+        .join(F.broadcast(cat), cat_col)
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+    )
+    p = F.col("n") / F.col("__ng").cast("double")
+    q = F.col("__nc") / F.col("__na").cast("double")
     return (
-        cells.select(group_col, (p * F.log(p / q)).alias("term"))
+        j.select(group_col, (p * F.log(p / q)).alias("term"))
         .groupBy(group_col)
         .agg(F.sum("term").alias("kl"))
     )

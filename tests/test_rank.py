@@ -139,3 +139,26 @@ def test_global_ntile_property(spark, n, tiles, parts):
         for r in df.withColumn("tile", F.ntile(tiles).over(Window.orderBy(*order))).collect()
     }
     assert got == naive
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=50),
+    parts=st.integers(min_value=1, max_value=7),
+    exclusive=st.booleans(),
+)
+def test_global_running_max_property(spark, vals, parts, exclusive):
+    from seaexplorertools_spark.operators.rank import global_running_max
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {
+        r["i"]: r["mx"]
+        for r in global_running_max(
+            df, ["i"], "v", "mx", exclusive=exclusive, num_partitions=parts
+        ).collect()
+    }
+    want, run = {}, None
+    for i, v in enumerate(vals):
+        want[i] = run if exclusive else (v if run is None else max(run, v))
+        run = v if run is None else max(run, v)
+    assert got == want
