@@ -35,15 +35,14 @@ GLOBAL_WINDOW_OK = {
     # eliminated in round 4 — their prefix sums are now windowless
     # explode+aggregate — so q_curriculum_order / q_corpus_shuffle /
     # q_peak_concurrency / q_rfm_segments need no entry here.)
-    "q_hybrid_rrf", "a10_histogram", "q_topk_orders",
-    # (round 4 removed the former bounded-input margin windows: chi2 /
-    # KL / welch / mutual_info / benford margins are now tiny broadcast
-    # aggregates and skyline's strict-predecessor max runs through
-    # rank.global_running_max — none of those queries needs an entry.)
-    # best-split's cumulative class counts run over the |distinct feature
-    # values| table — bounded here (integer n_chars); continuous features
-    # pre-bin upstream (the LightGBM histogram trick), keeping it |bins|
-    "q_best_split",
+    # round 4 removed every other former entry: chi2/KL/welch/
+    # mutual_info/benford margins are tiny broadcast aggregates now,
+    # skyline's strict-predecessor max and best-split's cumulative class
+    # counts run through the windowless rank.py prefix machinery,
+    # histogram density normalizes via a 1-row broadcast, and hybrid-RRF's
+    # shortlist ranks have partitioned specs. The ONLY bounded-rank entry
+    # left is the top-k rank over an already TakeOrdered-limited k rows:
+    "q_topk_orders",
 }
 
 # Declared-exact baselines and axis densification: the crossJoin is the point
@@ -73,7 +72,7 @@ CROSSJOIN_OK = {
     # a 1-row aggregate broadcast (the J5 pattern) instead of an
     # unpartitioned window — the NL side is always a single row
     "q_chi2_independence", "q_kl_drift", "q_welch_ttest", "q_mutual_info",
-    "q_benford_audit",
+    "q_benford_audit", "q_best_split", "a10_histogram",
 }
 
 

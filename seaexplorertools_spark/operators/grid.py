@@ -133,10 +133,21 @@ def histogram(
     )
     if not density:
         return counts
-    total = F.sum(count_name).over(Window.partitionBy())
-    return counts.withColumn(
-        density_name,
-        (F.col(count_name) / F.nullif(total.cast("double") * F.lit(width), F.lit(0.0))).cast("double"),
+    # total rides a 1-row broadcast (windowless — the counts table is ≤
+    # nbins rows; cached because it feeds the total AND the output)
+    counts = counts.cache()
+    tot = counts.agg(F.sum(count_name).alias("__t")).withColumn("__k", F.lit(1))
+    return (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .withColumn(
+            density_name,
+            (
+                F.col(count_name)
+                / F.nullif(F.col("__t").cast("double") * F.lit(width), F.lit(0.0))
+            ).cast("double"),
+        )
+        .drop("__k", "__t")
     )
 
 

@@ -91,8 +91,8 @@ def global_rank(
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str | Column],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive global running sum of ``value_col``
@@ -102,7 +102,16 @@ def global_cumsum(
     sequence-explode aggregate (≤ parts² tiny rows, no unpartitioned
     window anywhere). Deterministic whenever ``value_col`` is
     integer-typed or the order is total (ties in the order can reorder
-    float additions within a tie group otherwise)."""
+    float additions within a tie group otherwise).
+
+    ``value_col``/``out_col`` may be parallel LISTS — every column rides
+    the SAME single range shuffle, local window pass, and offsets join
+    (a tree trainer's paired pos/count cumulatives cost one pass, not
+    two)."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lists must pair up")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *cols).withColumn(
@@ -113,11 +122,14 @@ def global_cumsum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranged = ranged.withColumn("__local_cs", F.sum(value_col).over(local_w))
+    for i, v in enumerate(vcols):
+        ranged = ranged.withColumn(f"__local_cs{i}", F.sum(v).over(local_w))
     # same consistency cache as global_rank: totals must see the SAME
     # sampled range boundaries as the local cumsum branch
     ranged = ranged.cache()
-    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vcols)]
+    )
     contrib = totals.select(
         F.explode(
             F.when(
@@ -125,15 +137,20 @@ def global_cumsum(
                 F.sequence(F.col("__pid") + F.lit(1), F.lit(parts - 1)),
             ).otherwise(F.lit(None).cast("array<int>"))
         ).alias("__pid"),
-        F.col("__tot"),
+        *[F.col(f"__tot{i}") for i in range(len(vcols))],
     )
-    offsets = contrib.groupBy("__pid").agg(F.sum("__tot").alias("__off"))
-    return (
-        ranged.join(F.broadcast(offsets), "__pid", "left")
-        .withColumn(
-            out_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__local_cs")
+    offsets = contrib.groupBy("__pid").agg(
+        *[F.sum(f"__tot{i}").alias(f"__off{i}") for i in range(len(vcols))]
+    )
+    out = ranged.join(F.broadcast(offsets), "__pid", "left")
+    for i, oc in enumerate(ocols):
+        out = out.withColumn(
+            oc, F.coalesce(F.col(f"__off{i}"), F.lit(0)) + F.col(f"__local_cs{i}")
         )
-        .drop("__pid", "__local_cs", "__off")
+    return out.drop(
+        "__pid",
+        *[f"__local_cs{i}" for i in range(len(vcols))],
+        *[f"__off{i}" for i in range(len(vcols))],
     )
 
 

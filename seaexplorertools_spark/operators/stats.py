@@ -315,19 +315,31 @@ def best_split(
     (empty right side). This is per-feature work a tree trainer fans out
     across features/nodes; the shuffle is |distinct values|, never row
     volume."""
+    from .rank import global_cumsum
+
     cells = df.groupBy(F.col(feature_col).alias("t")).agg(
         F.count("*").alias("n"),
         F.sum(label_col.cast("int")).cast("bigint").alias("pos"),
+    ).cache()  # feeds the cumulative pass AND the totals aggregate
+    # windowless (round 4): both cumulatives ride ONE global_cumsum pass;
+    # the grand totals ride a 1-row broadcast (the J5 pattern)
+    cum = global_cumsum(cells, ["t"], ["n", "pos"], ["nl", "pl"])
+    tot = (
+        cells.agg(F.sum("n").alias("__nn"), F.sum("pos").alias("__pp"))
+        .withColumn("__k", F.lit(1))
     )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
-    s = cells.select(
-        "t",
-        F.sum("n").over(w).alias("nl"),
-        F.sum("pos").over(w).alias("pl"),
-        F.sum("n").over(wt).alias("nn"),
-        F.sum("pos").over(wt).alias("pp"),
-    ).filter(F.col("nl") < F.col("nn"))
+    s = (
+        cum.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "t",
+            "nl",
+            "pl",
+            F.col("__nn").alias("nn"),
+            F.col("__pp").alias("pp"),
+        )
+        .filter(F.col("nl") < F.col("nn"))
+    )
 
     def ent(p, n):
         q = p.cast("double") / n.cast("double")
@@ -351,16 +363,20 @@ def best_split(
             "parent_entropy"
         ),
     )
-    rw = Window.orderBy(F.col("ig").desc(), F.col("t").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(rw))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("t").alias("split_at"),
-            "ig",
-            "parent_entropy",
-            F.col("nl").alias("n_left"),
-        )
+    # argmax (ig desc, t asc) as a plain max_by aggregate — no ranking
+    # window; the ordering struct negates t so larger-ig-then-smaller-t
+    # wins lexicographically (t values are distinct, so ties are broken)
+    best = scored.agg(
+        F.max_by(
+            F.struct("t", "nl", "ig", "parent_entropy"),
+            F.struct(F.col("ig"), (-F.col("t")).alias("negt")),
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.t").alias("split_at"),
+        F.col("b.ig").alias("ig"),
+        F.col("b.parent_entropy").alias("parent_entropy"),
+        F.col("b.nl").alias("n_left"),
     )
 
 
