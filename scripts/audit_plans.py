@@ -73,6 +73,9 @@ CROSSJOIN_OK = {
     # unpartitioned window — the NL side is always a single row
     "q_chi2_independence", "q_kl_drift", "q_welch_ttest", "q_mutual_info",
     "q_benford_audit", "q_best_split", "a10_histogram",
+    # recall report: three 1-row count aggregates joined into one 1-row
+    # output — both NL sides are single rows
+    "dd_lsh_recall_report",
 }
 
 

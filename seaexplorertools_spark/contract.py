@@ -1539,6 +1539,104 @@ def dd_jaccard_prefix_pairs(spark, sf_dir):
 
 
 @q(
+    "dd_lsh_recall_report",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id AS id, tok FROM ({_SHINGLE_SQL})),
+    dfreq AS (SELECT tok, count(*) AS dfr FROM tok GROUP BY 1),
+    lists AS (
+      SELECT id, array_agg(t.tok ORDER BY d.dfr, t.tok) AS ord
+      FROM tok t JOIN dfreq d USING (tok) GROUP BY id
+    ),
+    meta AS (
+      SELECT id, ord, len(ord) AS n,
+             CAST(len(ord) - ceil(0.8 * len(ord)) + 1 AS INT) AS plen
+      FROM lists
+    ),
+    pref AS (SELECT id, n, unnest(list_slice(ord, 1, plen)) AS tok FROM meta),
+    pcand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.id < b.id
+       AND CAST(least(a.n, b.n) AS DOUBLE) >= 0.8 * greatest(a.n, b.n)
+    ),
+    v AS (
+      SELECT id1, id2,
+             len(list_intersect(m1.ord, m2.ord)) AS inter,
+             m1.n + m2.n - len(list_intersect(m1.ord, m2.ord)) AS uni
+      FROM pcand
+      JOIN meta m1 ON id1 = m1.id
+      JOIN meta m2 ON id2 = m2.id
+    ),
+    truth AS (SELECT id1, id2 FROM v WHERE CAST(inter AS DOUBLE) >= 0.8 * uni),
+    lsh AS (SELECT doc1, doc2 FROM ({ORACLES["dd_minhash_lsh_pairs"]})),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+             CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_cand,
+             CAST((SELECT count(*) FROM truth t
+                   WHERE EXISTS (SELECT 1 FROM lsh l
+                                 WHERE l.doc1 = t.id1 AND l.doc2 = t.id2))
+                  AS BIGINT) AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           floor(CAST(n_hit AS DOUBLE) / nullif(n_true, 0) * 1000000.0 + 0.5)
+             / 1000000.0 AS recall,
+           floor(CAST(n_hit AS DOUBLE) / nullif(n_cand, 0) * 1000000.0 + 0.5)
+             / 1000000.0 AS prec
+    FROM m
+    """,
+)
+def dd_lsh_recall_report(spark, sf_dir):
+    """Banding-recall evaluation of the MinHash-LSH candidate generator
+    against EXACT shingle-Jaccard ground truth — the measurement a dedup
+    pipeline owes before trusting its probabilistic path. Ground truth:
+    jaccard_prefix_join at t=0.8 over the SAME 3-token-shingle universe
+    the 16-hash/4-band LSH signatures summarize (token_df override), so
+    recall is the true banding s-curve sample (analytic expectation at
+    J=0.8: 1−(1−0.8⁴)⁴ ≈ 0.88, higher for closer pairs) and precision is
+    the candidate-verification survival rate. Everything is
+    deterministic (md5 hashes, exact prefix algebra), so this
+    APPROXIMATE-path evaluation has an EXACT oracle. One row:
+    (n_true, n_cand, n_hit, recall, prec)."""
+    from .operators.dedup import (
+        jaccard_prefix_join,
+        lsh_candidate_pairs,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    sh = staged.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), 3)).alias("tok")
+    )
+    truth = jaccard_prefix_join(docs, 0.8, token_df=sh).select("id1", "id2").cache()
+    cand = lsh_candidate_pairs(docs, k=16, band_rows=4).cache()
+    nt = truth.agg(F.count("*").alias("n_true")).withColumn("__k", F.lit(1))
+    nc = cand.agg(F.count("*").alias("n_cand")).withColumn("__k", F.lit(1))
+    nh = (
+        truth.join(
+            cand,
+            (F.col("id1") == F.col("doc1")) & (F.col("id2") == F.col("doc2")),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_hit"))
+        .withColumn("__k", F.lit(1))
+    )
+    one = nt.join(nc, "__k").join(nh, "__k").drop("__k")
+    return one.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        r6p(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_true"), F.lit(0)).cast("double")
+        ).alias("recall"),
+        r6p(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0)).cast("double")
+        ).alias("prec"),
+    )
+
+
+@q(
     "dd_embedding_dup",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -8278,7 +8376,7 @@ _DRIVER_FIRST = [
     "q_session_paths", "q_weighted_quantiles", "q_best_split",
     # new in round 4 — appended behind the older debt
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
-    "q_kappa_langid", "q_equidepth_histogram",
+    "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
 ]
 
 

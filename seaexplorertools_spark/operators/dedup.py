@@ -288,6 +288,7 @@ def jaccard_prefix_join(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT token-Jaccard similarity self-join at ``jaccard >= threshold``
     via AllPairs/PPJoin prefix filtering (Bayardo et al. 2007; Xiao et al.
@@ -310,12 +311,22 @@ def jaccard_prefix_join(
     the quadratic term only exists for tokens rare enough to sit in
     prefixes), and a |candidates|-sized verify join. No all-pairs stage
     at any document count. Empty documents produce no tokens and drop
-    out (Jaccard undefined). Returns (id1, id2, inter, uni, jaccard)."""
+    out (Jaccard undefined). Returns (id1, id2, inter, uni, jaccard).
+
+    ``token_df`` overrides the default whitespace tokenization with a
+    pre-built (id_col, tok) table — pass the shingle stream to compute
+    exact SHINGLE-set Jaccard on the same universe MinHash-LSH bands
+    over (what a banding-recall evaluation needs)."""
     t = float(threshold)
-    tok = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .distinct()
-    )
+    if token_df is None:
+        tok = (
+            docs.select(
+                F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+            )
+            .distinct()
+        )
+    else:
+        tok = token_df.select(F.col(id_col).alias("id"), "tok").distinct()
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfr"))
     ranked = tok.join(dfreq, "tok")
     lists = (
