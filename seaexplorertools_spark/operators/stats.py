@@ -371,7 +371,7 @@ def best_split(
             F.struct("t", "nl", "ig", "parent_entropy"),
             F.struct(F.col("ig"), (-F.col("t")).alias("negt")),
         ).alias("b")
-    )
+    ).where(F.col("b").isNotNull())  # no valid split (≤1 distinct value) → empty
     return best.select(
         F.col("b.t").alias("split_at"),
         F.col("b.ig").alias("ig"),
