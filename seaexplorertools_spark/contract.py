@@ -1822,7 +1822,12 @@ def q_kappa_langid(spark, sf_dir):
     both engines, so the oracle match is exact."""
     docs = table(spark, sf_dir, "documents")
     lid = T.langid(docs).select("lang", "lang_guess")
-    cells = lid.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    # cache: the expensive langid scan sits under FOUR consumers (rowm,
+    # colm, tot, agree) and Spark does not dedupe common subplans — the
+    # uncached form re-ran the n-gram scoring pass four times
+    cells = (
+        lid.groupBy("lang", "lang_guess").agg(F.count("*").alias("n")).cache()
+    )
     rowm = cells.groupBy("lang").agg(F.sum("n").alias("nr"))
     colm = cells.groupBy("lang_guess").agg(F.sum("n").alias("nc"))
     tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
@@ -3080,7 +3085,10 @@ def q_graph_triangles(spark, sf_dir):
            ra.rt * ca.ct / t.n AS expected,
            (c.obs - ra.rt * ca.ct / t.n) * (c.obs - ra.rt * ca.ct / t.n)
              / (ra.rt * ca.ct / t.n) AS contrib
-    FROM cells c JOIN ra USING (lang) JOIN ca USING (source) CROSS JOIN t
+    FROM cells c
+    JOIN ra ON c.lang IS NOT DISTINCT FROM ra.lang
+    JOIN ca ON c.source IS NOT DISTINCT FROM ca.source
+    CROSS JOIN t
     """,
 )
 def q_chi2_independence(spark, sf_dir):
@@ -3106,12 +3114,15 @@ def q_chi2_independence(spark, sf_dir):
     g AS (SELECT day, SUM(n) AS ng FROM cells GROUP BY 1),
     c AS (SELECT event_type, SUM(n) AS nc FROM cells GROUP BY 1),
     t AS (SELECT SUM(n) AS na FROM cells)
-    SELECT day,
+    SELECT cells.day AS day,
            round(SUM((cells.n / CAST(g.ng AS DOUBLE))
                      * ln((cells.n / CAST(g.ng AS DOUBLE))
                           / (c.nc / CAST(t.na AS DOUBLE)))), 6) AS kl
-    FROM cells JOIN g USING (day) JOIN c USING (event_type) CROSS JOIN t
-    GROUP BY day
+    FROM cells
+    JOIN g ON cells.day IS NOT DISTINCT FROM g.day
+    JOIN c ON cells.event_type IS NOT DISTINCT FROM c.event_type
+    CROSS JOIN t
+    GROUP BY cells.day
     """,
 )
 def q_kl_drift(spark, sf_dir):
@@ -3442,7 +3453,7 @@ def q_assoc_rules(spark, sf_dir):
     )
     SELECT d.doc_id, d.lang, d.n_chars, b.p_lo, b.p_hi,
            least(greatest(CAST(d.n_chars AS DOUBLE), b.p_lo), b.p_hi) AS clipped
-    FROM documents d JOIN b USING (lang)
+    FROM documents d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
     """,
 )
 def q_winsorize(spark, sf_dir):
@@ -3662,7 +3673,9 @@ def q_two_hop_reach(spark, sf_dir):
     SELECT e.event_id, e.event_type, e.value,
            floor((s.sum_g - e.value + 20.0 * g.mu_global)
                  / (s.n_g - 1 + 20.0) * 1000000.0 + 0.5) / 1000000.0 AS te_loo
-    FROM events e JOIN s USING (event_type) CROSS JOIN g
+    FROM events e
+    JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+    CROSS JOIN g
     WHERE e.value IS NOT NULL
     """,
 )
@@ -4299,8 +4312,13 @@ def q_rfm_segments(spark, sf_dir):
     the 1-4 bucket is recovered arithmetically — the first n%4 buckets
     take ceil(n/4) rows, the rest floor(n/4), which is ntile(4)'s exact
     contract — so the |users| row volume never crosses a single
-    partition at any scale."""
-    from .operators.rank import global_rank
+    partition at any scale. The bucket arithmetic is the shared
+    rank.ntile_from_rank formula (same code path global_ntile uses);
+    the three ranks reuse ONE (now, count) broadcast rather than three
+    global_ntile calls, whose per-call count re-derivation compounds the
+    physical plan across the chained calls (measured: 198 Exchange nodes
+    vs 15 here)."""
+    from .operators.rank import global_rank, ntile_from_rank
 
     ev = events(spark, sf_dir)
     m = ev.groupBy("user_id").agg(
@@ -4316,26 +4334,14 @@ def q_rfm_segments(spark, sf_dir):
     out = global_rank(out, [F.col("last_us").desc(), F.col("user_id")], "__rr")
     out = global_rank(out, [F.col("frequency").desc(), F.col("user_id")], "__fr")
     out = global_rank(out, [F.col("monetary").desc(), F.col("user_id")], "__mr")
-
-    def ntile4(rname: str):
-        # exact ntile(4) from the exact global row_number r over n rows:
-        # bucket sizes differ by at most 1, larger buckets first
-        return F.expr(
-            f"CAST(IF({rname} <= (n_users % 4) * (n_users div 4 + 1), "
-            f"({rname} - 1) div (n_users div 4 + 1) + 1, "
-            f"(n_users % 4) + ({rname} - (n_users % 4) * (n_users div 4 + 1) "
-            f"+ greatest(n_users div 4, 1) - 1) div greatest(n_users div 4, 1)"
-            f") AS INT)"
-        )
-
     return out.select(
         "user_id",
         F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
         "frequency",
         "monetary",
-        ntile4("__rr").alias("r_quartile"),
-        ntile4("__fr").alias("f_quartile"),
-        ntile4("__mr").alias("m_quartile"),
+        ntile_from_rank("__rr", "n_users", 4).alias("r_quartile"),
+        ntile_from_rank("__fr", "n_users", 4).alias("f_quartile"),
+        ntile_from_rank("__mr", "n_users", 4).alias("m_quartile"),
     )
 
 

@@ -154,6 +154,27 @@ def global_cumsum(
     )
 
 
+def ntile_from_rank(rank_name: str, n_name: str, k: int) -> Column:
+    """The exact ``ntile(k)`` bucket (1-based INT) recovered
+    arithmetically from an exact 1-based global row_number column
+    ``rank_name`` over ``n_name`` total rows: the first n%k buckets take
+    ceil(n/k) rows, the rest floor(n/k) — ntile's exact contract. All
+    integer ``div``/``greatest`` arithmetic, engine-portable. Shared by
+    global_ntile and any query that already carries a global rank and a
+    row-count scalar (e.g. the RFM quartiles, which rank the same table
+    three times and reuse ONE count broadcast — calling global_ntile
+    three times would re-derive the count per call and compound the
+    physical plan across the chained calls)."""
+    r, n = rank_name, n_name
+    return F.expr(
+        f"CAST(IF({r} <= ({n} % {k}) * ({n} div {k} + 1), "
+        f"({r} - 1) div ({n} div {k} + 1) + 1, "
+        f"({n} % {k}) + ({r} - ({n} % {k}) * ({n} div {k} + 1) "
+        f"+ greatest({n} div {k}, 1) - 1) div greatest({n} div {k}, 1)"
+        f") AS INT)"
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -176,20 +197,9 @@ def global_ntile(
         .join(F.broadcast(cnt), "__k")
         .drop("__k")
     )
-    base = F.expr("__n div " + str(n_tiles))
-    rem = F.col("__n") % n_tiles
-    big = rem * (base + F.lit(1))
-    tile = F.when(
-        F.col("__gr") <= big,
-        F.expr(f"(__gr - 1) div (__n div {n_tiles} + 1) + 1"),
-    ).otherwise(
-        rem
-        + F.expr(
-            f"(__gr - (__n % {n_tiles}) * (__n div {n_tiles} + 1) "
-            f"+ greatest(__n div {n_tiles}, 1) - 1) div greatest(__n div {n_tiles}, 1)"
-        )
-    )
-    return out.withColumn(out_col, tile.cast("int")).drop("__gr", "__n")
+    return out.withColumn(
+        out_col, ntile_from_rank("__gr", "__n", n_tiles)
+    ).drop("__gr", "__n")
 
 
 def global_running_max(

@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _bjoin_nullsafe(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """Broadcast inner join on ``IS NOT DISTINCT FROM`` semantics. A plain
+    equi-join silently drops NULL-keyed rows, but a NULL category is still
+    a category: ``groupBy`` keeps it as a group, and the pre-round-4
+    window forms (PARTITION BY key) kept it as a partition — so the
+    margin joins must keep it too, or totals computed from the full cell
+    table disagree with the joined cells and probabilities stop summing
+    to 1. Null-safe equality is still a hashable join key, so the
+    broadcast-hash plan is unchanged."""
+    r = right.withColumnRenamed(key, f"__r_{key}")
+    return left.join(
+        F.broadcast(r), F.col(key).eqNullSafe(F.col(f"__r_{key}"))
+    ).drop(f"__r_{key}")
+
+
 def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Per-cell observed/expected counts and chi-squared contributions
     for the a×b contingency table. One aggregate over the rows; margins
@@ -34,8 +49,7 @@ def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .withColumn("__k", F.lit(1))
     )
     j = (
-        cells.join(F.broadcast(ra), a_col)
-        .join(F.broadcast(ca), b_col)
+        _bjoin_nullsafe(_bjoin_nullsafe(cells, ra, a_col), ca, b_col)
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(t), "__k")
     )
@@ -165,8 +179,7 @@ def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     mb = cells.groupBy(b_col).agg(F.sum("obs").alias("__nb"))
     mt = cells.agg(F.sum("obs").alias("__nn")).withColumn("__k", F.lit(1))
     joined = (
-        cells.join(F.broadcast(ma), a_col)
-        .join(F.broadcast(mb), b_col)
+        _bjoin_nullsafe(_bjoin_nullsafe(cells, ma, a_col), mb, b_col)
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(mt), "__k")
     )
@@ -401,7 +414,7 @@ def target_encode_loo(
         F.sum(target_col).alias("sum_g"),
         F.count(target_col).alias("n_g"),
     )
-    out = df.join(F.broadcast(s), cat_col)
+    out = _bjoin_nullsafe(df, s, cat_col)
     if smoothing > 0:
         g = df.agg(
             (F.sum(target_col) / F.count(target_col)).alias("mu_global")
@@ -468,7 +481,7 @@ def winsorize(
         F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
         F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
     )
-    out = df.join(F.broadcast(bounds), group_col)
+    out = _bjoin_nullsafe(df, bounds, group_col)
     x = F.col(value_col).cast("double")
     return out.withColumn(
         "clipped", F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
@@ -488,8 +501,7 @@ def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     cat = cells.groupBy(cat_col).agg(F.sum("n").alias("__nc"))
     tot = cells.agg(F.sum("n").alias("__na")).withColumn("__k", F.lit(1))
     j = (
-        cells.join(F.broadcast(grp), group_col)
-        .join(F.broadcast(cat), cat_col)
+        _bjoin_nullsafe(_bjoin_nullsafe(cells, grp, group_col), cat, cat_col)
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(tot), "__k")
     )
@@ -516,11 +528,13 @@ def auc_mann_whitney(
     Scale shape: one groupBy collapses rows to the |distinct scores|
     table; the global rank prefix runs through rank.global_cumsum (range
     repartition + windowless offsets — no single-partition stage); the
-    rest is a 1-row aggregate. All rank arithmetic stays in BIGINT
-    (2·midrank = 2·cum − cnt + 1 is integer), so the sum is exact and
-    engine-portable — the only float op is the final division. BIGINT
-    bound: Σ np·2·cum ≤ 2N² — exact to N ≈ 2×10⁹ rows; beyond that,
-    promote the sum to DECIMAL(38,0).
+    rest is a 1-row aggregate. All rank arithmetic stays integer
+    (2·midrank = 2·cum − cnt + 1), so the sum is exact and
+    engine-portable — the only float op is the final division. The
+    rank-sum Σ np·(2·cum − cnt + 1) ≤ 2N² outgrows BIGINT at
+    N ≈ 2×10⁹ rows, so the summand is promoted to DECIMAL(38,0)
+    (exact to N ≈ 10¹⁸; DuckDB's SUM(BIGINT) → HUGEINT matches), as is
+    the n₊(n₊+1) correction.
 
     Returns 1 row: (n_pos, n_neg, auc) with auc NULL when either class
     is empty."""
@@ -533,12 +547,16 @@ def auc_mann_whitney(
     )
     c = global_cumsum(g, [score_col], "cnt", "cum", num_partitions=num_partitions)
     t = c.agg(
-        F.sum(F.col("np") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))).alias("r2"),
+        F.sum(
+            F.col("np").cast("decimal(20,0)")
+            * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))
+        ).alias("r2"),
         F.sum("np").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("np")).alias("n_neg"),
     )
+    np_d = F.col("n_pos").cast("decimal(20,0)")
     auc = (
-        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))).cast("double")
+        (F.col("r2") - np_d * (np_d + F.lit(1))).cast("double")
         / F.nullif(
             F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
             F.lit(0.0),

@@ -393,3 +393,55 @@ def test_auc_mann_whitney_matches_numpy_midrank(spark):
     one_class = df.filter(F.col("pos"))
     r = auc_mann_whitney(one_class, "score", "pos").collect()[0]
     assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_null_categories_are_kept_by_margin_joins(spark):
+    # NULL is a real category: groupBy keeps it as a group and the former
+    # window forms (PARTITION BY col) kept it as a partition, so the
+    # windowless margin joins must be null-safe. Round-4 regression: the
+    # plain equi-join form dropped NULL-keyed cells while totals still
+    # counted them, so probabilities stopped summing to 1.
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), (None, "x"), ("a", None)]
+    df = spark.createDataFrame(rows, ["g", "c"])
+
+    chi = contingency_chi2(df, "g", "c").collect()
+    assert len(chi) == 5  # all 5 cells survive, incl. the NULL-keyed ones
+    assert math.isclose(sum(r["obs"] / 5.0 for r in chi), 1.0)
+    # hand margins: row a=3, b=1, NULL=1; col x=3, y=1, NULL=1; n=5
+    exp = {
+        ("a", "x"): 9 / 5,
+        ("a", "y"): 3 / 5,
+        ("b", "x"): 3 / 5,
+        (None, "x"): 3 / 5,
+        ("a", None): 3 / 5,
+    }
+    for r in chi:
+        assert math.isclose(r["expected"], exp[(r["g"], r["c"])], rel_tol=1e-12)
+
+    mi = mutual_info(df, "g", "c").collect()[0]
+    # identical-column MI on the same 5 rows must equal the entropy — a
+    # NULL-dropping margin join breaks this identity
+    same = mutual_info(
+        spark.createDataFrame([("a",), ("a",), ("b",), (None,), ("a",)], ["g"])
+        .selectExpr("g", "g AS c"),
+        "g",
+        "c",
+    ).collect()[0]
+    assert math.isclose(same["mi"], same["h_a"], rel_tol=1e-12)
+    assert mi["mi"] is not None
+
+    kl = {r["g"]: r["kl"] for r in kl_from_global(df, "g", "c").collect()}
+    assert set(kl) == {"a", "b", None}  # NULL group kept, all finite
+    assert all(v is not None and v >= -1e-12 for v in kl.values())
+
+
+def test_auc_rank_sum_survives_decimal_promotion(spark):
+    # the DECIMAL(38,0) promotion must not change small-N exactness
+    from seaexplorertools_spark.operators.stats import auc_mann_whitney
+
+    rows = [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = auc_mann_whitney(df, "score", "label").collect()[0]
+    # sklearn roc_auc_score on this classic fixture = 0.75
+    assert out["n_pos"] == 2 and out["n_neg"] == 2
+    assert math.isclose(out["auc"], 0.75, rel_tol=1e-12)
