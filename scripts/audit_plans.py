@@ -76,6 +76,10 @@ CROSSJOIN_OK = {
     # recall report: three 1-row count aggregates joined into one 1-row
     # output — both NL sides are single rows
     "dd_lsh_recall_report",
+    # DSIR: the nt/nr model totals and the selection-budget doc count are
+    # each 1-row aggregates crossed in (the J5 pattern); the model join
+    # itself is a ≤ n_buckets-row broadcast hash join
+    "q_dsir_selection",
 }
 
 

@@ -8344,6 +8344,118 @@ ORACLES["q_hybrid_rrf"] = ORACLES["q_hybrid_rrf"].format(tok=_TOK_SQL)
 ORACLES["q_countmin_tokens"] = ORACLES["q_countmin_tokens"].format(tok=_TOK_SQL)
 
 
+@q(
+    "q_dsir_selection",
+    f"""
+    WITH tk AS (SELECT doc_id, source, {_TOK_SQL} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id, source, unnest(list_concat(toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END)) AS f
+      FROM tk),
+    fb AS (SELECT doc_id, source,
+                  ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS bucket,
+                  count(*) AS c
+           FROM feats GROUP BY 1, 2, 3),
+    raw AS (SELECT bucket, sum(c) AS cr FROM fb GROUP BY 1),
+    tgt AS (SELECT bucket, sum(c) AS ct FROM fb WHERE source = 'src0' GROUP BY 1),
+    nr AS (SELECT sum(cr) AS v FROM raw),
+    nt AS (SELECT coalesce(sum(ct), 0) AS v FROM tgt),
+    lam AS (
+      SELECT r.bucket,
+             CAST(floor((ln((coalesce(t.ct, 0) + 1.0) / (nt.v + 1024.0))
+                         - ln((r.cr + 1.0) / (nr.v + 1024.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+      FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN nr CROSS JOIN nt),
+    scores AS (
+      SELECT fb.doc_id,
+             CAST(sum(fb.c * coalesce(l.lam_micro, 0)) AS BIGINT) AS score_micro
+      FROM fb LEFT JOIN lam l USING (bucket) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM scores)
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id)
+             <= CAST(ceil(0.25 * n.n_docs) AS BIGINT) AS selected
+    FROM scores CROSS JOIN n
+    """,
+)
+def q_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every document by its
+    hashed-n-gram importance log-weight under a target-vs-raw bucket
+    model (target = the 'src0' slice standing in for a curated corpus)
+    and keep the top quarter (operators/selection.py::dsir_select).
+    Model tables are 1 024 rows → broadcast; scoring is map-side; the
+    top-slice flag is the windowless global_rank. Scores are exact
+    integer micro-nats (quantized log-ratios), so the oracle matches
+    bit-for-bit. Engine addition — the reference (process_adcp.py) has
+    no text/selection ops."""
+    from .operators.selection import dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("source") == "src0", keep_fraction=0.25)
+
+
+@q(
+    "dd_bloom_decontaminate",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})),
+    hold AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    hp AS (SELECT ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+                    % 65536 AS pos
+           FROM hold CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j),
+    bloom AS (SELECT pos // 32 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+              FROM hp GROUP BY 1),
+    tr AS (SELECT doc_id, tok FROM sh WHERE doc_id % 50 <> 0),
+    pp AS (SELECT doc_id, tok,
+                  ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+                    % 65536 AS pos
+           FROM tr CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j),
+    hit AS (SELECT doc_id, tok,
+                   min(CASE WHEN (coalesce(b.word, 0)
+                                  & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+                            THEN 1 ELSE 0 END) AS all_hit
+            FROM pp LEFT JOIN bloom b ON pp.pos // 32 = b.word_idx
+            GROUP BY doc_id, tok)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+           {R6P_SQL.format("sum(all_hit) / CAST(count(*) AS DOUBLE)")}
+             AS contamination_rate
+    FROM hit GROUP BY doc_id
+    """,
+)
+def dd_bloom_decontaminate(spark, sf_dir):
+    """Decontamination against a BLOOM FILTER of the holdout 3-shingle
+    set (doc_id % 50 == 0 stands in for the eval benchmark, as in
+    dd_contamination): the holdout n-grams compress to a 64 Kbit / k=3
+    bitset built in one pass (operators/selection.py::bloom_build), the
+    filter broadcasts (2 048 words), and the probe over the training
+    pool is a map-side lookup — the 100 TB posture where the exact-join
+    formulation (dd_contamination) would shuffle the pool keyed on
+    n-grams. False-positive rate at these sizes ≈ (1−e^{{-kn/m}})^k;
+    the filter is hash-deterministic, so the DuckDB oracle rebuilds the
+    identical bitset and the per-doc flag counts match exactly."""
+    from .operators.dedup import doc_shingles
+    from .operators.selection import bloom_build, bloom_probe
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, 3).distinct()
+    hold = sh.filter(F.col("doc_id") % 50 == 0).select("tok").distinct()
+    bloom = bloom_build(hold, "tok", m_bits=65536, k=3)
+    probed = bloom_probe(
+        sh.filter(F.col("doc_id") % 50 != 0), "tok", bloom, m_bits=65536, k=3
+    )
+    flagged = F.col("maybe_member").cast("int")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+        r6p(F.sum(flagged) / F.count("*").cast("double")).alias(
+            "contamination_rate"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8383,6 +8495,7 @@ _DRIVER_FIRST = [
     # new in round 4 — appended behind the older debt
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
+    "q_dsir_selection", "dd_bloom_decontaminate",
 ]
 
 
