@@ -8456,6 +8456,136 @@ def dd_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def _jl_oracle_sql(d_in: int = 64, d_out: int = 16) -> str:
+    """DuckDB replay of similarity.py::jl_project — the SAME ±1 sign
+    matrix (generated by the same jl_sign function at import time) and
+    the SAME left-associated addition order, so the projected doubles are
+    bit-identical and the compare needs no rounding."""
+    from .operators.similarity import jl_sign
+
+    scale = 1.0 / (d_out ** 0.5)
+    cols = []
+    for j in range(d_out):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {jl_sign(i, j)}.0"
+            for i in range(d_in)
+        )
+        cols.append(f"({terms}) * {scale!r} AS proj_{j:02d}")
+    sel = ",\n           ".join(cols)
+    return f"SELECT vec_id, {sel} FROM embeddings"
+
+
+@q("ann_jl_project", _jl_oracle_sql())
+def ann_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection 64 → 16 dims
+    (operators/similarity.py::jl_project) — the dimensionality-reduction
+    stage a 100 TB ANN pipeline runs before LSH/IVF so every downstream
+    dot product and shuffle shrinks 4×, with pairwise distances kept to
+    (1±ε). Pure map (no shuffle, no UDF); left-associated IEEE sums and
+    a power-of-two scale make the oracle match bit-exact with no
+    rounding. Engine addition — the reference (process_adcp.py) has no
+    embedding ops."""
+    from .operators.similarity import jl_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    return jl_project(emb, "embedding", d_in=64, d_out=16, id_cols=["vec_id"])
+
+
+_LR_FEATS = ["x0", "x1", "x2", "x3"]
+_LR_POS_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def _lr_oracle_sql(n_iter: int = 3, lr: float = 1.0) -> str:
+    """DuckDB replay of operators/classifier.py::logistic_train — the
+    full-batch GD recurrence unrolled as g_k/w_k CTE pairs (one gradient
+    aggregate + one 1-row weight update per iteration, weights starting
+    at 0), then the per-doc σ(w·x) scoring pass. Weight trajectories in
+    the two engines differ only by float-summation ulps; the final 6-dp
+    rounding absorbs them (the PCA-oracle precedent)."""
+    fs = _LR_FEATS
+
+    def zexpr(wref: str | None) -> str:
+        if wref is None:
+            return " + ".join(f"0.0 * {f}" for f in fs)
+        return " + ".join(f"{wref}.w{j} * {f}" for j, f in enumerate(fs))
+
+    its = []
+    prev = None
+    for k in range(1, n_iter + 1):
+        sig = f"1.0 / (1.0 + exp(-({zexpr(prev)})))"
+        gsel = ", ".join(
+            f"avg(({sig} - y) * {f}) AS g{j}" for j, f in enumerate(fs)
+        )
+        src = "f" if prev is None else f"f CROSS JOIN {prev}"
+        wprev = "0.0" if prev is None else None
+        wsel = ", ".join(
+            (f"0.0 - {lr!r} * g{j} AS w{j}")
+            if prev is None
+            else (f"{prev}.w{j} - {lr!r} * g{j} AS w{j}")
+            for j in range(len(fs))
+        )
+        gsrc = f"g{k}" if prev is None else f"g{k} CROSS JOIN {prev}"
+        its.append(f"g{k} AS (SELECT {gsel} FROM {src})")
+        its.append(f"w{k} AS (SELECT {wsel} FROM {gsrc})")
+        prev = f"w{k}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             1.0 AS x0,
+             n_chars / 1000.0 AS x1,
+             len(toks) / 100.0 AS x2,
+             len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE) AS x3,
+             CASE WHEN source IN {_LR_POS_SOURCES} THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT doc_id, source, n_chars, {_TOK_SQL} AS toks FROM documents)),
+    {its_sql}
+    SELECT doc_id, CAST(y AS INTEGER) AS label,
+           round(1.0 / (1.0 + exp(-({zexpr(prev)}))), 6) AS p_quality
+    FROM f CROSS JOIN {prev}
+    """
+
+
+@q("q_lr_quality_train", _lr_oracle_sql(3, 1.0))
+def q_lr_quality_train(spark, sf_dir):
+    """Learned quality filter (CCNet/fastText-style): train a logistic
+    regression on document stats (bias, chars, tokens, type–token
+    ratio; label = the curated source slice) by 3 full-batch GD
+    iterations (operators/classifier.py::logistic_train — one
+    |features|-row aggregate per iteration, weights as driver scalars),
+    then score every document map-side. The oracle unrolls the same
+    recurrence as CTEs; features are bit-identical across engines and
+    weights match to well under the 6-dp rounding. Engine addition —
+    the reference has no model ops."""
+    from .operators.classifier import logistic_score, logistic_train
+    from .operators.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    nt = F.size(F.col("__toks"))
+    f = docs.withColumn("__toks", _tokens(F.col("text"))).select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (nt / F.lit(100.0)).alias("x2"),
+        (
+            F.size(F.array_distinct(F.col("__toks")))
+            / F.nullif(nt, F.lit(0)).cast("double")
+        ).alias("x3"),
+        F.col("source")
+        .isin("src0", "src1", "src2", "src3", "src4")
+        .cast("double")
+        .alias("y"),
+    )
+    # PERF: the feature frame feeds 3 gradient aggregates + the scoring
+    # pass; cache once (cache-boundary rule: 3+ consumers)
+    f = f.cache()
+    w = logistic_train(f, _LR_FEATS, "y", n_iter=3, lr=1.0)
+    return logistic_score(f, _LR_FEATS, w, "p_quality").select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        r6(F.col("p_quality")).alias("p_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8495,7 +8625,8 @@ _DRIVER_FIRST = [
     # new in round 4 — appended behind the older debt
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
-    "q_dsir_selection", "dd_bloom_decontaminate",
+    "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
+    "q_lr_quality_train",
 ]
 
 

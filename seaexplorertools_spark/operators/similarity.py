@@ -677,3 +677,49 @@ def isotropy_probe(
         F.min("cos").alias("min_cos"),
         F.max("cos").alias("max_cos"),
     )
+
+
+def jl_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher entry of the JL projection matrix: +1 or
+    −1 from the first md5 hex nibble of ``"i:j"``. Same function on every
+    engine/run — the matrix is part of the model spec, like a seed."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    d_in: int,
+    d_out: int = 16,
+    id_cols: list[str] | None = None,
+    out_prefix: str = "proj_",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column to
+    ``d_out`` dims with a ±1 (Rademacher/Achlioptas) matrix scaled by
+    1/√d_out — the dimensionality-reduction scale path in front of ANN:
+    at 100 TB, projecting 1024-dim vectors to 16–64 dims before
+    LSH/IVF/brute-force shrinks every downstream dot product, shuffle
+    byte count, and broadcast by the same factor while preserving
+    pairwise distances to (1 ± ε), ε ≈ √(ln N / d_out).
+
+    Entirely JVM expression work: each output dim is an explicit
+    left-associated sum of ±element terms (no UDF, no shuffle — a pure
+    map). Determinism is stronger than usual here: left-associated IEEE
+    addition of CAST(float AS DOUBLE) terms times ±1.0, scaled by a
+    power of two when ``d_out`` is one (16 → ×0.25), is BIT-EXACT across
+    engines — the DuckDB oracle needs no rounding tolerance at all.
+
+    Output: ``id_cols`` + ``d_out`` DOUBLE columns ``{out_prefix}00..``.
+    """
+    ids = id_cols if id_cols is not None else [c for c in df.columns if c != vec_col]
+    scale = 1.0 / (d_out ** 0.5)
+    outs = []
+    for j in range(d_out):
+        terms = " + ".join(
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {jl_sign(i, j)}.0"
+            for i in range(d_in)
+        )
+        outs.append(F.expr(f"({terms}) * {scale!r}").alias(f"{out_prefix}{j:02d}"))
+    return df.select(*ids, *outs)

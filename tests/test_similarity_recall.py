@@ -124,3 +124,64 @@ def test_isotropy_probe_random_vs_collapsed(spark):
     c = spark.createDataFrame(collapsed, ["vec_id", "embedding"])
     cp = {r["stride"]: r for r in isotropy_probe(c, strides=(1,)).collect()}
     assert cp[1]["mean_cos"] > 0.95
+
+
+def test_jl_projection_preserves_distances_and_neighbors(spark, sf_dir):
+    """JL lemma in practice: 64→16 ±1 projection keeps pairwise squared
+    distances within (1±ε) on average and retains most exact nearest
+    neighbors; and the projection is a pure map (no shuffle)."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = jl_project(emb, "embedding", d_in=64, d_out=16, id_cols=["vec_id"])
+    assert "Exchange" not in proj._jdf.queryExecution().executedPlan().toString()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    prows = proj.collect()
+    order = {r["vec_id"]: k for k, r in enumerate(prows)}
+    P = np.array(
+        [[prows[order[v]][f"proj_{j:02d}"] for j in range(16)] for v in ids]
+    )
+
+    rng = np.random.default_rng(7)
+    n = len(ids)
+    pairs = rng.choice(n, size=(200, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    d_full = ((X[pairs[:, 0]] - X[pairs[:, 1]]) ** 2).sum(axis=1)
+    d_proj = ((P[pairs[:, 0]] - P[pairs[:, 1]]) ** 2).sum(axis=1)
+    ratio = d_proj / d_full
+    # E[ratio] = 1; spread ~ sqrt(2/d_out) ≈ 0.35 per pair, tight in mean
+    assert 0.9 < ratio.mean() < 1.1
+    assert np.percentile(ratio, 5) > 0.4 and np.percentile(ratio, 95) < 1.7
+
+    # Neighbor recall is NOT asserted on the parquet fixture: uniform
+    # random vectors are the distance-concentration worst case — the
+    # relative gaps between a point's neighbors are far smaller than
+    # JL's ε ≈ √(ln N / d_out), so no 16-dim sketch can rank them
+    # (measured recall ~0.1 here; same for any projection). On CLUSTERED
+    # data — the case JL fronts in real ANN pipelines — cluster-mates
+    # stay nearest:
+    centers = rng.normal(size=(20, 64)) * 3.0
+    pts = np.repeat(centers, 10, axis=0) + rng.normal(size=(200, 64)) * 0.3
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cp = jl_project(cdf, "embedding", d_in=64, d_out=16, id_cols=["vec_id"])
+    crows = sorted(cp.collect(), key=lambda r: r["vec_id"])
+    CP = np.array([[r[f"proj_{j:02d}"] for j in range(16)] for r in crows])
+
+    def topk(M, qi, k=9):
+        d = ((M - M[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        return set(np.argsort(d, kind="stable")[:k])
+
+    Xc = pts.astype(np.float32).astype(np.float64)  # what Spark saw
+    recalls = [
+        len(topk(Xc, qi) & topk(CP, qi)) / 9 for qi in range(0, 200, 10)
+    ]
+    assert sum(recalls) / len(recalls) > 0.85
