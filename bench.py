@@ -80,6 +80,11 @@ EXTRA = [
     "q_rfm_segments",       # RFM quartiles via distributed global rank
     "q_profile_table_approx",  # HLL-NDV table profile (constant shuffle)
     "q_kappa_langid",       # chance-corrected langid agreement
+    # round-4 session additions
+    "q_dsir_selection",     # DSIR importance-resampling selection
+    "dd_bloom_decontaminate",  # broadcast-bitset decontamination
+    "ann_jl_project",       # zero-shuffle JL projection
+    "q_lr_quality_train",   # 3-iteration logistic-regression trainer
 ]
 
 

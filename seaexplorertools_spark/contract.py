@@ -8539,23 +8539,16 @@ def _lr_oracle_sql(n_iter: int = 3, lr: float = 1.0) -> str:
              CASE WHEN source IN {_LR_POS_SOURCES} THEN 1.0 ELSE 0.0 END AS y
       FROM (SELECT doc_id, source, n_chars, {_TOK_SQL} AS toks FROM documents)),
     {its_sql}
-    SELECT doc_id, CAST(y AS INTEGER) AS label,
-           round(1.0 / (1.0 + exp(-({zexpr(prev)}))), 6) AS p_quality
+    SELECT doc_id, y, 1.0 / (1.0 + exp(-({zexpr(prev)}))) AS p
     FROM f CROSS JOIN {prev}
     """
 
 
-@q("q_lr_quality_train", _lr_oracle_sql(3, 1.0))
-def q_lr_quality_train(spark, sf_dir):
-    """Learned quality filter (CCNet/fastText-style): train a logistic
-    regression on document stats (bias, chars, tokens, type–token
-    ratio; label = the curated source slice) by 3 full-batch GD
-    iterations (operators/classifier.py::logistic_train — one
-    |features|-row aggregate per iteration, weights as driver scalars),
-    then score every document map-side. The oracle unrolls the same
-    recurrence as CTEs; features are bit-identical across engines and
-    weights match to well under the 6-dp rounding. Engine addition —
-    the reference has no model ops."""
+def _lr_scored(spark, sf_dir):
+    """Shared trainer+scorer for the LR queries: features from document
+    stats, 3 full-batch GD iterations (driver-scalar weights, one
+    4-value aggregate per iteration), σ(w·x) scoring as a pure map.
+    Returns (doc_id, y, p) at full precision."""
     from .operators.classifier import logistic_score, logistic_train
     from .operators.dedup import tokens as _tokens
 
@@ -8579,10 +8572,140 @@ def q_lr_quality_train(spark, sf_dir):
     # pass; cache once (cache-boundary rule: 3+ consumers)
     f = f.cache()
     w = logistic_train(f, _LR_FEATS, "y", n_iter=3, lr=1.0)
-    return logistic_score(f, _LR_FEATS, w, "p_quality").select(
+    return logistic_score(f, _LR_FEATS, w, "p").select("doc_id", "y", "p")
+
+
+@q(
+    "q_lr_quality_train",
+    f"""
+    SELECT doc_id, CAST(y AS INTEGER) AS label, round(p, 6) AS p_quality
+    FROM ({_lr_oracle_sql(3, 1.0)})
+    """,
+)
+def q_lr_quality_train(spark, sf_dir):
+    """Learned quality filter (CCNet/fastText-style): train a logistic
+    regression on document stats (bias, chars, tokens, type–token
+    ratio; label = the curated source slice) by 3 full-batch GD
+    iterations (operators/classifier.py::logistic_train — one
+    |features|-row aggregate per iteration, weights as driver scalars),
+    then score every document map-side. The oracle unrolls the same
+    recurrence as CTEs; features are bit-identical across engines and
+    weights match to well under the 6-dp rounding. Engine addition —
+    the reference has no model ops."""
+    scored = _lr_scored(spark, sf_dir)
+    return scored.select(
         "doc_id",
         F.col("y").cast("int").alias("label"),
-        r6(F.col("p_quality")).alias("p_quality"),
+        r6(F.col("p")).alias("p_quality"),
+    )
+
+
+@q(
+    "q_calibration_bins",
+    f"""
+    SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+           count(*) AS n,
+           round(avg(p), 6) AS avg_conf,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(avg(p) - avg(y)), 6) AS gap
+    FROM ({_lr_oracle_sql(3, 1.0)})
+    GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Classifier calibration audit (reliability-diagram bins): the
+    trained quality filter's scores bucketed into 10 equal-width
+    confidence bins with per-bin observed positive rate and |conf − acc|
+    gap — the per-bin terms of expected calibration error. One
+    10-group aggregate over the scored frame; composes with
+    q_lr_quality_train's shared trainer. The gap column is what a
+    pipeline thresholds before trusting filter scores as keep
+    probabilities."""
+    scored = _lr_scored(spark, sf_dir)
+    b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.avg("p")).alias("avg_conf"),
+            r6(F.avg("y")).alias("frac_pos"),
+            r6(F.abs(F.avg("p") - F.avg("y"))).alias("gap"),
+        )
+    )
+
+
+@q(
+    "q_zipf_fit",
+    f"""
+    WITH tok AS (SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM cnt),
+    pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM rk),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {R6P_SQL.format("(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)")}
+             AS slope,
+           {R6P_SQL.format(
+               "(sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx) / n"
+           )} AS intercept,
+           {R6P_SQL.format(
+               "((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+               "/ nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)"
+           )} AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus token-frequency spectrum: OLS of
+    ln(count) on ln(rank) — slope ≈ −1 on natural language; a corpus
+    whose slope drifts far from −1 is template/spam-heavy, which makes
+    this a standard corpus-health diagnostic. Ranks come from the
+    windowless rank.global_rank over the |vocab|-row count table (tie
+    break on token so the rank is a deterministic total order); the fit
+    itself is one sufficient-statistics aggregate — nothing row-scale
+    ever crosses a single partition."""
+    from .operators.dedup import tokens as _tokens
+    from .operators.rank import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = global_rank(cnt, [F.col("c").desc(), F.col("tok")], "rank")
+    pts = rk.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        r6p(slope).alias("slope"),
+        r6p((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        r6p(
+            (num * num)
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ).alias("r2"),
     )
 
 
@@ -8626,7 +8749,7 @@ _DRIVER_FIRST = [
     "q_profile_table_approx", "q_auc_scores", "dd_jaccard_prefix_pairs",
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
     "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
-    "q_lr_quality_train",
+    "q_lr_quality_train", "q_calibration_bins", "q_zipf_fit",
 ]
 
 

@@ -39,3 +39,28 @@ def test_survivor_ids_subset_and_unique(spark, sf_dir):
     assert len(ids) == len(set(ids))
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert set(ids) <= all_ids
+
+
+def test_zipf_fit_recovers_known_slope(spark, tmp_path):
+    """A corpus built with counts c(r) = round(1000 / r^0.8) must fit
+    slope ≈ -0.8 with high r²; the fixture-parquet query is oracle
+    checked, this pins the semantics on controlled input."""
+    import math
+
+    from seaexplorertools_spark.contract import QUERIES
+
+    words = []
+    for r in range(1, 101):
+        words += [f"w{r:03d}"] * max(1, round(1000 / r**0.8))
+    # one doc per 50 words so the tokenizer path is exercised
+    docs = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]), "en", "src0", 1)
+        for i in range((len(words) + 49) // 50)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = QUERIES["q_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 100
+    assert math.isclose(row["slope"], -0.8, abs_tol=0.05)
+    assert row["r2"] > 0.98
