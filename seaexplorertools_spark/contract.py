@@ -8392,7 +8392,12 @@ def q_dsir_selection(spark, sf_dir):
     no text/selection ops."""
     from .operators.selection import dsir_select
 
-    docs = table(spark, sf_dir, "documents")
+    # parallelism-only round-robin repartition (same rationale as
+    # st_bloom_decontam: the local fixture is a single split and the
+    # md5 feature-explode is CPU-dense; 3.7 -> 2.1 s at sf0.1)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dsir_select(docs, F.col("source") == "src0", keep_fraction=0.25)
 
 
@@ -8709,6 +8714,70 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+@q(
+    "st_bloom_decontam",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})),
+    hold AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 50 = 0),
+    hp AS (SELECT ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+                    % 65536 AS pos
+           FROM hold CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j),
+    bloom AS (SELECT pos // 32 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+              FROM hp GROUP BY 1),
+    tr AS (SELECT doc_id, tok FROM sh WHERE doc_id % 50 <> 0),
+    pp AS (SELECT doc_id, tok,
+                  ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+                    % 65536 AS pos
+           FROM tr CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j),
+    hit AS (SELECT doc_id, tok,
+                   min(CASE WHEN (coalesce(b.word, 0)
+                                  & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+                            THEN 1 ELSE 0 END) AS all_hit
+            FROM pp LEFT JOIN bloom b ON pp.pos // 32 = b.word_idx
+            GROUP BY doc_id, tok)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+           CAST(sum(all_hit) > 0 AS BOOLEAN) AS is_contaminated
+    FROM hit GROUP BY doc_id
+    """,
+)
+def st_bloom_decontam(spark, sf_dir):
+    """Batch twin of the STREAMING Bloom decontaminator
+    (streaming/decontam.py): the holdout bitset collapses to a literal
+    2 048-long array and the per-doc verdict is a stateless projection —
+    ZERO exchanges, so the identical plan runs under readStream in
+    append mode with no watermark and no state. Same math as
+    dd_bloom_decontaminate (which keeps the filter as a broadcast table
+    and pays one verdict shuffle); the oracle rebuilds the identical
+    bitset, so the two designs are pinned to agree exactly.
+
+    The up-front round-robin repartition is PARALLELISM-ONLY, not a
+    semantic shuffle: the local fixture parquet arrives as a single
+    split, which would put the md5-dense probe on one core (measured
+    9.5 → 0.9 s at sf0.1 with 32). At 100 TB the input already has
+    thousands of splits and the repartition is a no-op to delete; the
+    operator itself stays zero-exchange (the streaming form never
+    shuffles). Round-robin is layout-independent here — every verdict
+    is per-row — so no cross-branch cache is needed."""
+    from .operators.dedup import doc_shingles
+    from .operators.selection import bloom_build
+    from .streaming.decontam import bitmap_from_words, decontaminate_flags
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hold = (
+        doc_shingles(docs.filter(F.col("doc_id") % 50 == 0), 3)
+        .select("tok")
+        .distinct()
+    )
+    bm = bitmap_from_words(bloom_build(hold, "tok", 65536, 3), 65536)
+    return decontaminate_flags(
+        docs.filter(F.col("doc_id") % 50 != 0), bm, 65536, 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8750,6 +8819,7 @@ _DRIVER_FIRST = [
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
     "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
     "q_lr_quality_train", "q_calibration_bins", "q_zipf_fit",
+    "st_bloom_decontam",
 ]
 
 
