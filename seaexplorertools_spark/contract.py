@@ -8778,6 +8778,59 @@ def st_bloom_decontam(spark, sf_dir):
     )
 
 
+@q(
+    "q_mixture_upsample",
+    f"""
+    WITH w(source, wt) AS (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+    n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    t AS (SELECT count(*) AS total FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    r AS (SELECT d.doc_id, d.source,
+                 CAST(3 * t.total AS DOUBLE) * w.wt / n.n_s AS rep,
+                 ('0x' || substr(md5('up' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+          FROM documents d JOIN w USING (source) JOIN n USING (source)
+          CROSS JOIN t),
+    c AS (SELECT doc_id, source,
+                 CAST(floor(rep) AS BIGINT)
+                   + (CASE WHEN u < rep - floor(rep) THEN 1 ELSE 0 END) AS reps
+          FROM r)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, reps)) AS BIGINT) AS copy_id
+    FROM c WHERE reps >= 1
+    """,
+)
+def q_mixture_upsample(spark, sf_dir):
+    """Epoch construction by UPSAMPLING (operators/sampling.py::
+    upsample_by_repeats): a 3-epoch budget over the weighted slice gives
+    stratum repeat factors r_s = 3·total·w_s / n_s (src0 → ×4.8: 4
+    guaranteed copies + an 80 %-probability 5th via the stable hash
+    draw) — the duplication half of domain mixing that
+    q_mixture_resample (keep/drop only) cannot express; GPT-3's "books
+    ×2.9" table is exactly this shape. Per-source counts are a
+    dim-sized driver collect (the J4/J5 small-side pattern); the
+    emission itself is a literal-map lookup + sequence-explode, pure
+    map-side. Repeat factors are proportion-invariant, so the expansion
+    is identical at every SF."""
+    from .operators.sampling import upsample_by_repeats
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isin(*_MIX_WEIGHTS))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    reps = {s: (3 * total) * w / counts[s] for s, w in _MIX_WEIGHTS.items() if s in counts}
+    return upsample_by_repeats(docs, "source", "doc_id", reps, salt="up").select(
+        "doc_id", "source", "copy_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8819,7 +8872,7 @@ _DRIVER_FIRST = [
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
     "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
     "q_lr_quality_train", "q_calibration_bins", "q_zipf_fit",
-    "st_bloom_decontam",
+    "st_bloom_decontam", "q_mixture_upsample",
 ]
 
 

@@ -153,3 +153,53 @@ def weighted_sample_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("__es")
     )
+
+
+def upsample_by_repeats(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    repeats: dict[str, float],
+    salt: str = "up",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Epoch construction with FRACTIONAL repeat factors: stratum s is
+    emitted ``floor(r_s)`` times plus one more copy with probability
+    ``frac(r_s)`` via the stable per-key hash draw — the upsampling half
+    of domain mixing (the GPT-3-style "books ×2.9" table), complementing
+    ``stratified_sample``/mixture resampling which can only keep or drop.
+    In expectation stratum s contributes exactly ``r_s · n_s`` rows, and
+    the realization is deterministic (reproducible across runs, engines,
+    and repartitioning, like every draw in this module).
+
+    Pure map work: a literal per-stratum (base, frac) lookup, then one
+    ``sequence``-explode — no shuffle, no driver state beyond the repeat
+    dict itself (|strata| floats). Row inflation equals the repeat
+    factor by design; downstream shuffles see the post-upsample volume,
+    which is the number the mixture designer chose. Unlisted strata get
+    0 copies (dropped)."""
+    base_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(s), F.lit(int(r))) for s, r in sorted(repeats.items())
+        )
+    )
+    frac_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(s), F.lit(float(r) - int(r))) for s, r in sorted(repeats.items())
+        )
+    )
+    u = hash_uniform(F.col(key_col), salt)
+    reps = (
+        F.coalesce(base_map.getItem(F.col(strata_col)), F.lit(0))
+        + F.when(u < F.coalesce(frac_map.getItem(F.col(strata_col)), F.lit(0.0)), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        df.withColumn("__reps", reps)
+        .filter(F.col("__reps") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__reps"))),
+        )
+        .drop("__reps")
+    )

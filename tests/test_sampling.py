@@ -141,3 +141,42 @@ def test_weighted_sample_exact_partition_invariant_and_biased(spark, sf_dir):
         for i in range(3)
     ]
     assert sum(samp_means) / len(samp_means) > pop_mean
+
+
+def test_upsample_by_repeats_exact_semantics(spark):
+    from seaexplorertools_spark.operators.sampling import (
+        hash_uniform,
+        upsample_by_repeats,
+    )
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = upsample_by_repeats(df, "s", "k", {"a": 2.5, "b": 0.5}, salt="t")
+    got = out.groupBy("k", "s").agg(F.count("*").alias("n")).collect()
+    draws = {
+        r["k"]: r["u"]
+        for r in df.select("k", hash_uniform(F.col("k"), "t").alias("u")).collect()
+    }
+    # per-key copies: floor(r) + (draw < frac(r)); copy_id densely 1..n
+    for r in got:
+        want = (2 if r["s"] == "a" else 0) + (1 if draws[r["k"]] < 0.5 else 0)
+        assert r["n"] == want and want >= 1
+    keys_out = {r["k"] for r in got}
+    for k, s in rows:
+        want = (2 if s == "a" else 0) + (1 if draws[k] < 0.5 else 0)
+        assert (k in keys_out) == (want >= 1)
+    cids = {
+        (r["k"], r["copy_id"]) for r in out.select("k", "copy_id").collect()
+    }
+    for r in got:
+        for c in range(1, r["n"] + 1):
+            assert (r["k"], c) in cids
+    # expectation: a contributes ~2.5*40=100, b ~0.5*20=10
+    n_a = sum(r["n"] for r in got if r["s"] == "a")
+    n_b = sum(r["n"] for r in got if r["s"] == "b")
+    assert 85 <= n_a <= 115 and 4 <= n_b <= 16
+    # pure map: no exchange in the plan
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    # unlisted strata are dropped
+    df2 = spark.createDataFrame([(1, "zz")], ["k", "s"])
+    assert upsample_by_repeats(df2, "s", "k", {"a": 2.0}).count() == 0
