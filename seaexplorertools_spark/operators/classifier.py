@@ -64,6 +64,11 @@ def logistic_train(
                 for j, c in enumerate(feature_cols)
             ]
         ).collect()[0]
+        if any(g[f"g{j}"] is None for j in range(len(feature_cols))):
+            raise ValueError(
+                "logistic_train: gradient is NULL — empty input or a "
+                "feature/label column that is NULL on every row"
+            )
         w = [wi - lr * g[f"g{j}"] for j, wi in enumerate(w)]
     return w
 

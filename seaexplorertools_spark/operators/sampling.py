@@ -53,7 +53,7 @@ def stratified_sample(
             (F.lit(k), F.lit(float(v))) for k, v in sorted(fractions.items())
         )
     )
-    thr = F.coalesce(frac_map.getItem(F.col(strata_col)), F.lit(float(default)))
+    thr = F.coalesce(frac_map[F.col(strata_col)], F.lit(float(default)))
     return df.filter(hash_uniform(F.col(key_col), salt) < thr)
 
 
@@ -190,8 +190,8 @@ def upsample_by_repeats(
     )
     u = hash_uniform(F.col(key_col), salt)
     reps = (
-        F.coalesce(base_map.getItem(F.col(strata_col)), F.lit(0))
-        + F.when(u < F.coalesce(frac_map.getItem(F.col(strata_col)), F.lit(0.0)), 1)
+        F.coalesce(base_map[F.col(strata_col)], F.lit(0))
+        + F.when(u < F.coalesce(frac_map[F.col(strata_col)], F.lit(0.0)), 1)
         .otherwise(0)
     ).cast("bigint")
     return (

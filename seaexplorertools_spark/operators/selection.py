@@ -266,36 +266,33 @@ def bloom_probe(
     hash bits is set in the broadcast ``bloom`` word table (i.e. the
     value is *possibly* a member; False is definite non-membership).
 
-    Plan: explode to k (row, position) probes, ONE broadcast left join
-    on word_idx, then a per-original-row conjunction. The k probe rows
-    for a row are partition-local, so the conjunction's partial
-    aggregate collapses them map-side — shuffle = |df| rows, the same
-    width as any per-row aggregate, with the filter itself never
-    shuffled (broadcast)."""
-    wid = F.monotonically_increasing_id().alias("__rid")
-    probes = (
-        df.withColumn("__rid", wid)
-        .withColumn(
-            "__pos", F.explode(bloom_hash_positions(F.col(value_col), m_bits, k))
+    Plan: ``k`` broadcast LEFT joins (one per hash draw, each on its own
+    word index) and a conjunction — all map-side, NO explode and NO
+    aggregate, so input row identity and cardinality are preserved
+    structurally. That also makes the operator retry-deterministic at
+    cluster scale: an earlier formulation keyed a per-row verdict
+    aggregate on ``monotonically_increasing_id`` over generic shuffle
+    output, where a fetch-failure stage retry can reorder rows and
+    reassign ids; joining on the hash positions themselves leaves
+    nothing order-dependent anywhere in the plan."""
+    out = df.withColumn("__ps", bloom_hash_positions(F.col(value_col), m_bits, k))
+    hits = []
+    for j in range(k):
+        wj = bloom.select(
+            F.col("word_idx").alias(f"__wi{j}"), F.col("word").alias(f"__wd{j}")
         )
-        .withColumn("__widx", F.expr("__pos div 32"))
-        .withColumn(
-            "__mask",
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"),
+        out = out.withColumn(f"__p{j}", F.expr(f"element_at(__ps, {j + 1})")).join(
+            F.broadcast(wj),
+            F.expr(f"__p{j} div 32") == F.col(f"__wi{j}"),
+            "left",
         )
-        .join(F.broadcast(bloom), F.col("__widx") == F.col("word_idx"), "left")
-        .withColumn(
-            "__hit",
-            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask"))
-            != F.lit(0),
+        hits.append(
+            F.coalesce(F.col(f"__wd{j}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{j} % 32 AS INT))")
+            )
+            != F.lit(0)
         )
-    )
-    keep = [c for c in df.columns]
-    return (
-        probes.groupBy("__rid")
-        .agg(
-            *[F.first(c).alias(c) for c in keep],
-            F.min(F.col("__hit").cast("int")).alias("__all"),
-        )
-        .select(*keep, (F.col("__all") == 1).alias(out_col))
-    )
+    allhit = hits[0]
+    for h in hits[1:]:
+        allhit = allhit & h
+    return out.select(*df.columns, allhit.alias(out_col))

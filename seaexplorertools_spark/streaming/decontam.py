@@ -27,7 +27,7 @@ stream==batch test).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

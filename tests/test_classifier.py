@@ -66,3 +66,13 @@ def test_scoring_is_a_pure_map(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_empty_input_raises_clearly(spark):
+    import pytest
+
+    from seaexplorertools_spark.operators.classifier import logistic_train
+
+    empty = spark.createDataFrame([], "x0 double, x1 double, y double")
+    with pytest.raises(ValueError, match="empty input"):
+        logistic_train(empty, FEATS, "y")
