@@ -80,6 +80,10 @@ CROSSJOIN_OK = {
     # each 1-row aggregates crossed in (the J5 pattern); the model join
     # itself is a ≤ n_buckets-row broadcast hash join
     "q_dsir_selection",
+    # ranking eval: two declared-exact |queries|-bounded crossJoins (the
+    # ann_topk_bruteforce pattern, full-dim + JL-space) feeding 10-row
+    # per-query aggregates
+    "q_search_ndcg",
 }
 
 

@@ -8831,6 +8831,119 @@ def q_mixture_upsample(spark, sf_dir):
     )
 
 
+def _ndcg_oracle_sql(d_out: int = 16) -> str:
+    """DuckDB replay of q_search_ndcg: exact-cosine ground truth (the
+    ann_topk_bruteforce conventions — round-6 sims, vec_id tie break) vs
+    the same retrieval run in JL space, scored with NDCG@10 / MRR. The
+    JL projections come from _jl_oracle_sql's bit-exact CTE."""
+    plist = ", ".join(f"proj_{j:02d}" for j in range(d_out))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    cgt AS (
+      SELECT q.query_id, e.vec_id AS nbr_id,
+             round(list_dot_product(q.vq, e.v)
+                   / nullif(sqrt(list_dot_product(q.vq, q.vq))
+                            * sqrt(list_dot_product(e.v, e.v)), 0.0), 6) AS sim
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+    gt AS (SELECT query_id, nbr_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, nbr_id ASC) AS rank_gt
+           FROM cgt QUALIFY rank_gt <= 10),
+    rel AS (SELECT query_id, nbr_id, CAST(11 - rank_gt AS DOUBLE) AS rel,
+                   rank_gt FROM gt),
+    p AS (SELECT vec_id, [{plist}] AS pv FROM ({_jl_oracle_sql()})),
+    pq AS (SELECT vec_id AS query_id, pv AS pvq FROM p WHERE vec_id < 10),
+    csys AS (
+      SELECT pq.query_id, p.vec_id AS nbr_id,
+             round(list_dot_product(pq.pvq, p.pv)
+                   / nullif(sqrt(list_dot_product(pq.pvq, pq.pvq))
+                            * sqrt(list_dot_product(p.pv, p.pv)), 0.0), 6) AS sim
+      FROM pq CROSS JOIN p WHERE p.vec_id <> pq.query_id),
+    sys AS (SELECT query_id, nbr_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, nbr_id ASC) AS rank_sys
+            FROM csys QUALIFY rank_sys <= 10),
+    idcg AS (SELECT query_id, SUM(rel / log2(rank_gt + 1.0)) AS idcg
+             FROM rel GROUP BY query_id),
+    top1 AS (SELECT query_id, nbr_id AS best FROM rel WHERE rank_gt = 1),
+    dcg AS (
+      SELECT s.query_id,
+             SUM(coalesce(r.rel, 0.0) / log2(s.rank_sys + 1.0)) AS dcg,
+             MAX(CASE WHEN s.nbr_id = t.best
+                      THEN 1.0 / s.rank_sys ELSE 0.0 END) AS mrr
+      FROM sys s
+      LEFT JOIN rel r ON r.query_id = s.query_id AND r.nbr_id = s.nbr_id
+      JOIN top1 t ON t.query_id = s.query_id
+      GROUP BY s.query_id)
+    SELECT d.query_id,
+           {R6P_SQL.format("d.dcg / i.idcg")} AS ndcg10,
+           {R6P_SQL.format("d.mrr")} AS mrr
+    FROM dcg d JOIN idcg i USING (query_id)
+    """
+
+
+@q("q_search_ndcg", _ndcg_oracle_sql())
+def q_search_ndcg(spark, sf_dir):
+    """Retrieval-quality evaluation: NDCG@10 and MRR of JL-projected
+    (64 → 16 dim) cosine retrieval against the exact full-dim cosine
+    ground truth, per query — the standard ranking-eval pass any search
+    or RAG pipeline runs before trusting a cheaper index (here it
+    quantifies exactly what the JL reduction trades away; the recall
+    twin is tests' distortion suite). Graded relevance = 11 − exact
+    rank. Both rankings use the repo's deterministic conventions
+    (round-6 sims, vec_id tie break), projections are bit-exact across
+    engines, so the oracle matches at 6 dp. Candidate volume is the
+    declared-exact |queries|-bounded crossJoin of the ANN baselines."""
+    from .operators.similarity import brute_force_topk, jl_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = brute_force_topk(emb, queries, k=10, query_id_col="query_id")
+    rel = gt.select(
+        "query_id",
+        "nbr_id",
+        (F.lit(11) - F.col("rank")).cast("double").alias("rel"),
+        F.col("rank").alias("rank_gt"),
+    )
+    parr = F.array(*[F.col(f"proj_{j:02d}") for j in range(16)])
+    proj = jl_project(emb, "embedding", 64, 16, id_cols=["vec_id"]).select(
+        "vec_id", parr.alias("embedding")
+    )
+    pqueries = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sys = brute_force_topk(proj, pqueries, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id", F.col("rank").alias("rank_sys")
+    )
+    idcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank_gt") + F.lit(1.0))).alias("idcg")
+    )
+    top1 = rel.filter(F.col("rank_gt") == 1).select("query_id", F.col("nbr_id").alias("best"))
+    j = (
+        sys.join(rel.select("query_id", "nbr_id", "rel"), ["query_id", "nbr_id"], "left")
+        .join(F.broadcast(top1), "query_id")
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(
+            F.coalesce(F.col("rel"), F.lit(0.0))
+            / F.log2(F.col("rank_sys") + F.lit(1.0))
+        ).alias("dcg"),
+        F.max(
+            F.when(F.col("nbr_id") == F.col("best"), 1.0 / F.col("rank_sys")).otherwise(
+                0.0
+            )
+        ).alias("mrr"),
+    )
+    return dcg.join(F.broadcast(idcg), "query_id").select(
+        "query_id",
+        r6p(F.col("dcg") / F.col("idcg")).alias("ndcg10"),
+        r6p(F.col("mrr")).alias("mrr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8872,7 +8985,7 @@ _DRIVER_FIRST = [
     "q_kappa_langid", "q_equidepth_histogram", "dd_lsh_recall_report",
     "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
     "q_lr_quality_train", "q_calibration_bins", "q_zipf_fit",
-    "st_bloom_decontam", "q_mixture_upsample",
+    "st_bloom_decontam", "q_mixture_upsample", "q_search_ndcg",
 ]
 
 

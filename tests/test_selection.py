@@ -135,3 +135,29 @@ def test_bloom_empty_build_side(spark):
         spark.createDataFrame([("x",)], ["v"]), "v", bl, m_bits=1024, k=3
     )
     assert [r["maybe_member"] for r in probed.collect()] == [False]
+
+
+def test_dsir_empty_target_and_layout_invariance(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"tok{i % 7} common word{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # empty target: model falls back to uniform smoothing — still total,
+    # deterministic, and budget-exact
+    out = dsir_select(df, F.lit(False), keep_fraction=0.25, n_buckets=64).collect()
+    assert len(out) == 40 and sum(r["selected"] for r in out) == 10
+
+    # scores are invariant to the input's partition layout
+    a = {
+        r["doc_id"]: (r["score_micro"], r["selected"])
+        for r in dsir_select(
+            df, F.col("doc_id") < 5, 0.25, n_buckets=64
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["score_micro"], r["selected"])
+        for r in dsir_select(
+            df.repartition(13), F.col("doc_id") < 5, 0.25, n_buckets=64
+        ).collect()
+    }
+    assert a == b
