@@ -5949,7 +5949,12 @@ def q_profile_table_approx(spark, sf_dir):
     registered for parity-critical profiling."""
     from .operators.sketches import hll_estimate, hll_registers
 
-    li = table(spark, sf_dir, "lineitem")
+    # parallelism-only round-robin repartition (see st_bloom_decontam):
+    # the local fixture arrives as 3 splits and the per-value md5 hashing
+    # is CPU-dense; 2.8 -> 1.9 s at sf0.1. Unneeded on many-split inputs.
+    li = table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
