@@ -105,6 +105,11 @@ def kmeans_lloyd(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).cache()  # scanned by every iteration's assign + sse + update actions
+    # NOTE: unlike pca.py, NO pre-cache rebalance here — it was measured
+    # and REJECTED (2.8 → 3.8 s at sf0.1): k-means' per-iteration actions
+    # are many and individually light (assign is a literal-centroid map),
+    # so 32-way task overhead × 9 actions outweighs the map parallelism
+    # that pays off for PCA's single heavy aggregate per iteration
     init = (
         e.orderBy("vec_id")
         .limit(k)
