@@ -5949,12 +5949,15 @@ def q_profile_table_approx(spark, sf_dir):
     registered for parity-critical profiling."""
     from .operators.sketches import hll_estimate, hll_registers
 
-    # parallelism-only round-robin repartition (see st_bloom_decontam):
-    # the local fixture arrives as 3 splits and the per-value md5 hashing
-    # is CPU-dense; 2.8 -> 1.9 s at sf0.1. Unneeded on many-split inputs.
-    li = table(spark, sf_dir, "lineitem").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    li = table(spark, sf_dir, "lineitem")
+    # parallelism-only round-robin repartition of ONLY the md5-dense HLL
+    # branch (see st_bloom_decontam), guarded on under-partitioning: the
+    # local fixture arrives as 3 splits (2.8 -> 1.9 s at sf0.1), while
+    # the exact-stats branch does no hashing and keeps running shuffle-
+    # free off the scan; on a many-split production input the guard makes
+    # this a no-op rather than a parallelism-REDUCING full-table shuffle
+    parts = spark.sparkContext.defaultParallelism
+    li_hll = li.repartition(parts) if li.rdd.getNumPartitions() < parts else li
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -5975,7 +5978,7 @@ def q_profile_table_approx(spark, sf_dir):
         )
     )
     stack_v = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
-    stacked = li.select(
+    stacked = li_hll.select(
         F.expr(f"stack({len(_PROFILE_COLS)}, {stack_v}) AS (column_name, v)")
     ).where(F.col("v").isNotNull())
     quant = stacked.select(
@@ -8871,15 +8874,13 @@ def _ndcg_oracle_sql(d_out: int = 16) -> str:
             FROM csys QUALIFY rank_sys <= 10),
     idcg AS (SELECT query_id, SUM(rel / log2(rank_gt + 1.0)) AS idcg
              FROM rel GROUP BY query_id),
-    top1 AS (SELECT query_id, nbr_id AS best FROM rel WHERE rank_gt = 1),
     dcg AS (
       SELECT s.query_id,
              SUM(coalesce(r.rel, 0.0) / log2(s.rank_sys + 1.0)) AS dcg,
-             MAX(CASE WHEN s.nbr_id = t.best
+             MAX(CASE WHEN r.rel IS NOT NULL
                       THEN 1.0 / s.rank_sys ELSE 0.0 END) AS mrr
       FROM sys s
       LEFT JOIN rel r ON r.query_id = s.query_id AND r.nbr_id = s.nbr_id
-      JOIN top1 t ON t.query_id = s.query_id
       GROUP BY s.query_id)
     SELECT d.query_id,
            {R6P_SQL.format("d.dcg / i.idcg")} AS ndcg10,
@@ -8892,7 +8893,9 @@ def _ndcg_oracle_sql(d_out: int = 16) -> str:
 def q_search_ndcg(spark, sf_dir):
     """Retrieval-quality evaluation: NDCG@10 and MRR of JL-projected
     (64 → 16 dim) cosine retrieval against the exact full-dim cosine
-    ground truth, per query — the standard ranking-eval pass any search
+    ground truth, per query (MRR = reciprocal rank of the first
+    RELEVANT result, relevance = ground-truth top-10 membership) — the
+    standard ranking-eval pass any search
     or RAG pipeline runs before trusting a cheaper index (here it
     quantifies exactly what the JL reduction trades away; the recall
     twin is tests' distortion suite). Graded relevance = 11 − exact
@@ -8926,10 +8929,8 @@ def q_search_ndcg(spark, sf_dir):
     idcg = rel.groupBy("query_id").agg(
         F.sum(F.col("rel") / F.log2(F.col("rank_gt") + F.lit(1.0))).alias("idcg")
     )
-    top1 = rel.filter(F.col("rank_gt") == 1).select("query_id", F.col("nbr_id").alias("best"))
-    j = (
-        sys.join(rel.select("query_id", "nbr_id", "rel"), ["query_id", "nbr_id"], "left")
-        .join(F.broadcast(top1), "query_id")
+    j = sys.join(
+        rel.select("query_id", "nbr_id", "rel"), ["query_id", "nbr_id"], "left"
     )
     dcg = j.groupBy("query_id").agg(
         F.sum(
@@ -8937,9 +8938,7 @@ def q_search_ndcg(spark, sf_dir):
             / F.log2(F.col("rank_sys") + F.lit(1.0))
         ).alias("dcg"),
         F.max(
-            F.when(F.col("nbr_id") == F.col("best"), 1.0 / F.col("rank_sys")).otherwise(
-                0.0
-            )
+            F.when(F.col("rel").isNotNull(), 1.0 / F.col("rank_sys")).otherwise(0.0)
         ).alias("mrr"),
     )
     return dcg.join(F.broadcast(idcg), "query_id").select(

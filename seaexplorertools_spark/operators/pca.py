@@ -60,6 +60,7 @@ def power_iteration_top(
     dim: int,
     n_iter: int = 6,
     center: bool = True,
+    rebalance: bool | None = None,
 ) -> tuple[list[float], float]:
     """(loadings, eigenvalue) of the top principal component of the
     (optionally centered) row vectors, after ``n_iter`` fixed power
@@ -75,9 +76,18 @@ def power_iteration_top(
     # one core, so rebalance once to the cluster's parallelism before
     # caching when the source is under-partitioned — one shuffle
     # amortized over n_iter scans (measured 5.2 → 2.9 s at sf0.1).
+    # ``rebalance=None`` (auto) probes the partition count via .rdd —
+    # free on scan-shaped inputs, but under AQE that probe finalizes the
+    # physical plan and EXECUTES any upstream shuffle stages just to read
+    # a number (then the cache recomputes them). Callers handing in
+    # expensive shuffle-lineage inputs should pass rebalance=True/False
+    # explicitly to skip the probe.
     src = df.select(vec_col)
     parts = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parts:
+    do = rebalance
+    if do is None:
+        do = src.rdd.getNumPartitions() < parts
+    if do:
         src = src.repartition(parts)
     df = src.cache()
     mu = [0.0] * dim

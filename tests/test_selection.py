@@ -138,8 +138,6 @@ def test_bloom_empty_build_side(spark):
 
 
 def test_dsir_empty_target_and_layout_invariance(spark):
-    from pyspark.sql import functions as F
-
     rows = [(i, f"tok{i % 7} common word{i % 3}") for i in range(40)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     # empty target: model falls back to uniform smoothing — still total,
