@@ -84,6 +84,9 @@ CROSSJOIN_OK = {
     # ann_topk_bruteforce pattern, full-dim + JL-space) feeding 10-row
     # per-query aggregates
     "q_search_ndcg",
+    # vocab coverage: the corpus token total rides a 1-row aggregate
+    # broadcast (the J5 pattern)
+    "q_vocab_coverage",
 }
 
 

@@ -8948,6 +8948,133 @@ def q_search_ndcg(spark, sf_dir):
     )
 
 
+@q(
+    "q_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM cnt),
+    rk AS (SELECT tok, c,
+                  row_number() OVER (ORDER BY c DESC, tok) AS rank,
+                  SUM(c) OVER (ORDER BY c DESC, tok
+                               ROWS UNBOUNDED PRECEDING) AS cum_mass
+           FROM cnt)
+    SELECT rank AS k, CAST(cum_mass AS BIGINT) AS cum_mass,
+           {R6P_SQL.format("cum_mass / t.total")} AS coverage
+    FROM rk CROSS JOIN t
+    WHERE rank IN (1, 3, 10, 30, 100, 1000)
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Token-mass coverage curve for vocabulary sizing: what fraction of
+    the corpus token stream the top-k most frequent terms cover, sampled
+    at k ∈ {{1, 3, 10, 30, 100, 1000}} (clipped to \\|vocab\\|) — the
+    number a tokenizer designer reads before fixing a vocab budget, and
+    the Zipf fit's (q_zipf_fit) cumulative companion. Rank AND running
+    mass come from ONE windowless rank.global_cumsum pass (cumsum of
+    [c, 1] under the same total order — no `row_number() OVER ()` global
+    window anywhere); the total rides a 1-row broadcast."""
+    from .operators.dedup import tokens as _tokens
+    from .operators.rank import global_cumsum
+
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    cum = global_cumsum(
+        cnt,
+        [F.col("c").desc(), F.col("tok")],
+        ["c", "one"],
+        ["cum_mass", "k"],
+    )
+    t = cnt.agg(F.sum("c").cast("double").alias("total")).withColumn(
+        "__k", F.lit(1)
+    )
+    return (
+        cum.filter(F.col("k").isin(1, 3, 10, 30, 100, 1000))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(t), "__k")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("cum_mass").cast("bigint").alias("cum_mass"),
+            r6p(F.col("cum_mass") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
+@q(
+    "dd_incremental_dedup",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM ({_SHINGLE_SQL})
+    ),
+    sig AS (
+      SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || md5(tok))) AS mh
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, string_agg(mh, '|' ORDER BY seed) AS bsig
+      FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.corpus_id, count(*) AS n_inter
+      FROM cand c JOIN toks ta ON ta.doc_id = c.new_id JOIN toks tb
+        ON tb.doc_id = c.corpus_id AND tb.tok = ta.tok
+      GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT c.new_id, c.corpus_id,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0), 6)
+             AS jaccard,
+           (CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+            / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0)) >= 0.8
+             AS reject
+    FROM cand c
+    LEFT JOIN inter i ON i.new_id = c.new_id AND i.corpus_id = c.corpus_id
+    JOIN sizes sa ON sa.doc_id = c.new_id
+    JOIN sizes sb ON sb.doc_id = c.corpus_id
+    """,
+)
+def dd_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL near-dedup — the nightly-ingest shape: a new batch
+    (doc_id % 10 == 7 stands in for today's crawl) is checked against
+    the existing corpus via a cross-side LSH band join
+    (operators/dedup.py::lsh_cross_pairs), then exact shingle-Jaccard
+    verification rejects true near-dups before admission. Differs from
+    dd_dedup_pipeline (whole-corpus self-join): per-ingest cost is
+    bounded by the batch — in production the corpus band_table is
+    persisted bucketed by (band, bsig) and only batch bands are
+    computed per run; candidate volume is band collisions, never
+    \\|batch\\|×\\|corpus\\|. Recomputed here so the oracle replays the
+    identical state."""
+    from .operators.dedup import jaccard_on_pairs, lsh_cross_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    cand = lsh_cross_pairs(batch, corpus, k=16, band_rows=4)
+    pairs = cand.select(
+        F.col("new_id").alias("doc1"), F.col("corpus_id").alias("doc2")
+    )
+    out = jaccard_on_pairs(docs, pairs, use_shingles=True)
+    return out.select(
+        F.col("doc1").alias("new_id"),
+        F.col("doc2").alias("corpus_id"),
+        r6(F.col("jaccard")).alias("jaccard"),
+        (F.col("jaccard") >= 0.8).alias("reject"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation: the per-round correctness harness checks queries
 # in registration order with a finite cap (round 1 recorded exactly the first
@@ -8990,6 +9117,7 @@ _DRIVER_FIRST = [
     "q_dsir_selection", "dd_bloom_decontaminate", "ann_jl_project",
     "q_lr_quality_train", "q_calibration_bins", "q_zipf_fit",
     "st_bloom_decontam", "q_mixture_upsample", "q_search_ndcg",
+    "q_vocab_coverage", "dd_incremental_dedup",
 ]
 
 

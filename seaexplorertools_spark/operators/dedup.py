@@ -122,19 +122,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     docs: DataFrame,
     k: int = 8,
     band_rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the K signatures into K/band_rows
-    bands, bucket-join docs sharing any band signature. Returns distinct
-    (doc1, doc2), doc1 < doc2.
-    """
+    """(id, band, bsig) LSH band signatures — the joinable (and, in an
+    incremental pipeline, PERSISTABLE) form of a corpus's MinHash state:
+    store this table bucketed by (band, bsig) and each new ingest only
+    computes its own batch's bands. n_bands = k/band_rows rows per doc."""
     sig = minhash_signatures(docs, k, id_col, text_col)
-    bands = (
+    return (
         sig.withColumn("band", F.expr(f"seed div {band_rows}"))
         .groupBy(id_col, "band")
         .agg(
@@ -146,6 +146,20 @@ def lsh_candidate_pairs(
             ).alias("bsig")
         )
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the K signatures into K/band_rows
+    bands, bucket-join docs sharing any band signature. Returns distinct
+    (doc1, doc2), doc1 < doc2.
+    """
+    bands = band_table(docs, k, band_rows, id_col, text_col)
     # tiny table (n_bands rows per doc) self-joined below — cache so the
     # shingle→md5→signature lineage isn't recomputed for both join sides
     bands = bands.cache()
@@ -384,3 +398,29 @@ def jaccard_prefix_join(
         F.floor(F.col("inter").cast("double") / F.col("uni") * F.lit(1e6) + F.lit(0.5))
         / F.lit(1e6),
     )
+
+
+def lsh_cross_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-dedup candidates: band-bucket join of a NEW batch
+    against the EXISTING corpus (distinct (new_id, corpus_id) sharing
+    any band signature) — the nightly-ingest shape, where the corpus
+    side's ``band_table`` is computed once and persisted (bucketed by
+    (band, bsig)) and each ingest pays only for its own batch: batch
+    bands are a map-side pass over new bytes, the join is an equi-join
+    on the bucket key, and candidate volume is bounded by band
+    collisions, never \|batch\|×\|corpus\|. Recomputed per call here
+    so the oracle can replay it."""
+    nb = band_table(new_docs, k, band_rows, id_col, text_col).select(
+        F.col(id_col).alias("new_id"), "band", "bsig"
+    )
+    cb = band_table(corpus_docs, k, band_rows, id_col, text_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "bsig"
+    )
+    return nb.join(cb, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
