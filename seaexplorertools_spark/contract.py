@@ -42,6 +42,12 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
+        # a second registration under the same name would silently
+        # REPLACE the first (dict write), changing a query's semantics
+        # and output schema out from under its driver CORRECTNESS
+        # history — refuse loudly instead
+        if name in QUERIES:
+            raise ValueError(f"contract query {name!r} is already registered")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
