@@ -105,6 +105,11 @@ def main() -> int:
     rows, flags = [], []
     for name, fn in entrymod.queries().items():
         try:
+            # isolate each query's plan: a prior query's .cache() would
+            # otherwise substitute an InMemoryRelation into this plan
+            # (hiding its standalone shuffle/pushdown shape) and make
+            # audited rows depend on registration order
+            spark.catalog.clearCache()
             df = fn(spark, args.sf)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # pragma: no cover

@@ -8996,7 +8996,10 @@ def q_vocab_coverage(spark, sf_dir):
         ["c", "one"],
         ["cum_mass", "k"],
     )
-    t = cnt.agg(F.sum("c").cast("double").alias("total")).withColumn(
+    # total mass == the last rank's inclusive cum_mass — aggregate the
+    # cumsum output (rides global_cumsum's internal consistency cache)
+    # instead of re-scanning + re-shuffling the corpus token counts
+    t = cum.agg(F.max("cum_mass").cast("double").alias("total")).withColumn(
         "__k", F.lit(1)
     )
     return (
@@ -9039,9 +9042,10 @@ def q_vocab_coverage(spark, sf_dir):
       GROUP BY c.new_id, c.corpus_id
     )
     SELECT c.new_id, c.corpus_id,
-           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                 / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0), 6)
-             AS jaccard,
+           {R6P_SQL.format(
+               "(CAST(coalesce(i.n_inter, 0) AS DOUBLE) "
+               "/ nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0))"
+           )} AS jaccard,
            (CAST(coalesce(i.n_inter, 0) AS DOUBLE)
             / nullif(CAST(sa.sz + sb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 0.0)) >= 0.8
              AS reject
@@ -9062,21 +9066,35 @@ def dd_incremental_dedup(spark, sf_dir):
     persisted bucketed by (band, bsig) and only batch bands are
     computed per run; candidate volume is band collisions, never
     \\|batch\\|×\\|corpus\\|. Recomputed here so the oracle replays the
-    identical state."""
-    from .operators.dedup import jaccard_on_pairs, lsh_cross_pairs
+    identical state. The corpus is shingled ONCE (one cached shingle
+    table feeds both sides' band tables AND the exact-Jaccard verify
+    stage via ``token_df`` — not once per consumer)."""
+    from .operators.dedup import (
+        doc_shingles,
+        jaccard_on_pairs,
+        lsh_cross_pairs,
+    )
 
     docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    cand = lsh_cross_pairs(batch, corpus, k=16, band_rows=4)
+    toks = doc_shingles(docs, 3).cache()  # 3 consumers below
+    cand = lsh_cross_pairs(
+        batch,
+        corpus,
+        k=16,
+        band_rows=4,
+        new_token_df=toks.filter(F.col("doc_id") % 10 == 7),
+        corpus_token_df=toks.filter(F.col("doc_id") % 10 != 7),
+    )
     pairs = cand.select(
         F.col("new_id").alias("doc1"), F.col("corpus_id").alias("doc2")
     )
-    out = jaccard_on_pairs(docs, pairs, use_shingles=True)
+    out = jaccard_on_pairs(docs, pairs, use_shingles=True, token_df=toks)
     return out.select(
         F.col("doc1").alias("new_id"),
         F.col("doc2").alias("corpus_id"),
-        r6(F.col("jaccard")).alias("jaccard"),
+        r6p(F.col("jaccard")).alias("jaccard"),
         (F.col("jaccard") >= 0.8).alias("reject"),
     )
 

@@ -102,6 +102,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    token_df: DataFrame | None = None,
 ) -> DataFrame:
     """K min-hashes per doc over 3-token shingles:
     h_i(doc) = min over shingles of md5(i || ':' || shingle).
@@ -110,10 +111,18 @@ def minhash_signatures(
     volume is K rows per doc regardless of document length. Each shingle is
     md5-digested ONCE; the per-seed hashes re-hash the short 32-char digest
     (md5(seed || ':' || md5(shingle))) instead of the long shingle K times.
+
+    ``token_df`` (one row per (doc, distinct shingle), columns
+    ``id_col, tok``) skips the tokenize→shingle pass — pass it when the
+    caller already materialized the shingle table for another stage so
+    the corpus is shingled once, not once per consumer.
     """
-    toks = doc_shingles(docs, shingle_k, id_col, text_col).select(
-        id_col, F.md5(F.col("tok")).alias("tok_h")
+    base = (
+        token_df
+        if token_df is not None
+        else doc_shingles(docs, shingle_k, id_col, text_col)
     )
+    toks = base.select(id_col, F.md5(F.col("tok")).alias("tok_h"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
     return (
         toks.select(id_col, "tok_h", seeds)
@@ -128,12 +137,14 @@ def band_table(
     band_rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bsig) LSH band signatures — the joinable (and, in an
     incremental pipeline, PERSISTABLE) form of a corpus's MinHash state:
     store this table bucketed by (band, bsig) and each new ingest only
-    computes its own batch's bands. n_bands = k/band_rows rows per doc."""
-    sig = minhash_signatures(docs, k, id_col, text_col)
+    computes its own batch's bands. n_bands = k/band_rows rows per doc.
+    ``token_df`` forwards to ``minhash_signatures`` (pre-shingled input)."""
+    sig = minhash_signatures(docs, k, id_col, text_col, token_df=token_df)
     return (
         sig.withColumn("band", F.expr(f"seed div {band_rows}"))
         .groupBy(id_col, "band")
@@ -207,13 +218,18 @@ def jaccard_on_pairs(
     text_col: str = "text",
     use_shingles: bool = False,
     shingle_k: int = 3,
+    token_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set (or shingle-set) Jaccard restricted to candidate
     ``pairs`` (doc1, doc2). The precision stage of two-stage dedup: the
     expensive exact join is bounded by |pairs|, never all-pairs. Pairs with
     zero overlapping tokens get jaccard = 0 (kept — the caller thresholds).
+
+    ``token_df`` (one row per (doc, distinct token/shingle), columns
+    ``id_col, tok``) reuses a table the caller already built — no
+    re-tokenization and no internal cache (the caller owns caching).
     """
-    toks = (
+    toks = token_df if token_df is not None else (
         doc_shingles(docs, shingle_k, id_col, text_col)
         if use_shingles
         else doc_tokens(docs, id_col, text_col)
@@ -407,6 +423,8 @@ def lsh_cross_pairs(
     band_rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    new_token_df: DataFrame | None = None,
+    corpus_token_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-dedup candidates: band-bucket join of a NEW batch
     against the EXISTING corpus (distinct (new_id, corpus_id) sharing
@@ -415,12 +433,14 @@ def lsh_cross_pairs(
     (band, bsig)) and each ingest pays only for its own batch: batch
     bands are a map-side pass over new bytes, the join is an equi-join
     on the bucket key, and candidate volume is bounded by band
-    collisions, never \|batch\|×\|corpus\|. Recomputed per call here
-    so the oracle can replay it."""
-    nb = band_table(new_docs, k, band_rows, id_col, text_col).select(
-        F.col(id_col).alias("new_id"), "band", "bsig"
-    )
-    cb = band_table(corpus_docs, k, band_rows, id_col, text_col).select(
-        F.col(id_col).alias("corpus_id"), "band", "bsig"
-    )
+    collisions, never ``|batch| x |corpus|``. Recomputed per call here
+    so the oracle can replay it. ``new_token_df``/``corpus_token_df``
+    forward to ``band_table`` so an already-shingled split is not
+    re-shingled per side."""
+    nb = band_table(
+        new_docs, k, band_rows, id_col, text_col, token_df=new_token_df
+    ).select(F.col(id_col).alias("new_id"), "band", "bsig")
+    cb = band_table(
+        corpus_docs, k, band_rows, id_col, text_col, token_df=corpus_token_df
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bsig")
     return nb.join(cb, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
