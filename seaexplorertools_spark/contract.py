@@ -4884,6 +4884,39 @@ def q_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "q_source_cap",
+    """
+    SELECT doc_id, source, n_chars, cap_rank FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS cap_rank
+      FROM documents
+    ) WHERE cap_rank <= 20
+    """,
+)
+def q_source_cap(spark, sf_dir):
+    """Per-source DOMAIN CAP (operators/sampling.py::top_k_per_group):
+    keep at most 20 documents per source, best-first by (n_chars DESC,
+    doc_id ASC) — the mixture-design primitive that bounds any one
+    domain's contribution to a pretraining corpus (the keep/drop
+    counterpart of q_mixture_upsample's repeat factors; same
+    longest-wins policy as dd_canonical_pick). The Spark path runs a
+    partition-local top-k combine before the per-group window, so a
+    boilerplate-heavy mega-domain never sorts whole; this single-window
+    oracle pins the two-phase plan bit-identical to it."""
+    from .operators.sampling import top_k_per_group
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return top_k_per_group(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=20,
+        rank_col="cap_rank",
+    ).select("doc_id", "source", "n_chars", "cap_rank")
+
+
+@q(
     "txt_tfidf",
     f"""
     WITH tk AS (

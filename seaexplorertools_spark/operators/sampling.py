@@ -155,6 +155,41 @@ def weighted_sample_per_group(
     )
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Deterministic per-group top-k — the DOMAIN-CAP primitive of a
+    pretraining mix ("keep at most k documents per source, best first"):
+    rank rows within each group by ``order_cols`` and keep ranks 1..k.
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker,
+    e.g. the document id) so the kept set is reproducible across runs,
+    engines, and physical layouts. Adds ``rank_col`` (1..k).
+
+    Scale path: a giant group never sorts whole. A first window over
+    (group, spark_partition_id()) keeps the local top-k of each physical
+    partition — a map-side top-k combine on a key |partitions|× finer
+    than the group — and only those ≤ k·|partitions| survivors meet the
+    final per-group window. Any row cut locally is dominated by k
+    better rows of its own group in its own partition, so it cannot be
+    in the global top-k: bit-identical to the single-window formulation
+    (the DuckDB oracle) on every input."""
+    src = df.withColumn("__part", F.spark_partition_id())
+    local_w = Window.partitionBy(*group_cols, "__part").orderBy(*order_cols)
+    survivors = (
+        src.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__part")
+    )
+    final_w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return survivors.withColumn(rank_col, F.row_number().over(final_w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def upsample_by_repeats(
     df: DataFrame,
     strata_col: str,

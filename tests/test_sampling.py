@@ -180,3 +180,51 @@ def test_upsample_by_repeats_exact_semantics(spark):
     # unlisted strata are dropped
     df2 = spark.createDataFrame([(1, "zz")], ["k", "s"])
     assert upsample_by_repeats(df2, "s", "k", {"a": 2.0}).count() == 0
+
+
+def test_top_k_per_group_cap_semantics_and_partition_invariance(spark, sf_dir):
+    """The domain cap keeps exactly min(k, |group|) rows per group, the
+    kept set is the true per-group top-k (equals the single-window
+    formulation), and the two-phase plan is invariant under physical
+    repartitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from seaexplorertools_spark.operators.sampling import top_k_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    k = 5
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = top_k_per_group(docs, ["source"], order, k=k)
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    counts = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {s: min(k, n) for s, n in sizes.items()}
+
+    # equals the naive single-window formulation, bit for bit
+    w = Window.partitionBy("source").orderBy(*order)
+    naive = (
+        docs.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
+    )
+
+    def key_set(df):
+        return {
+            (r["source"], r["doc_id"], r["cap_rank"])
+            for r in df.select("source", "doc_id", "cap_rank").collect()
+        }
+
+    ref = key_set(naive)
+    assert key_set(got) == ref
+    for nparts in (1, 13):
+        assert key_set(
+            top_k_per_group(docs.repartition(nparts), ["source"], order, k=k)
+        ) == ref
