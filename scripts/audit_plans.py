@@ -48,7 +48,8 @@ GLOBAL_WINDOW_OK = {
 # Declared-exact baselines and axis densification: the crossJoin is the point
 # (bounded by |queries| or |axis|), with ANN/bucketed variants as scale path.
 CROSSJOIN_OK = {
-    "ann_topk_bruteforce", "ann_recall_report", "dd_embedding_dup",
+    "ann_topk_bruteforce", "ann_hard_negatives", "ann_recall_report",
+    "dd_embedding_dup",
     "dd_semdedup", "r2_pivot_export", "q_decayed_agg", "q_hybrid_rrf",
     "j5_scalar_broadcast", "q_percentile_filter", "txt_tfidf", "q_tpch_q11",
     "q_tpch_q22", "q_incremental_agg", "lm_bigram_xent", "lm_ppl_filter",

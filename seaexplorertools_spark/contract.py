@@ -1698,6 +1698,43 @@ def ann_topk_bruteforce(spark, sf_dir):
     return brute_force_topk(e, qs, k=5)
 
 
+@q(
+    "ann_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS vq
+          FROM e WHERE vec_id < 10),
+    c AS (
+      SELECT q.query_id, e.vec_id AS nbr_id, e.label AS neg_label,
+             round(list_dot_product(q.vq, e.v)
+                   / nullif(sqrt(list_dot_product(q.vq, q.vq))
+                            * sqrt(list_dot_product(e.v, e.v)), 0.0),
+                   6) AS sim
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, nbr_id ASC) AS rank
+          FROM c)
+    SELECT query_id, rank, nbr_id, neg_label, sim FROM r WHERE rank <= 5
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per query, the 5 most cosine-similar vectors with a DIFFERENT label —
+    the contrastive-training pair miner. Declared-exact |queries|-bounded
+    crossJoin (the ann_topk_bruteforce pattern); at production query
+    volume the label filter composes with the lsh_topk/ivf_topk shortlist
+    generators instead."""
+    from .operators.similarity import hard_negatives
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(e, qs, k=5)
+
+
 def _lsh_oracle_sql(
     k: int = 5, band_width: int = 4, n_bands: int = 20, dim: int = 64, seed: int = 42
 ) -> str:

@@ -93,6 +93,56 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most cosine-similar vectors whose label DIFFERS from the query's —
+    the near-but-wrong examples a contrastive loss learns the most from.
+    ``queries`` has (query_id, embedding, label).
+
+    Exact form: same |queries|-bounded crossJoin as ``brute_force_topk``
+    (correct at any scale where the query batch is bounded). For large
+    query batches, shortlist with ``lsh_topk``/``ivf_topk`` first and
+    label-filter the shortlist — the label predicate composes with any
+    candidate generator because it is a per-pair filter, not a ranking
+    change. Rank = row_number over (rounded sim desc, nbr_id asc).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+        F.col(label_col).alias("neg_label"),
+    ).withColumn("n_e", norm(F.col("v_e")))
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("n_q", norm(F.col("v_q")))
+    sim_expr = dot(F.col("v_q"), F.col("v_e")) / F.nullif(
+        F.col("n_q") * F.col("n_e"), F.lit(0.0)
+    )
+    sim = (
+        qdf.crossJoin(e)
+        .filter(
+            (F.col("nbr_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .withColumn("sim", F.round(sim_expr, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "neg_label", "sim")
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed hyperplanes (random-projection LSH).
     planes is a small driver-side list → pure expressions, no UDF."""

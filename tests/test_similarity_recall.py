@@ -185,3 +185,51 @@ def test_jl_projection_preserves_distances_and_neighbors(spark, sf_dir):
         len(topk(Xc, qi) & topk(CP, qi)) / 9 for qi in range(0, 200, 10)
     ]
     assert sum(recalls) / len(recalls) > 0.85
+
+
+def test_hard_negatives_label_exclusion_and_consistency(spark, sf_dir):
+    """Every mined negative has a label different from its query's, and
+    the result equals the label-filtered re-rank of the unfiltered exact
+    top list (the filter changes the candidate set, not the ordering)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from seaexplorertools_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    k = 4
+    got = hard_negatives(e, qs, k=k)
+
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    rows = got.collect()
+    assert rows, "mining returned nothing"
+    for r in rows:
+        assert r["neg_label"] == labels[r["nbr_id"]]
+        assert r["neg_label"] != labels[r["query_id"]]
+
+    # consistency: full exact ranking (k = N), drop same-label rows,
+    # re-rank, take k — must equal the mined set exactly
+    n = e.count()
+    full = brute_force_topk(e, qs.select("query_id", "embedding"), k=n)
+    qlab = qs.select("query_id", F.col("label").alias("q_label"))
+    nlab = e.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("neg_label"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    ref = (
+        full.join(qlab, "query_id")
+        .join(nlab, "nbr_id")
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "neg_label", "sim")
+    )
+
+    def key_set(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert key_set(got) == key_set(ref)
