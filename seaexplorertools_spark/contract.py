@@ -4891,6 +4891,59 @@ def dd_edit_distance_pairs(spark, sf_dir):
 
 
 @q(
+    "dd_substring_spans",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, length(text) - 31)) AS INTEGER) AS pos,
+             text
+      FROM documents WHERE length(text) >= 32
+    ),
+    gs AS (SELECT doc_id, pos, substr(text, pos, 32) AS gram FROM g),
+    d AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ
+            FROM gs)
+          WHERE n_occ >= 2),
+    i AS (SELECT doc_id, pos, pos + 31 AS e,
+                 CASE WHEN pos > coalesce(max(pos + 31) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                      THEN 1 ELSE 0 END AS ni
+          FROM d),
+    s AS (SELECT doc_id, pos, e,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+          FROM i)
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+           max(e) - min(pos) + 1 AS span_len
+    FROM s GROUP BY doc_id, island
+    """,
+)
+def dd_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (operators/dedup.py::
+    duplicate_substring_spans, k=32): maximal per-doc char ranges covered
+    by 32-grams occurring ≥ 2 times anywhere in the corpus — the
+    character-level dedup of Lee et al. 2022, completing the dedup family
+    (exact doc / MinHash-LSH / SimHash / shingle-Jaccard / embedding /
+    winnowing-containment / THIS). One gram groupKey shuffle
+    (|bytes|·k — winnowing fingerprints are the bounded scale path when
+    that is too much) + per-doc gaps-and-islands interval merge."""
+    from .operators.dedup import duplicate_substring_spans
+
+    docs = table(spark, sf_dir, "documents")
+    # parallelism-only round-robin repartition, guarded on under-
+    # partitioning (the st_bloom_decontam pattern): the gram explode is
+    # CPU-dense and the local fixture arrives as ONE split (3.3 → 1.1 s
+    # at sf0.1); a many-split production input makes this a no-op
+    parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts)
+    return duplicate_substring_spans(docs, k=32)
+
+
+@q(
     "q_weighted_sample",
     """
     SELECT lang, doc_id, sample_rank FROM (

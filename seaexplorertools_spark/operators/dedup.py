@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_SPLIT = r"\s+"
 
@@ -444,3 +445,81 @@ def lsh_cross_pairs(
         corpus_docs, k, band_rows, id_col, text_col, token_df=corpus_token_df
     ).select(F.col(id_col).alias("corpus_id"), "band", "bsig")
     return nb.join(cb, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans, the character-level dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): every maximal span covered by length-``k`` substrings
+    that occur ≥ 2 times in the corpus (across documents OR repeated
+    inside one), as merged inclusive 1-based [span_start, span_end]
+    char ranges per document — the ranges a substring-level dedup pass
+    would cut.
+
+    Shape: posexplode each doc into its n_chars−k+1 length-k grams
+    (one JVM projection, no Python), ONE groupBy on the gram string to
+    find grams with ≥ 2 occurrences, then per-doc interval merge of the
+    surviving [pos, pos+k−1] windows via gaps-and-islands (running max
+    of span ends; windows partitioned by doc). The reference
+    implementation builds a suffix array precisely to avoid this k×
+    byte amplification; here the gram shuffle IS the documented cost —
+    |corpus bytes|·k — and ``winnow_fingerprints``/containment is the
+    bounded-fingerprint scale path when that is too much. Grouping on
+    the gram string (not a hash) keeps the result exact: no collision
+    can mark a unique span duplicated."""
+    n = F.length(F.col(text_col))
+    grams = (
+        docs.filter(n >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1), "
+                    f"p -> substring({text_col}, p, {k}))"
+                )
+            ).alias("__i", "gram"),
+        )
+        .select(id_col, (F.col("__i") + 1).alias("pos"), "gram")
+    )
+    dup_pos = (
+        grams.withColumn(
+            "__n_occ", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select(id_col, "pos")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup_pos.withColumn("end", F.col("pos") + F.lit(k - 1))
+        .withColumn("__prev_max_end", F.max("end").over(w))
+        .withColumn(
+            "__new_island",
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("pos") > F.col("__prev_max_end") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                Window.partitionBy(id_col)
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return spans.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("end").alias("span_end"),
+        (F.max("end") - F.min("pos") + 1).alias("span_len"),
+    ).drop("__island")

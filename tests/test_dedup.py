@@ -119,3 +119,75 @@ def test_jaccard_prefix_join_equals_bruteforce(spark):
     assert got == want
     assert (1, 6) in got and got[(1, 6)][0] == got[(1, 6)][1]  # exact dup
     assert all(8 not in pair for pair in got)
+
+
+def test_duplicate_substring_spans_planted(spark):
+    """Planted repeats: a cross-doc duplicated sentence and a within-doc
+    repeat are found with correct merged char ranges; short docs and
+    unique text produce nothing."""
+    from seaexplorertools_spark.operators.dedup import duplicate_substring_spans
+
+    boiler = "this exact sentence is shared between two documents!"
+    # boundary chars adjacent to the boiler DIFFER between the two docs,
+    # so the maximal shared substring is exactly the boiler
+    rows = [
+        (1, "prefix_one." + boiler + ".suffix alpha"),
+        (2, "other-intro," + boiler + ";different tail"),
+        (3, "entirely singular content with no repetition whatsoever here"),
+        (4, "tiny"),  # shorter than k -> excluded
+        (5, "zq" + "repeat me twelve " * 2 + "yx"),  # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 16
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_substring_spans(docs, k=k).collect()
+    }
+    assert 3 not in got and 4 not in got
+    # brute-force ground truth: a position is covered iff its k-gram
+    # occurs >= 2 times across the whole corpus (same doc or another)
+    all_grams: dict[str, int] = {}
+    for _, t in rows:
+        for p in range(len(t) - k + 1):
+            g = t[p : p + k]
+            all_grams[g] = all_grams.get(g, 0) + 1
+    for doc_id, t in rows:
+        dup = [
+            p + 1
+            for p in range(len(t) - k + 1)
+            if all_grams[t[p : p + k]] >= 2
+        ]
+        if not dup:
+            assert doc_id not in got
+            continue
+        # merge the [p, p+k-1] intervals; the planted fixtures each
+        # collapse to one span
+        spans = []
+        for p in dup:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        assert len(spans) == 1
+        assert got[doc_id] == (
+            spans[0][0],
+            spans[0][1],
+            spans[0][1] - spans[0][0] + 1,
+        )
+    # the merged span covers the boiler in both docs that share it
+    for doc_id in (1, 2):
+        s = rows[doc_id - 1][1].index(boiler) + 1
+        assert got[doc_id][0] <= s and got[doc_id][1] >= s + len(boiler) - 1
+
+
+def test_duplicate_substring_spans_partition_invariance(spark, sf_dir):
+    from seaexplorertools_spark.operators.dedup import duplicate_substring_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def key_set(df):
+        return {tuple(r) for r in df.collect()}
+
+    a = key_set(duplicate_substring_spans(docs, k=32))
+    b = key_set(duplicate_substring_spans(docs.repartition(13), k=32))
+    assert a and a == b
