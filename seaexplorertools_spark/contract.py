@@ -4944,6 +4944,61 @@ def dd_substring_spans(spark, sf_dir):
 
 
 @q(
+    "dd_substring_dedup_apply",
+    f"""
+    WITH spans AS ({ORACLES["dd_substring_spans"]}),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start) + 1, 1)
+               AS seg_start,
+             span_start - 1 AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(span_end) + 1 AS seg_start,
+             CAST(NULL AS INTEGER) AS seg_end
+      FROM spans GROUP BY doc_id
+    ),
+    pieces AS (
+      SELECT s.doc_id, s.seg_start,
+             substr(d.text, s.seg_start,
+                    coalesce(s.seg_end, length(d.text)) - s.seg_start + 1)
+               AS piece
+      FROM segs s JOIN documents d USING (doc_id)
+    ),
+    cl AS (
+      SELECT doc_id,
+             coalesce(string_agg(piece, '' ORDER BY seg_start), '') AS cleaned
+      FROM pieces GROUP BY doc_id
+    ),
+    rm AS (SELECT doc_id,
+                  CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_removed
+           FROM spans GROUP BY doc_id)
+    SELECT cl.doc_id, cl.cleaned, rm.n_removed FROM cl JOIN rm USING (doc_id)
+    UNION ALL
+    SELECT d.doc_id, d.text AS cleaned, CAST(0 AS BIGINT) AS n_removed
+    FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)
+    """,
+)
+def dd_substring_dedup_apply(spark, sf_dir):
+    """The TRANSFORMATION half of substring dedup (operators/dedup.py::
+    cut_spans): cut every duplicated span out of the text, pass span-free
+    docs through, report chars removed. Kept segments are the gaps
+    between consecutive spans (lag window over the doc's FEW span rows —
+    never over corpus rows) and concatenate with in-aggregate
+    deterministic ordering, so no corpus-wide ordered window exists
+    anywhere in the plan."""
+    from .operators.dedup import cut_spans, duplicate_substring_spans
+
+    docs = table(spark, sf_dir, "documents")
+    parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts)
+    spans = duplicate_substring_spans(docs, k=32)
+    return cut_spans(docs, spans)
+
+
+@q(
     "q_weighted_sample",
     """
     SELECT lang, doc_id, sample_rank FROM (

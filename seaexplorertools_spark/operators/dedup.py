@@ -523,3 +523,72 @@ def duplicate_substring_spans(
         F.max("end").alias("span_end"),
         (F.max("end") - F.min("pos") + 1).alias("span_len"),
     ).drop("__island")
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a span report (``duplicate_substring_spans`` output: id,
+    span_start, span_end — inclusive, 1-based, non-overlapping) to the
+    corpus: cut every span out of the text. Returns
+    (id, cleaned, n_removed) for EVERY document — span-free docs pass
+    through with n_removed = 0.
+
+    Shape: per doc, the kept segments are the gaps between consecutive
+    spans (lag window over the doc's few span rows — never over corpus
+    rows) plus the tail after the last span; segments join back to the
+    text and concatenate with in-aggregate deterministic ordering
+    (sort_array(collect_list(struct))), so there is no ordered-window
+    re-shuffle of the corpus. Cost: one |spans| window + one join +
+    one groupBy on the doc id."""
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    segs = (
+        spans.withColumn(
+            "seg_start",
+            F.coalesce(F.lag("span_end").over(w) + 1, F.lit(1)),
+        )
+        .withColumn("seg_end", F.col("span_start") - 1)
+        .select(id_col, "seg_start", "seg_end")
+    )
+    # tail segment after the last span (may be empty; length clamps it)
+    tails = spans.groupBy(id_col).agg(
+        (F.max("span_end") + 1).alias("seg_start"),
+        F.lit(None).cast("int").alias("seg_end"),  # = end of text
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__removed"),
+    )
+    pieces = segs.unionByName(tails.drop("__removed")).join(
+        docs.select(id_col, text_col), id_col
+    )
+    piece_txt = F.expr(
+        f"substring({text_col}, seg_start, "
+        f"coalesce(seg_end, length({text_col})) - seg_start + 1)"
+    )
+    cleaned = (
+        pieces.withColumn("__piece", piece_txt)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seg_start", "__piece"))
+                    ),
+                    lambda st: st["__piece"],
+                ),
+                "",
+            ).alias("cleaned")
+        )
+        .join(tails.select(id_col, "__removed"), id_col)
+    )
+    untouched = docs.join(spans.select(id_col).distinct(), id_col, "left_anti")
+    return cleaned.select(
+        id_col, "cleaned", F.col("__removed").cast("bigint").alias("n_removed")
+    ).unionByName(
+        untouched.select(
+            id_col,
+            F.col(text_col).alias("cleaned"),
+            F.lit(0).cast("bigint").alias("n_removed"),
+        )
+    )

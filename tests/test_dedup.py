@@ -191,3 +191,44 @@ def test_duplicate_substring_spans_partition_invariance(spark, sf_dir):
     a = key_set(duplicate_substring_spans(docs, k=32))
     b = key_set(duplicate_substring_spans(docs.repartition(13), k=32))
     assert a and a == b
+
+
+def test_cut_spans_roundtrip_and_passthrough(spark):
+    """Cutting the reported spans removes exactly the duplicated ranges
+    (python-replay ground truth); span-free and short docs pass through
+    byte-identical with n_removed = 0."""
+    from seaexplorertools_spark.operators.dedup import (
+        cut_spans,
+        duplicate_substring_spans,
+    )
+
+    boiler = "this exact sentence is shared between two documents!"
+    rows = [
+        (1, "prefix_one." + boiler + ".suffix alpha"),
+        (2, "other-intro," + boiler + ";different tail"),
+        (3, "entirely singular content with no repetition whatsoever here"),
+        (4, "tiny"),
+        (5, "zq" + "repeat me twelve " * 2 + "yx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 16
+    spans = duplicate_substring_spans(docs, k=k)
+    span_map: dict[int, list[tuple[int, int]]] = {}
+    for r in spans.collect():
+        span_map.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got = {r["doc_id"]: (r["cleaned"], r["n_removed"]) for r in cut_spans(docs, spans).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc_id, t in rows:
+        cut = sorted(span_map.get(doc_id, []))
+        expect = ""
+        prev_end = 0
+        for s, e in cut:
+            expect += t[prev_end : s - 1]
+            prev_end = e
+        expect += t[prev_end:]
+        removed = sum(e - s + 1 for s, e in cut)
+        assert got[doc_id] == (expect, removed), doc_id
+    assert got[3][1] == 0 and got[4][1] == 0
+    assert boiler not in got[1][0] and boiler not in got[2][0]
