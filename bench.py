@@ -85,6 +85,10 @@ EXTRA = [
     "dd_bloom_decontaminate",  # broadcast-bitset decontamination
     "ann_jl_project",       # zero-shuffle JL projection
     "q_lr_quality_train",   # 3-iteration logistic-regression trainer
+    "dd_substring_spans",   # exact char-level dedup spans (gram shuffle)
+    "dd_substring_dedup_apply",  # span cut + in-aggregate reassembly
+    "q_source_cap",         # per-source domain cap (local top-k combine)
+    "ann_hard_negatives",   # contrastive hard-negative miner
 ]
 
 
