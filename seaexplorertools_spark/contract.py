@@ -2415,6 +2415,39 @@ def udf_soundspeed_mackenzie(spark, sf_dir):
 
 
 @q(
+    "udf_trimmed_mean",
+    """
+    WITH v AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (SELECT event_type, value FROM v
+          WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1))
+    SELECT event_type, round(avg(value), 6) AS trimmed_mean
+    FROM t GROUP BY event_type
+    """,
+)
+def udf_trimmed_mean(spark, sf_dir):
+    """§2.9 GROUPED_AGG surface (functions/grouped.py::trimmed_mean_udf):
+    per-event-type 10 %-trimmed mean of value via an Arrow
+    grouped-aggregate pandas UDF — the Series→scalar UDF shape, completing
+    the Python-boundary family (scalar pandas_udf, grouped-map, cogrouped,
+    mapInPandas, mapInArrow, UDTF, applyInPandasWithState, and now the
+    pandas UDAF). Right boundary for order statistics with no
+    sufficient-statistic split; the k = floor(n·trim) drop count is the
+    identical IEEE double product in pandas and the oracle, so the kept
+    multiset matches exactly and only the 6-dp-rounded mean is compared."""
+    from .functions.grouped import group_trimmed_means
+
+    ev = events(spark, sf_dir).filter(F.col("value").isNotNull())
+    out = group_trimmed_means(ev, ["event_type"], "value", trim=0.1)
+    return out.select("event_type", r6(F.col("trimmed_mean")).alias("trimmed_mean"))
+
+
+@q(
     "dd_simhash_pairs",
     f"""
     WITH toks AS (
