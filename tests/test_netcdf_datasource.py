@@ -1,0 +1,77 @@
+"""Spark 4 Python DataSource for NetCDF3 (sources/netcdf_ds.py): the
+distributed scan path must equal the driver-side group read exactly, one
+input partition per file, both layouts, and option validation."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from seaexplorertools_spark.sources.netcdf_ds import NetCDF3DataSource
+
+from test_sources import _write_ad2cp_fixture
+
+
+@pytest.fixture()
+def mission(tmp_path):
+    all_t, all_v, bt_t = _write_ad2cp_fixture(str(tmp_path))
+    return str(tmp_path), all_t, all_v, bt_t
+
+
+def test_ping_layout_matches_groups(spark, mission):
+    tmp, all_t, _, _ = mission
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "ping")
+        .load(f"{tmp}/mission_*.nc")
+    )
+    # inferred schema: time_us + sorted 1-D vars as double
+    assert df.columns[0] == "time_us"
+    assert "Pressure" in df.columns and "Pitch" in df.columns
+    assert "VelocityBeam1" not in df.columns  # 2-D, wrong layout
+    rows = df.orderBy("time_us").collect()
+    assert [r["time_us"] for r in rows] == sorted(all_t.astype(np.int64))
+    # distributed: one partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_cells_layout_matches_groups(spark, mission):
+    tmp, all_t, all_v, _ = mission
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "cells")
+        .load(f"{tmp}/mission_*.nc")
+    )
+    assert df.columns[:2] == ["time_us", "bin"]
+    got = {
+        (r["time_us"], r["bin"]): r["VelocityBeam1"]
+        for r in df.collect()
+    }
+    n_bins = all_v.shape[1]
+    assert len(got) == len(all_t) * n_bins
+    for i, t in enumerate(all_t.astype(np.int64)):
+        for b in range(n_bins):
+            assert got[(t, b)] == pytest.approx(all_v[i, b] + 1, rel=1e-12)
+
+
+def test_bt_group_and_validation(spark, mission):
+    tmp, _, _, bt_t = mission
+    spark.dataSource.register(NetCDF3DataSource)
+    bt = (
+        spark.read.format("netcdf3")
+        .option("group", "Data/AverageBT")
+        .load(f"{tmp}/mission_0.nc")
+    )
+    assert sorted(r["time_us"] for r in bt.collect()) == sorted(bt_t.astype(np.int64))
+    with pytest.raises(Exception):
+        spark.read.format("netcdf3").option("layout", "nope").load(
+            f"{tmp}/mission_0.nc"
+        ).schema
+    with pytest.raises(Exception):
+        spark.read.format("netcdf3").load(f"{tmp}/does_not_exist_*.nc").schema
