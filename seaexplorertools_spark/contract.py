@@ -2586,6 +2586,35 @@ def q_json_extract(spark, sf_dir):
 
 
 @q(
+    "q_variant_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT twin of q_json_extract: ``parse_json`` converts the
+    props payload to the binary semi-structured VARIANT type ONCE, then
+    ``variant_get`` does typed path access — at scale the parse cost is
+    paid once per row instead of once per extracted field, and the binary
+    encoding shreds/prunes where repeated ``get_json_object`` re-parses
+    the string per call. Readout: per k%10 bucket counts + mean value."""
+    ev = events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.withColumn("__k", k)
+        .filter(F.col("__k").isNotNull())
+        .groupBy((F.col("__k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value"))
+    )
+
+
+@q(
     "q_range_frame_trailing",
     """
     SELECT event_id,
