@@ -26,15 +26,24 @@ variables exploded long to (time_us, bin, value columns).
 
 from __future__ import annotations
 
+import os
+import uuid
+from dataclasses import dataclass
 from glob import glob
 
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .netcdf import _time_to_us
-from .netcdf3 import read_netcdf3
+from .netcdf3 import read_netcdf3, write_netcdf3
 
 
 def _group_vars(path: str, group: str) -> dict[str, np.ndarray]:
@@ -125,3 +134,87 @@ class NetCDF3DataSource(DataSource):
     def reader(self, schema) -> NetCDF3Reader:
         paths, group, layout, cols = self._resolved()
         return NetCDF3Reader(paths, group, layout, cols)
+
+    def writer(self, schema, overwrite: bool) -> "NetCDF3Writer":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("netcdf3 sink requires .save(<directory>)")
+        return NetCDF3Writer(path, schema, overwrite)
+
+
+@dataclass
+class _NcCommit(WriterCommitMessage):
+    """Picklable per-task commit record: the finished part file."""
+
+    filename: str
+    n_rows: int
+
+
+class NetCDF3Writer(DataSourceWriter):
+    """Distributed NetCDF3 sink: each partition writes ONE classic .nc
+    part file (``part-<pid>-<uuid>.nc``) into the target directory —
+    the export format the reference emits its processed datasets in
+    (process_adcp.py writes ds_out NetCDF), produced executor-side with
+    no driver collect. commit() drops a ``_SUCCESS`` marker listing the
+    parts; abort() removes any files the failed attempt reported.
+
+    Classic CDF-1 has no 64-bit integer type, so BIGINT columns are
+    stored as f8 doubles — exact for |v| < 2^53 (epoch-µs until the year
+    2255); INT → i4, FLOAT → f4, DOUBLE → f8. Non-numeric columns are
+    rejected loudly rather than silently stringified."""
+
+    _NP_OF_SPARK = {
+        "bigint": np.float64,
+        "int": np.int32,
+        "smallint": np.int16,
+        "tinyint": np.int8,
+        "float": np.float32,
+        "double": np.float64,
+    }
+
+    def __init__(self, path: str, schema, overwrite: bool):
+        self._path = path
+        self._cols = []
+        for f in schema.fields:
+            dt = f.dataType.simpleString()
+            if dt not in self._NP_OF_SPARK:
+                raise TypeError(
+                    f"netcdf3 sink: column {f.name!r} has non-numeric type "
+                    f"{dt!r} (classic NetCDF3 stores numeric variables only)"
+                )
+            self._cols.append((f.name, self._NP_OF_SPARK[dt]))
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _NcCommit:
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.nc"
+        os.makedirs(self._path, exist_ok=True)
+        n = len(rows)
+        variables = {
+            name: (
+                ("row",),
+                np.array([r[i] for r in rows], dtype=np_t),
+            )
+            for i, (name, np_t) in enumerate(self._cols)
+        }
+        # classic format cannot represent a 0-sized fixed dim; empty
+        # partitions simply contribute no part file
+        if n:
+            write_netcdf3(os.path.join(self._path, fname), {"row": n}, variables)
+        return _NcCommit(filename=fname if n else "", n_rows=n)
+
+    def commit(self, messages) -> None:
+        parts = [m.filename for m in messages if m and m.filename]
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+            fh.write("\n".join(parts))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.filename:
+                try:
+                    os.remove(os.path.join(self._path, m.filename))
+                except OSError:
+                    pass

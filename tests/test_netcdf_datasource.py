@@ -75,3 +75,50 @@ def test_bt_group_and_validation(spark, mission):
         ).schema
     with pytest.raises(Exception):
         spark.read.format("netcdf3").load(f"{tmp}/does_not_exist_*.nc").schema
+
+
+def test_writer_roundtrip(spark, tmp_path, sf_dir):
+    """Distributed NetCDF3 sink: every partition writes its own part
+    file, the union of parts equals the DataFrame exactly, _SUCCESS
+    lists the parts, and non-numeric columns are rejected."""
+    import glob as _glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.sources.netcdf3 import read_netcdf3
+
+    spark.dataSource.register(NetCDF3DataSource)
+    out = str(tmp_path / "nc_out")
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("value").isNotNull())
+        .repartition(4)
+    )
+    df.write.format("netcdf3").mode("append").save(out)
+
+    parts = sorted(_glob.glob(f"{out}/part-*.nc"))
+    assert 1 <= len(parts) <= 4
+    assert os.path.exists(f"{out}/_SUCCESS")
+    listed = set(open(f"{out}/_SUCCESS").read().split())
+    assert listed == {os.path.basename(p) for p in parts}
+
+    got = set()
+    for p in parts:
+        _, vs, _ = read_netcdf3(p)
+        assert set(vs) == {"event_id", "user_id", "value"}
+        for i in range(len(vs["event_id"])):
+            got.add(
+                (int(vs["event_id"][i]), int(vs["user_id"][i]), float(vs["value"][i]))
+            )
+    want = {
+        (r["event_id"], r["user_id"], float(r["value"])) for r in df.collect()
+    }
+    assert got == want
+
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ).write.format("netcdf3").mode("append").save(str(tmp_path / "bad"))
