@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -135,6 +136,22 @@ class NetCDF3DataSource(DataSource):
         paths, group, layout, cols = self._resolved()
         return NetCDF3Reader(paths, group, layout, cols)
 
+    def simpleStreamReader(self, schema) -> "NetCDF3StreamReader":
+        # streaming: tolerate an initially-EMPTY directory (a stream may
+        # start before the instrument uploads its first file) — schema
+        # must then come from the caller via .schema(...)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("netcdf3 stream requires .load(<path or glob>)")
+        group = self.options.get("group", "Data/Average")
+        layout = self.options.get("layout", "ping")
+        paths = sorted(glob(path))
+        cols = (
+            _layout_columns(_group_vars(paths[0], group), layout) if paths else
+            [f.name for f in schema.fields if f.name not in ("time_us", "bin")]
+        )
+        return NetCDF3StreamReader(path, group, layout, cols)
+
     def writer(self, schema, overwrite: bool) -> "NetCDF3Writer":
         path = self.options.get("path")
         if not path:
@@ -218,3 +235,41 @@ class NetCDF3Writer(DataSourceWriter):
                     os.remove(os.path.join(self._path, m.filename))
                 except OSError:
                     pass
+
+
+class NetCDF3StreamReader(SimpleDataSourceStreamReader):
+    """Stream a growing mission directory: the offset is the count of
+    files already processed over the SORTED file listing, so the
+    directory must be append-only with lexicographically increasing
+    names (instrument loggers emit ``mission_<seq>.nc`` — exactly that).
+    Each micro-batch reads only the new files; replays between two
+    committed offsets re-list the same sorted prefix, so recovery is
+    deterministic."""
+
+    def __init__(self, path: str, group: str, layout: str, cols: list[str]):
+        self._glob = path
+        self._group = group
+        self._layout = layout
+        self._cols = cols
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows_for(self, paths: list[str]):
+        # a LIST iterator, not a generator: the streaming runtime caches
+        # and copy.copy()s the prefetched iterator between planning and
+        # execution, and generators are not copyable
+        rows = []
+        for p in paths:
+            batch = _file_batch(p, self._group, self._layout, self._cols)
+            rows.extend(tuple(r.values()) for r in batch.to_pylist())
+        return iter(rows)
+
+    def read(self, start: dict):
+        files = sorted(glob(self._glob))
+        new = files[start["idx"]:]
+        return self._rows_for(new), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = sorted(glob(self._glob))[start["idx"]:end["idx"]]
+        return self._rows_for(files)

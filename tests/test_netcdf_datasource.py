@@ -122,3 +122,46 @@ def test_writer_roundtrip(spark, tmp_path, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         ).write.format("netcdf3").mode("append").save(str(tmp_path / "bad"))
+
+
+def test_stream_tail_directory(spark, tmp_path):
+    """readStream over a growing mission directory: the first micro-batch
+    sees file 0, a file landing later is picked up by the next batch,
+    nothing is re-read (offset = sorted-file count)."""
+    import shutil
+
+    from test_sources import _write_ad2cp_fixture
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    live = tmp_path / "live"
+    live.mkdir()
+    _write_ad2cp_fixture(str(stage))
+    shutil.copy(stage / "mission_0.nc", live / "mission_0.nc")
+
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "ping")
+        .load(f"{live}/mission_*.nc")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nc_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) n from nc_tail").collect()[0]["n"]
+        assert n1 == 6  # file 0: T=6 pings
+        shutil.copy(stage / "mission_1.nc", live / "mission_1.nc")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select time_us, Pressure from nc_tail order by time_us"
+        ).collect()
+        assert len(rows) == 12  # both files, no re-read of file 0
+        assert len({r["time_us"] for r in rows}) == 12
+    finally:
+        q.stop()
