@@ -65,7 +65,9 @@ def _layout_columns(av: dict[str, np.ndarray], layout: str) -> list[str]:
     )
 
 
-def _file_batch(path: str, group: str, layout: str, cols: list[str]) -> pa.RecordBatch:
+def _file_batch(
+    path: str, group: str, layout: str, cols: list[str], src_file: bool = False
+) -> pa.RecordBatch:
     av = _group_vars(path, group)
     if "time" not in av:
         raise ValueError(f"{path}: no 'time' variable in group {group!r}")
@@ -77,30 +79,47 @@ def _file_batch(path: str, group: str, layout: str, cols: list[str]) -> pa.Recor
         arrays = [pa.array(time_us, pa.int64())] + [
             pa.array(np.asarray(av[c], dtype=np.float64), pa.float64()) for c in cols
         ]
-        return pa.RecordBatch.from_arrays(arrays, ["time_us", *cols])
-    n_bins = av[cols[0]].shape[1]
-    arrays = [
-        pa.array(np.repeat(time_us, n_bins), pa.int64()),
-        pa.array(np.tile(np.arange(n_bins, dtype=np.int32), len(time_us)), pa.int32()),
-    ] + [
-        pa.array(np.asarray(av[c], dtype=np.float64).reshape(-1), pa.float64())
-        for c in cols
-    ]
-    return pa.RecordBatch.from_arrays(arrays, ["time_us", "bin", *cols])
+        names = ["time_us", *cols]
+    else:
+        n_bins = av[cols[0]].shape[1]
+        arrays = [
+            pa.array(np.repeat(time_us, n_bins), pa.int64()),
+            pa.array(
+                np.tile(np.arange(n_bins, dtype=np.int32), len(time_us)), pa.int32()
+            ),
+        ] + [
+            pa.array(np.asarray(av[c], dtype=np.float64).reshape(-1), pa.float64())
+            for c in cols
+        ]
+        names = ["time_us", "bin", *cols]
+    if src_file:  # provenance column (input_file_name() equivalent)
+        arrays = [pa.array([path] * len(arrays[0]), pa.string())] + arrays
+        names = ["src_file", *names]
+    return pa.RecordBatch.from_arrays(arrays, names)
 
 
 class NetCDF3Reader(DataSourceReader):
-    def __init__(self, paths: list[str], group: str, layout: str, cols: list[str]):
+    def __init__(
+        self,
+        paths: list[str],
+        group: str,
+        layout: str,
+        cols: list[str],
+        src_file: bool = False,
+    ):
         self._paths = paths
         self._group = group
         self._layout = layout
         self._cols = cols
+        self._src_file = src_file
 
     def partitions(self):
         return [InputPartition(p) for p in self._paths]
 
     def read(self, partition):
-        yield _file_batch(partition.value, self._group, self._layout, self._cols)
+        yield _file_batch(
+            partition.value, self._group, self._layout, self._cols, self._src_file
+        )
 
 
 class NetCDF3DataSource(DataSource):
@@ -125,16 +144,19 @@ class NetCDF3DataSource(DataSource):
         cols = _layout_columns(_group_vars(paths[0], group), layout)
         if layout == "cells" and not cols:
             raise ValueError(f"{paths[0]}: no 2-D variables in group {group!r}")
-        return paths, group, layout, cols
+        src = self.options.get("src_file", "false").lower() == "true"
+        return paths, group, layout, cols, src
 
     def schema(self) -> str:
-        _, _, layout, cols = self._resolved()
+        _, _, layout, cols, src = self._resolved()
         base = "time_us bigint" if layout == "ping" else "time_us bigint, bin int"
+        if src:
+            base = "src_file string, " + base
         return ", ".join([base] + [f"{c} double" for c in cols])
 
     def reader(self, schema) -> NetCDF3Reader:
-        paths, group, layout, cols = self._resolved()
-        return NetCDF3Reader(paths, group, layout, cols)
+        paths, group, layout, cols, src = self._resolved()
+        return NetCDF3Reader(paths, group, layout, cols, src)
 
     def simpleStreamReader(self, schema) -> "NetCDF3StreamReader":
         # streaming: tolerate an initially-EMPTY directory (a stream may

@@ -173,7 +173,7 @@ def test_python_datasource_netcdf3(spark):
     Spark 4 Python DataSource — one InputPartition per file (fleet-parallel),
     schema inferred from the first header, ping + cells layouts consistent
     with ingest_ad2cp."""
-    from seaexplorertools_spark.sources.pyds import NetCDF3DataSource
+    from seaexplorertools_spark.sources.netcdf_ds import NetCDF3DataSource
 
     spark.dataSource.register(NetCDF3DataSource)
     with tempfile.TemporaryDirectory() as tmp:
@@ -181,8 +181,8 @@ def test_python_datasource_netcdf3(spark):
 
         ping = (
             spark.read.format("netcdf3")
-            .option("path", f"{tmp}/mission_*.nc")
-            .load()
+            .option("src_file", "true")
+            .load(f"{tmp}/mission_*.nc")
             .orderBy("time_us")
             .toPandas()
         )
@@ -193,9 +193,8 @@ def test_python_datasource_netcdf3(spark):
 
         cells = (
             spark.read.format("netcdf3")
-            .option("path", f"{tmp}/mission_*.nc")
             .option("layout", "cells")
-            .load()
+            .load(f"{tmp}/mission_*.nc")
             .orderBy("time_us", "bin")
             .toPandas()
         )
@@ -206,8 +205,7 @@ def test_python_datasource_netcdf3(spark):
         # pushdown-compatible laziness: projection+filter run without error
         n = (
             spark.read.format("netcdf3")
-            .option("path", f"{tmp}/mission_*.nc")
-            .load()
+            .load(f"{tmp}/mission_*.nc")
             .where("Pressure > 20")
             .select("time_us")
             .count()
