@@ -4158,6 +4158,41 @@ def q_hilbert_layout(spark, sf_dir):
 
 
 @q(
+    "q_join_size_estimate",
+    """
+    WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
+    b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+    j AS (SELECT a.k, na * nb AS prod FROM a JOIN b USING (k))
+    SELECT count(*) AS n_matching_keys,
+           CAST(coalesce(sum(prod), 0) AS BIGINT) AS est_rows,
+           CAST(coalesce(max(prod), 0) AS BIGINT) AS max_key_product
+    FROM j
+    """,
+)
+def q_join_size_estimate(spark, sf_dir):
+    """Planner-style join-size estimation WITHOUT running the join: the
+    exact output cardinality of events ⋈ orders on (user_id = o_custkey)
+    is Σ_k count_a(k)·count_b(k) over matching keys, computed from the
+    two per-key COUNT tables — two map-side-combined aggregates plus a
+    join bounded by |distinct keys|, never the fact-×-fact shuffle the
+    estimate is ABOUT. max_key_product is the skew statistic the same
+    planner uses to pick salting/AQE-skew handling: the single hottest
+    key's contribution to the join output."""
+    ev = events(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    a = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("na"))
+    b = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    j = a.join(b, "k").select((F.col("na") * F.col("nb")).alias("prod"))
+    return j.agg(
+        F.count("*").alias("n_matching_keys"),
+        F.coalesce(F.sum("prod"), F.lit(0)).cast("bigint").alias("est_rows"),
+        F.coalesce(F.max("prod"), F.lit(0)).cast("bigint").alias("max_key_product"),
+    )
+
+
+@q(
     "q_snapshot_diff",
     """
     WITH v1 AS (

@@ -129,3 +129,24 @@ def test_retention_week_zero_covers_all_users(spark, sf_dir):
         contract.events(spark, sf_dir).select("user_id").distinct().count()
     )
     assert week0 == n_users
+
+
+def test_join_size_estimate_is_exact(spark, sf_dir):
+    """The count-product estimate IS the true equi-join cardinality, and
+    max_key_product matches the hottest key's actual contribution."""
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.contract import QUERIES, events, table
+
+    got = QUERIES["q_join_size_estimate"](spark, sf_dir).collect()[0]
+    ev = events(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    joined = ev.join(orders, ev["user_id"] == orders["o_custkey"])
+    assert got["est_rows"] == joined.count()
+    hot = (
+        joined.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert got["max_key_product"] == hot
