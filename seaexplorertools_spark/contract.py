@@ -4158,6 +4158,66 @@ def q_hilbert_layout(spark, sf_dir):
 
 
 @q(
+    "q_embedding_dq",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    f AS (
+      SELECT vec_id, len(e) AS dim,
+             len(list_filter(e, x -> isnan(x))) AS n_nan,
+             sqrt(list_dot_product(
+               list_filter(e, x -> NOT isnan(x)),
+               list_filter(e, x -> NOT isnan(x)))) AS nrm
+      FROM v
+    )
+    SELECT count(*) AS n_vecs,
+           CAST(coalesce(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_wrong_dim,
+           CAST(coalesce(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_with_nan,
+           CAST(coalesce(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_zero_norm,
+           round(avg(nrm), 6) AS avg_norm
+    FROM f
+    """,
+)
+def q_embedding_dq(spark, sf_dir):
+    """Embedding-health gate (the q_dq_checks pattern on the vector
+    column): wrong-dimension, NaN-component, and zero-norm counts plus
+    the mean L2 norm, in ONE map-side-combined aggregate over row-local
+    array expressions — the pre-index sanity pass an ANN/semantic-dedup
+    pipeline runs before building anything on the vectors. NaNs are
+    excluded from the norm (isnan filter) so one bad component flags the
+    row without poisoning the corpus-level mean."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    clean = F.filter(F.col("e"), lambda x: ~F.isnan(x))
+    nrm = F.sqrt(
+        F.aggregate(clean, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    f = e.select(
+        F.size("e").alias("dim"),
+        F.size(F.filter(F.col("e"), lambda x: F.isnan(x))).alias("n_nan"),
+        nrm.alias("nrm"),
+    )
+    return f.agg(
+        F.count("*").alias("n_vecs"),
+        F.coalesce(F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_wrong_dim"),
+        F.coalesce(F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_with_nan"),
+        F.coalesce(F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        r6(F.avg("nrm")).alias("avg_norm"),
+    )
+
+
+@q(
     "q_join_size_estimate",
     """
     WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),

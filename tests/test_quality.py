@@ -110,3 +110,32 @@ def test_readability_hand_values(spark):
     assert abs(r1["flesch"] - want) < 1e-9
     # fragment: sentences floored at 1
     assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 1
+
+
+def test_embedding_dq_detects_planted_defects(spark):
+    """Planted wrong-dim / NaN-component / zero vectors are each counted
+    once, and the NaN row's bad component does not poison avg_norm."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.contract import QUERIES
+
+    rows = [
+        (0, [3.0, 4.0] + [0.0] * 62, 0),            # norm 5, fine
+        (1, [float("nan")] + [2.0] + [0.0] * 62, 0),  # NaN component, norm 2
+        (2, [0.0] * 64, 0),                           # zero norm
+        (3, [1.0] * 16, 0),                           # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/embeddings.parquet")
+        got = QUERIES["q_embedding_dq"](spark, tmp).collect()[0]
+    assert got["n_vecs"] == 4
+    assert got["n_wrong_dim"] == 1
+    assert got["n_with_nan"] == 1
+    assert got["n_zero_norm"] == 1
+    assert got["avg_norm"] == round((5.0 + 2.0 + 0.0 + 4.0) / 4, 6)
+    assert not math.isnan(got["avg_norm"])
