@@ -168,11 +168,16 @@ class NetCDF3DataSource(DataSource):
         group = self.options.get("group", "Data/Average")
         layout = self.options.get("layout", "ping")
         paths = sorted(glob(path))
+        src = self.options.get("src_file", "false").lower() == "true"
         cols = (
             _layout_columns(_group_vars(paths[0], group), layout) if paths else
-            [f.name for f in schema.fields if f.name not in ("time_us", "bin")]
+            [
+                f.name
+                for f in schema.fields
+                if f.name not in ("time_us", "bin", "src_file")
+            ]
         )
-        return NetCDF3StreamReader(path, group, layout, cols)
+        return NetCDF3StreamReader(path, group, layout, cols, src)
 
     def writer(self, schema, overwrite: bool) -> "NetCDF3Writer":
         path = self.options.get("path")
@@ -268,11 +273,19 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
     committed offsets re-list the same sorted prefix, so recovery is
     deterministic."""
 
-    def __init__(self, path: str, group: str, layout: str, cols: list[str]):
+    def __init__(
+        self,
+        path: str,
+        group: str,
+        layout: str,
+        cols: list[str],
+        src_file: bool = False,
+    ):
         self._glob = path
         self._group = group
         self._layout = layout
         self._cols = cols
+        self._src_file = src_file
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
@@ -283,7 +296,9 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
         # execution, and generators are not copyable
         rows = []
         for p in paths:
-            batch = _file_batch(p, self._group, self._layout, self._cols)
+            batch = _file_batch(
+                p, self._group, self._layout, self._cols, self._src_file
+            )
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
         return iter(rows)
 
