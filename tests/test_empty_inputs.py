@@ -60,3 +60,41 @@ def test_best_split_single_value(spark):
     # a single distinct value has no valid "feature <= t" split with a
     # non-empty right side -> empty result, not a crash
     assert best_split(one, "x", F.col("y")).count() == 0
+
+
+def test_session_new_operators_empty(spark):
+    """Round-4 session operators on empty / degenerate inputs: no errors,
+    well-defined empty (or pass-through) results."""
+    from seaexplorertools_spark.operators.dedup import (
+        cut_spans,
+        duplicate_substring_spans,
+    )
+    from seaexplorertools_spark.operators.sampling import top_k_per_group
+    from seaexplorertools_spark.operators.similarity import hard_negatives
+
+    docs = _empty(spark, "doc_id bigint, text string")
+    assert duplicate_substring_spans(docs, k=8).count() == 0
+
+    # all docs shorter than k: no grams, no spans, cut passes through
+    short = spark.createDataFrame([(1, "abc"), (2, "xyz")], "doc_id bigint, text string")
+    spans = duplicate_substring_spans(short, k=8)
+    assert spans.count() == 0
+    out = {r["doc_id"]: (r["cleaned"], r["n_removed"]) for r in cut_spans(short, spans).collect()}
+    assert out == {1: ("abc", 0), 2: ("xyz", 0)}
+
+    grp = _empty(spark, "rid bigint, g string, s long")
+    assert (
+        top_k_per_group(grp, ["g"], [F.col("s").desc(), F.col("rid")], k=3).count()
+        == 0
+    )
+
+    emb = _empty(spark, "vec_id bigint, embedding array<double>, label int")
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    assert hard_negatives(emb, qs, k=3).count() == 0
+
+
+def test_grouped_udaf_empty(spark):
+    from seaexplorertools_spark.functions.grouped import group_trimmed_means
+
+    df = _empty(spark, "g string, v double")
+    assert group_trimmed_means(df, ["g"], "v").count() == 0
