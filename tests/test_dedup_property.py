@@ -80,3 +80,34 @@ def test_top_k_per_group_property(spark, rows, k):
         for rank, (rid, _) in enumerate(members[:k], start=1):
             want.add((grp, rid, rank))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=corpus(), k=st.integers(min_value=2, max_value=5))
+def test_cut_spans_property(spark, docs, k):
+    """cut_spans equals the python replay of span removal on every random
+    corpus: cleaned text, removed-char count, and pass-through docs."""
+    from seaexplorertools_spark.operators.dedup import (
+        cut_spans,
+        duplicate_substring_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    spans = duplicate_substring_spans(df, k=k)
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in cut_spans(df, spans).collect()
+    }
+    span_map: dict[int, list[tuple[int, int]]] = {}
+    for d, s, e, _l in sorted(_brute_spans(docs, k)):
+        span_map.setdefault(d, []).append((s, e))
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, t in docs:
+        expect = ""
+        prev = 0
+        for s, e in sorted(span_map.get(doc_id, [])):
+            expect += t[prev : s - 1]
+            prev = e
+        expect += t[prev:]
+        removed = sum(e - s + 1 for s, e in span_map.get(doc_id, []))
+        assert got[doc_id] == (expect, removed)
