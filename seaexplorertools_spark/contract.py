@@ -4197,10 +4197,18 @@ def q_embedding_dq(spark, sf_dir):
     nrm = F.sqrt(
         F.aggregate(clean, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # null-guard every per-row stat: non-ANSI Spark evaluates size(NULL)
+    # to -1 (which would count a NULL vector as wrong-dim) while the
+    # oracle's len(NULL) is NULL — wrap in when(isNotNull) so a NULL
+    # embedding row contributes to n_vecs only, in both engines and in
+    # both ANSI modes
+    has = F.col("e").isNotNull()
     f = e.select(
-        F.size("e").alias("dim"),
-        F.size(F.filter(F.col("e"), lambda x: F.isnan(x))).alias("n_nan"),
-        nrm.alias("nrm"),
+        F.when(has, F.size("e")).alias("dim"),
+        F.when(
+            has, F.size(F.filter(F.col("e"), lambda x: F.isnan(x)))
+        ).alias("n_nan"),
+        F.when(has, nrm).alias("nrm"),
     )
     return f.agg(
         F.count("*").alias("n_vecs"),

@@ -582,7 +582,8 @@ def cut_spans(
         )
         .join(tails.select(id_col, "__removed"), id_col)
     )
-    untouched = docs.join(spans.select(id_col).distinct(), id_col, "left_anti")
+    # no .distinct(): anti-join already has set semantics on the build side
+    untouched = docs.join(spans.select(id_col), id_col, "left_anti")
     return cleaned.select(
         id_col, "cleaned", F.col("__removed").cast("bigint").alias("n_removed")
     ).unionByName(

@@ -131,6 +131,10 @@ class NetCDF3DataSource(DataSource):
         return "netcdf3"
 
     def _resolved(self):
+        # memoized: schema() and reader() both need this, and resolving
+        # parses the first file + lists the directory — do it once
+        if getattr(self, "_resolved_cache", None) is not None:
+            return self._resolved_cache
         path = self.options.get("path")
         if not path:
             raise ValueError("netcdf3 source requires .load(<path or glob>)")
@@ -145,7 +149,8 @@ class NetCDF3DataSource(DataSource):
         if layout == "cells" and not cols:
             raise ValueError(f"{paths[0]}: no 2-D variables in group {group!r}")
         src = self.options.get("src_file", "false").lower() == "true"
-        return paths, group, layout, cols, src
+        self._resolved_cache = (paths, group, layout, cols, src)
+        return self._resolved_cache
 
     def schema(self) -> str:
         _, _, layout, cols, src = self._resolved()
@@ -177,12 +182,26 @@ class NetCDF3DataSource(DataSource):
                 if f.name not in ("time_us", "bin", "src_file")
             ]
         )
-        return NetCDF3StreamReader(path, group, layout, cols, src)
+        # rows are emitted IN THE DECLARED SCHEMA'S ORDER (batches are
+        # reordered by name before tuple conversion), so a caller schema
+        # with a different field order cannot silently misalign values;
+        # a name mismatch fails loudly at read time instead
+        schema_names = [f.name for f in schema.fields]
+        return NetCDF3StreamReader(path, group, layout, cols, src, schema_names)
 
     def writer(self, schema, overwrite: bool) -> "NetCDF3Writer":
         path = self.options.get("path")
         if not path:
             raise ValueError("netcdf3 sink requires .save(<directory>)")
+        if overwrite:
+            # driver-side, before any task runs: non-atomic FS overwrite
+            # (the parquet-on-raw-FS behavior) — clear prior parts and
+            # manifest so stale part files never mix with the new write
+            for f in glob(os.path.join(path, "part-*.nc")):
+                os.remove(f)
+            succ = os.path.join(path, "_SUCCESS")
+            if os.path.exists(succ):
+                os.remove(succ)
         return NetCDF3Writer(path, schema, overwrite)
 
 
@@ -252,8 +271,20 @@ class NetCDF3Writer(DataSourceWriter):
 
     def commit(self, messages) -> None:
         parts = [m.filename for m in messages if m and m.filename]
-        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
-            fh.write("\n".join(parts))
+        succ = os.path.join(self._path, "_SUCCESS")
+        # append mode accumulates: the new manifest is the prior one plus
+        # this job's parts, and anything on disk in NEITHER set is an
+        # orphan from a failed/speculative attempt — swept here so
+        # directory-glob readers can't double-count (single-writer dirs)
+        prior = []
+        if os.path.exists(succ):
+            prior = [ln for ln in open(succ).read().split() if ln]
+        listed = set(prior) | set(parts)
+        for f in glob(os.path.join(self._path, "part-*.nc")):
+            if os.path.basename(f) not in listed:
+                os.remove(f)
+        with open(succ, "w") as fh:
+            fh.write("\n".join(sorted(listed)))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -265,13 +296,13 @@ class NetCDF3Writer(DataSourceWriter):
 
 
 class NetCDF3StreamReader(SimpleDataSourceStreamReader):
-    """Stream a growing mission directory: the offset is the count of
-    files already processed over the SORTED file listing, so the
-    directory must be append-only with lexicographically increasing
-    names (instrument loggers emit ``mission_<seq>.nc`` — exactly that).
-    Each micro-batch reads only the new files; replays between two
-    committed offsets re-list the same sorted prefix, so recovery is
-    deterministic."""
+    """Stream a growing (append-only) mission directory. The offset is
+    the SET of file basenames already processed — not a count or a name
+    cursor — so arrival order and lexicographic order are both
+    irrelevant: ``mission_10.nc`` landing after ``mission_9.nc`` (which
+    sorts BEFORE it) is still picked up exactly once, and replays
+    between two committed offsets re-read exactly the set difference.
+    Files must not be renamed or deleted while a stream is active."""
 
     def __init__(
         self,
@@ -280,15 +311,17 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
         layout: str,
         cols: list[str],
         src_file: bool = False,
+        schema_names: list[str] | None = None,
     ):
         self._glob = path
         self._group = group
         self._layout = layout
         self._cols = cols
         self._src_file = src_file
+        self._schema_names = schema_names
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"files": []}
 
     def _rows_for(self, paths: list[str]):
         # a LIST iterator, not a generator: the streaming runtime caches
@@ -299,14 +332,28 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
             batch = _file_batch(
                 p, self._group, self._layout, self._cols, self._src_file
             )
+            if self._schema_names is not None:
+                missing = set(self._schema_names) - set(batch.schema.names)
+                if missing:
+                    raise ValueError(
+                        f"{p}: stream schema expects columns {sorted(missing)} "
+                        f"the file does not provide"
+                    )
+                batch = batch.select(self._schema_names)
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
         return iter(rows)
 
     def read(self, start: dict):
         files = sorted(glob(self._glob))
-        new = files[start["idx"]:]
-        return self._rows_for(new), {"idx": len(files)}
+        done = set(start.get("files", []))
+        new = [f for f in files if os.path.basename(f) not in done]
+        nxt = sorted(done | {os.path.basename(f) for f in new})
+        return self._rows_for(new), {"files": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = sorted(glob(self._glob))[start["idx"]:end["idx"]]
+        done = set(start.get("files", []))
+        want = set(end.get("files", [])) - done
+        files = [
+            f for f in sorted(glob(self._glob)) if os.path.basename(f) in want
+        ]
         return self._rows_for(files)

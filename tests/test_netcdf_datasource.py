@@ -127,7 +127,7 @@ def test_writer_roundtrip(spark, tmp_path, sf_dir):
 def test_stream_tail_directory(spark, tmp_path):
     """readStream over a growing mission directory: the first micro-batch
     sees file 0, a file landing later is picked up by the next batch,
-    nothing is re-read (offset = sorted-file count)."""
+    nothing is re-read (offset = processed-file set)."""
     import shutil
 
     from test_sources import _write_ad2cp_fixture
@@ -162,6 +162,85 @@ def test_stream_tail_directory(spark, tmp_path):
             "select time_us, Pressure from nc_tail order by time_us"
         ).collect()
         assert len(rows) == 12  # both files, no re-read of file 0
+        assert len({r["time_us"] for r in rows}) == 12
+    finally:
+        q.stop()
+
+
+def test_writer_overwrite_and_orphan_sweep(spark, tmp_path, sf_dir):
+    """mode('overwrite') clears prior parts; commit() sweeps orphan part
+    files (failed-attempt leftovers) not listed in any manifest, while
+    append keeps prior committed parts."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ovw")
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+        .limit(20)
+        .repartition(2)
+    )
+    df.write.format("netcdf3").mode("append").save(out)
+    first_parts = set(_glob.glob(f"{out}/part-*.nc"))
+    assert first_parts
+
+    # plant an orphan (as if a dead attempt left it) — the next commit
+    # must sweep it because no manifest lists it
+    orphan = f"{out}/part-99999-deadbeef.nc"
+    open(orphan, "wb").write(b"CDF\x01junk")
+    df.write.format("netcdf3").mode("append").save(out)
+    assert not os.path.exists(orphan)
+    after_append = set(_glob.glob(f"{out}/part-*.nc"))
+    assert first_parts <= after_append and len(after_append) > len(first_parts)
+
+    df.write.format("netcdf3").mode("overwrite").save(out)
+    after_ovw = set(_glob.glob(f"{out}/part-*.nc"))
+    assert after_ovw and after_ovw.isdisjoint(after_append)
+    listed = set(open(f"{out}/_SUCCESS").read().split())
+    assert listed == {os.path.basename(p) for p in after_ovw}
+
+
+def test_stream_offset_survives_lexicographic_inversion(spark, tmp_path):
+    """mission_10.nc sorts BEFORE mission_9.nc lexicographically; the
+    set-based offset must still read it exactly once and re-read
+    nothing."""
+    import shutil
+
+    from test_sources import _write_ad2cp_fixture
+
+    stage = tmp_path / "stage2"
+    stage.mkdir()
+    live = tmp_path / "live2"
+    live.mkdir()
+    _write_ad2cp_fixture(str(stage))
+    # name the first file mission_9 so the later arrival mission_10
+    # sorts BEFORE everything already processed
+    shutil.copy(stage / "mission_0.nc", live / "mission_9.nc")
+
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format("netcdf3")
+        .option("group", "Data/Average")
+        .load(f"{live}/mission_*.nc")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nc_tail_lex")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) n from nc_tail_lex").collect()[0]["n"] == 6
+        shutil.copy(stage / "mission_1.nc", live / "mission_10.nc")
+        q.processAllAvailable()
+        rows = spark.sql("select time_us from nc_tail_lex").collect()
+        assert len(rows) == 12  # new file read once, old file not re-read
         assert len({r["time_us"] for r in rows}) == 12
     finally:
         q.stop()

@@ -126,6 +126,7 @@ def test_embedding_dq_detects_planted_defects(spark):
         (1, [float("nan")] + [2.0] + [0.0] * 62, 0),  # NaN component, norm 2
         (2, [0.0] * 64, 0),                           # zero norm
         (3, [1.0] * 16, 0),                           # wrong dim
+        (4, None, 0),                                 # NULL vector: n_vecs only
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
     import tempfile
@@ -133,7 +134,7 @@ def test_embedding_dq_detects_planted_defects(spark):
     with tempfile.TemporaryDirectory() as tmp:
         df.write.parquet(f"{tmp}/embeddings.parquet")
         got = QUERIES["q_embedding_dq"](spark, tmp).collect()[0]
-    assert got["n_vecs"] == 4
+    assert got["n_vecs"] == 5
     assert got["n_wrong_dim"] == 1
     assert got["n_with_nan"] == 1
     assert got["n_zero_norm"] == 1
