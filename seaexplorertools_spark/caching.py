@@ -1,0 +1,90 @@
+"""Lifecycle management for operator-internal consistency caches.
+
+Several operators pin an intermediate with ``.persist()`` for
+CORRECTNESS, not speed: ``global_rank``/``global_cumsum``/
+``global_running_max`` (operators/rank.py) and ``overlap_islands``
+(operators/intervals.py) cache their ``repartitionByRange`` output so
+two plan branches see ONE boundary sample (AQE may otherwise give the
+branches different sampled boundaries — see the rank.py comment), and
+the stats/dedup/grid operators cache small intermediates consumed by
+2+ downstream aggregates.
+
+Those persists used to be fire-and-forget: each invocation added an
+InMemoryRelation that lived until session end, so a long-lived session
+(a notebook, a streaming driver, a query service) invoking the
+operators repeatedly accumulated unbounded cached lineage and eviction
+churn. Correctness survives block eviction (recompute reuses the
+pinned shuffle output), but memory pressure was unbounded.
+
+This module gives every such internal persist a handle:
+
+- operators route their persist through :func:`consistency_cache`,
+  which registers the DataFrame in a session-global ledger;
+- callers bound memory with :func:`release_consistency_caches`
+  (unpersist-all between actions) or the
+  :func:`consistency_cache_scope` context manager (unpersist everything
+  an enclosed block created — the "caller-owned caching" shape that
+  ``jaccard_on_pairs`` pioneered with its ``token_df`` parameter).
+
+Call release points BETWEEN actions only: unpersisting while a query
+that depends on a consistency cache is still executing re-exposes the
+branch-divergence the cache exists to prevent.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_LEDGER: list[DataFrame] = []
+
+
+def consistency_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register in the session ledger so the caller can
+    reclaim the memory later. Returns ``df`` (same object, cached)."""
+    df = df.cache()
+    _LEDGER.append(df)
+    return df
+
+
+def release_consistency_caches(blocking: bool = False) -> int:
+    """Unpersist every ledgered internal cache; returns how many were
+    released. Safe to call between actions; do NOT call while a query
+    built on one of these operators is mid-execution."""
+    n = len(_LEDGER)
+    for df in _LEDGER:
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LEDGER.clear()
+    return n
+
+
+def ledger_size() -> int:
+    """Number of currently-ledgered internal caches (observability)."""
+    return len(_LEDGER)
+
+
+@contextmanager
+def consistency_cache_scope(blocking: bool = False) -> Iterator[None]:
+    """Unpersist, on exit, every internal cache created inside the
+    block — scoped caller-owned caching for one logical query::
+
+        with consistency_cache_scope():
+            out = global_rank(df, ["quality", "doc_id"]).collect()
+        # rank's range-partition pin is released here
+    """
+    mark = len(_LEDGER)
+    try:
+        yield
+    finally:
+        tail = _LEDGER[mark:]
+        del _LEDGER[mark:]
+        for df in tail:
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:
+                pass

@@ -8749,12 +8749,15 @@ def q_dsir_selection(spark, sf_dir):
     no text/selection ops."""
     from .operators.selection import dsir_select
 
-    # parallelism-only round-robin repartition (same rationale as
-    # st_bloom_decontam: the local fixture is a single split and the
-    # md5 feature-explode is CPU-dense; 3.7 -> 2.1 s at sf0.1)
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # parallelism-only round-robin repartition, guarded on under-
+    # partitioning (the dd_substring_spans pattern): the local fixture is
+    # a single split and the md5 feature-explode is CPU-dense (3.7 ->
+    # 2.1 s at sf0.1); on a many-split production input the guard makes
+    # this a no-op rather than a parallelism-REDUCING full-table shuffle
+    docs = table(spark, sf_dir, "documents")
+    parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts)
     return dsir_select(docs, F.col("source") == "src0", keep_fraction=0.25)
 
 
@@ -9121,9 +9124,13 @@ def st_bloom_decontam(spark, sf_dir):
     from .operators.selection import bloom_build
     from .streaming.decontam import bitmap_from_words, decontaminate_flags
 
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = table(spark, sf_dir, "documents")
+    # guarded parallelism-only repartition (see dd_substring_spans): a
+    # no-op on many-split production inputs, a fan-out on the 1-split
+    # local fixture where the shingle explode is the bottleneck
+    parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts)
     hold = (
         doc_shingles(docs.filter(F.col("doc_id") % 50 == 0), 3)
         .select("tok")

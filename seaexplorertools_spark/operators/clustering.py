@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 from .similarity import dot
 
 
@@ -104,7 +106,8 @@ def kmeans_lloyd(
     across iterations (pinned in tests/test_clustering.py)."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).cache()  # scanned by every iteration's assign + sse + update actions
+    )
+    e = consistency_cache(e)  # scanned by every iteration's 3 actions
     # NOTE: unlike pca.py, NO pre-cache rebalance here — it was measured
     # and REJECTED (2.8 → 3.8 s at sf0.1): k-means' per-iteration actions
     # are many and individually light (assign is a literal-centroid map),

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -174,7 +176,7 @@ def lsh_candidate_pairs(
     bands = band_table(docs, k, band_rows, id_col, text_col)
     # tiny table (n_bands rows per doc) self-joined below — cache so the
     # shingle→md5→signature lineage isn't recomputed for both join sides
-    bands = bands.cache()
+    bands = consistency_cache(bands)
     a = bands.select(F.col(id_col).alias("doc1"), "band", "bsig")
     b = bands.select(F.col(id_col).alias("doc2"), "band", "bsig")
     return (
@@ -230,11 +232,14 @@ def jaccard_on_pairs(
     ``id_col, tok``) reuses a table the caller already built — no
     re-tokenization and no internal cache (the caller owns caching).
     """
-    toks = token_df if token_df is not None else (
-        doc_shingles(docs, shingle_k, id_col, text_col)
-        if use_shingles
-        else doc_tokens(docs, id_col, text_col)
-    ).cache()  # joined twice below
+    if token_df is not None:
+        toks = token_df  # caller owns caching of a supplied token table
+    else:
+        toks = consistency_cache(  # internal build: joined twice below
+            doc_shingles(docs, shingle_k, id_col, text_col)
+            if use_shingles
+            else doc_tokens(docs, id_col, text_col)
+        )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     ta = toks.select(F.col(id_col).alias("doc1"), "tok")
     tb = toks.select(F.col(id_col).alias("doc2"), "tok")
@@ -290,7 +295,8 @@ def ngram_jaccard_pairs(
 
     toks = (
         docs.select(id_col, block_col, F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    ).cache()  # self-joined below
+    )
+    toks = consistency_cache(toks)  # self-joined below
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.select(F.col(id_col).alias("doc1"), F.col(block_col).alias("blk"), "tok")
     b = toks.select(F.col(id_col).alias("doc2"), F.col(block_col).alias("blk"), "tok")
@@ -486,13 +492,20 @@ def duplicate_substring_spans(
         )
         .select(id_col, (F.col("__i") + 1).alias("pos"), "gram")
     )
-    dup_pos = (
-        grams.withColumn(
-            "__n_occ", F.count("*").over(Window.partitionBy("gram"))
-        )
+    # grams with ≥ 2 occurrences via groupBy (map-side partial combine:
+    # a boilerplate gram repeated 10^6× collapses to one row per map task
+    # before the shuffle) + left-semi join back.  A count(*) window
+    # partitioned by gram would route EVERY occurrence of a hot gram to
+    # a single un-splittable window task; the semi-join shape keeps the
+    # reduce side one row per distinct gram, and the probe-side join is
+    # AQE-skew-splittable if a gram is still degenerate after combine.
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__n_occ"))
         .filter(F.col("__n_occ") >= 2)
-        .select(id_col, "pos")
+        .select("gram")
     )
+    dup_pos = grams.join(dup_grams, "gram", "left_semi").select(id_col, "pos")
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")

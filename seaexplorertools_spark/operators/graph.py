@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import consistency_cache
+
 
 def connected_components(
     edges: DataFrame,
@@ -258,8 +260,8 @@ def two_hop_counts(
         # adj feeds FOUR consumers (degree, both wedge sides, the
         # anti-join) — without materialization the upstream edge
         # derivation re-executes per consumer (4× at any scale)
-        .cache()
     )
+    adj = consistency_cache(adj)
     deg = adj.groupBy("u").agg(F.count("*").alias("n_one_hop"))
     mid = adj
     if max_mid_degree is not None:
@@ -316,8 +318,8 @@ def label_propagation(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
     )
+    adj = consistency_cache(adj)
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 
 def bucket(col: Column | str, origin: float, width: float, closed: str = "left") -> Column:
     """Uniform bin index for ``col``; ``floor((x - origin)/width)``.
@@ -135,7 +137,7 @@ def histogram(
         return counts
     # total rides a 1-row broadcast (windowless — the counts table is ≤
     # nbins rows; cached because it feeds the total AND the output)
-    counts = counts.cache()
+    counts = consistency_cache(counts)
     tot = counts.agg(F.sum(count_name).alias("__t")).withColumn("__k", F.lit(1))
     return (
         counts.withColumn("__k", F.lit(1))

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 
 def concurrency_profile(
     df: DataFrame,
@@ -45,7 +47,7 @@ def concurrency_profile(
     ranged = ranged.withColumn("__local", F.sum("net").over(local_w))
     # consistency cache (see rank.global_rank): the totals branch must see
     # the same sampled range boundaries as the local-cumsum branch
-    ranged = ranged.cache()
+    ranged = consistency_cache(ranged)
     totals = ranged.groupBy("__pid").agg(F.sum("net").alias("__tot"))
     contrib = totals.select(
         F.explode(

@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import consistency_cache
+
 
 def _dot_lit(vec_col, lits: list[float]):
     """x·c for a literal vector, as a row-local JVM fold (index order)."""
@@ -89,7 +91,7 @@ def power_iteration_top(
         do = src.rdd.getNumPartitions() < parts
     if do:
         src = src.repartition(parts)
-    df = src.cache()
+    df = consistency_cache(src)
     mu = [0.0] * dim
     v = [1.0 / math.sqrt(dim)] * dim
     eig = 0.0
@@ -260,7 +262,8 @@ def gram_covariance_arrow(df: DataFrame, vec_col: str, dim: int) -> list[list[fl
 
     flat = df.select(vec_col).mapInPandas(
         partials, "g array<double>, s array<double>, n double"
-    ).cache()  # |batches| rows; feeds the g-sum and the (s, n)-sum jobs
+    )
+    flat = consistency_cache(flat)  # |batches| rows; g-sum + (s,n)-sum jobs
     # 4096 separate F.sum expressions would blow the codegen tree up;
     # posexplode keeps it one 2-column aggregate over dim² groups
     grows = (

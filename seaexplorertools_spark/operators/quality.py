@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import consistency_cache
+
 
 def not_null(col: str) -> tuple[str, Column]:
     return (f"not_null:{col}", F.col(col).isNull())
@@ -110,8 +112,8 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
         .select(d.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("obs"))
-        .cache()  # ≤ 9 rows, feeds the total aggregate AND the output
     )
+    obs = consistency_cache(obs)  # ≤ 9 rows: total aggregate + output
     tot = obs.agg(F.sum("obs").alias("__t")).withColumn("__k", F.lit(1))
     obs = obs.withColumn("__k", F.lit(1)).join(F.broadcast(tot), "__k")
     n = F.col("__t").cast("double")

@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 
 def global_rank(
     df: DataFrame,
@@ -63,7 +65,7 @@ def global_rank(
     # __pid assignment can DIFFER between the local-rank pass and the
     # counts pass (observed at sf0.1: block-shifted prefix sums). One
     # cache pins a single consistent partitioning for both consumers.
-    ranged = ranged.cache()
+    ranged = consistency_cache(ranged)
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
     # prefix offsets with no window at all: partition p's count lands on
     # every higher id p+1..parts-1 (ids known up front), then a hash
@@ -126,7 +128,7 @@ def global_cumsum(
         ranged = ranged.withColumn(f"__local_cs{i}", F.sum(v).over(local_w))
     # same consistency cache as global_rank: totals must see the SAME
     # sampled range boundaries as the local cumsum branch
-    ranged = ranged.cache()
+    ranged = consistency_cache(ranged)
     totals = ranged.groupBy("__pid").agg(
         *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vcols)]
     )
@@ -230,7 +232,7 @@ def global_running_max(
     ranged = ranged.withColumn("__local_mx", F.max(value_col).over(local_w))
     # consistency cache (see global_rank): totals must see the SAME
     # sampled range boundaries as the local pass
-    ranged = ranged.cache()
+    ranged = consistency_cache(ranged)
     totals = ranged.groupBy("__pid").agg(F.max(value_col).alias("__tot"))
     contrib = totals.select(
         F.explode(

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import consistency_cache
+
 from .dedup import tokens
 
 
@@ -159,7 +161,7 @@ def dsir_select(
     feats = hashed_ngram_features(docs, n_buckets, id_col, text_col)
     # PERF: feats feeds two consumers (raw model, scoring); one cache
     # pins one computation of the explode-heavy extraction
-    feats = feats.cache()
+    feats = consistency_cache(feats)
     tgt_buckets = hashed_ngram_features(
         docs.filter(target_pred), n_buckets, id_col, text_col
     )

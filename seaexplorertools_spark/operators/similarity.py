@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -490,8 +492,8 @@ def semdedup_pairs(
     va = (
         vecs.join(assigned.select(id_col, "cluster"), id_col)
         .withColumn("__n", norm(F.col(vec_col)))
-        .cache()
     )
+    va = consistency_cache(va)
     a = va.select(
         F.col(id_col).alias("id1"), F.col("cluster").alias("c1"),
         F.col(vec_col).alias("va"), F.col("__n").alias("na"),

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import consistency_cache
+
 
 def _bjoin_nullsafe(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """Broadcast inner join on ``IS NOT DISTINCT FROM`` semantics. A plain
@@ -38,7 +40,9 @@ def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     bounded but still tripped WindowExec's single-partition warning; the
     join form mirrors the oracle SQL exactly). The cell table is cached:
     it feeds four consumers and is one aggregate away from the raw rows."""
-    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs")).cache()
+    cells = consistency_cache(
+        df.groupBy(a_col, b_col).agg(F.count("*").alias("obs"))
+    )
     # margins cast to double BEFORE multiplying: the product is then the
     # same IEEE value any engine computes (counts < 2^53 are exact), so
     # results are bit-identical cross-engine with no rounding step
@@ -86,7 +90,7 @@ def welch_one_vs_rest(
     # complement sums via a 1-row totals broadcast (windowless — the
     # former unpartitioned window over the |groups| table tripped the
     # WindowExec warning; the totals join is the same arithmetic)
-    s = s.cache()  # feeds the totals aggregate AND the main select
+    s = consistency_cache(s)  # feeds the totals aggregate AND the main select
     tot = (
         s.agg(
             F.sum("n1").alias("__tn"),
@@ -172,7 +176,9 @@ def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     over the |a|·|b|-row cell table. Both entropies come from the SAME
     cell pass via Σ_cells p_ij·ln(p_a) = Σ_a p_a·ln(p_a) — no second
     aggregate. Output: a single row (mi, h_a, h_b, nmi)."""
-    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("obs")).cache()
+    cells = consistency_cache(
+        df.groupBy(a_col, b_col).agg(F.count("*").alias("obs"))
+    )
     # margins as tiny broadcast aggregates (windowless — see
     # contingency_chi2); cached: the cell table feeds four consumers
     ma = cells.groupBy(a_col).agg(F.sum("obs").alias("__na"))
@@ -333,7 +339,8 @@ def best_split(
     cells = df.groupBy(F.col(feature_col).alias("t")).agg(
         F.count("*").alias("n"),
         F.sum(label_col.cast("int")).cast("bigint").alias("pos"),
-    ).cache()  # feeds the cumulative pass AND the totals aggregate
+    )
+    cells = consistency_cache(cells)  # feeds cumulative pass AND totals
     # windowless (round 4): both cumulatives ride ONE global_cumsum pass;
     # the grand totals ride a 1-row broadcast (the J5 pattern)
     cum = global_cumsum(cells, ["t"], ["n", "pos"], ["nl", "pl"])
@@ -494,7 +501,9 @@ def kl_from_global(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     Categories absent from a group contribute 0 (0·ln 0 limit); the
     global distribution has full support by construction, so the
     divergence is always finite."""
-    cells = df.groupBy(group_col, cat_col).agg(F.count("*").alias("n")).cache()
+    cells = consistency_cache(
+        df.groupBy(group_col, cat_col).agg(F.count("*").alias("n"))
+    )
     # margins as tiny broadcast aggregates (windowless — see
     # contingency_chi2); the cell table feeds four consumers, so cache it
     grp = cells.groupBy(group_col).agg(F.sum("n").alias("__ng"))

@@ -82,6 +82,16 @@ def _file_batch(
         names = ["time_us", *cols]
     else:
         n_bins = av[cols[0]].shape[1]
+        # every selected 2-D variable must be exactly (len(time), n_bins):
+        # a mismatched second dimension would otherwise reshape(-1) into a
+        # silently misaligned column — fail loudly naming the variable
+        for c in cols:
+            if av[c].shape != (len(time_us), n_bins):
+                raise ValueError(
+                    f"{path}: 2-D variable {c!r} has shape {av[c].shape}, "
+                    f"expected {(len(time_us), n_bins)} (time × bin) to "
+                    f"match {cols[0]!r}"
+                )
         arrays = [
             pa.array(np.repeat(time_us, n_bins), pa.int64()),
             pa.array(
@@ -224,7 +234,18 @@ class NetCDF3Writer(DataSourceWriter):
     Classic CDF-1 has no 64-bit integer type, so BIGINT columns are
     stored as f8 doubles — exact for |v| < 2^53 (epoch-µs until the year
     2255); INT → i4, FLOAT → f4, DOUBLE → f8. Non-numeric columns are
-    rejected loudly rather than silently stringified."""
+    rejected loudly rather than silently stringified.
+
+    **Deployment contract (user-facing):** the sink writes with plain
+    ``os``/``glob`` calls, so the target directory must be a filesystem
+    shared by the driver and every executor (local mode, NFS, or a FUSE
+    mount — not raw object storage), and AT MOST ONE job may write a
+    given directory at a time. Each job stamps its part files with a
+    per-job UUID and commit() sweeps only orphans carrying THIS job's
+    stamp (failed/speculative attempts of this job), so a concurrent
+    writer's parts are never deleted — but two concurrent appenders can
+    still interleave ``_SUCCESS`` manifest rewrites and lose each
+    other's entries; serialize appends per directory."""
 
     _NP_OF_SPARK = {
         "bigint": np.float64,
@@ -237,6 +258,10 @@ class NetCDF3Writer(DataSourceWriter):
 
     def __init__(self, path: str, schema, overwrite: bool):
         self._path = path
+        # per-JOB stamp, minted driver-side and pickled to every task:
+        # part files carry it, and commit()'s orphan sweep matches on it
+        # so only THIS job's failed/speculative attempts are removed
+        self._job_id = uuid.uuid4().hex
         self._cols = []
         for f in schema.fields:
             dt = f.dataType.simpleString()
@@ -253,7 +278,7 @@ class NetCDF3Writer(DataSourceWriter):
 
         rows = list(iterator)
         pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.nc"
+        fname = f"part-{pid:05d}-{self._job_id}-{uuid.uuid4().hex}.nc"
         os.makedirs(self._path, exist_ok=True)
         n = len(rows)
         variables = {
@@ -273,14 +298,15 @@ class NetCDF3Writer(DataSourceWriter):
         parts = [m.filename for m in messages if m and m.filename]
         succ = os.path.join(self._path, "_SUCCESS")
         # append mode accumulates: the new manifest is the prior one plus
-        # this job's parts, and anything on disk in NEITHER set is an
-        # orphan from a failed/speculative attempt — swept here so
-        # directory-glob readers can't double-count (single-writer dirs)
+        # this job's parts. Orphans from failed/speculative attempts are
+        # swept so directory-glob readers can't double-count — but ONLY
+        # files stamped with this job's UUID: a concurrent or later job's
+        # parts (different stamp) are never touched by this sweep.
         prior = []
         if os.path.exists(succ):
             prior = [ln for ln in open(succ).read().split() if ln]
         listed = set(prior) | set(parts)
-        for f in glob(os.path.join(self._path, "part-*.nc")):
+        for f in glob(os.path.join(self._path, f"part-*-{self._job_id}-*.nc")):
             if os.path.basename(f) not in listed:
                 os.remove(f)
         with open(succ, "w") as fh:

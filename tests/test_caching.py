@@ -1,0 +1,58 @@
+"""Lifecycle of operator-internal consistency caches (caching.py).
+
+The rank/intervals/stats/dedup operators persist intermediates for
+branch-consistency or multi-consumer reuse; a long-lived session must be
+able to reclaim that memory between actions without touching operator
+internals.
+"""
+
+from pyspark.sql import functions as F
+
+from seaexplorertools_spark.caching import (
+    consistency_cache_scope,
+    ledger_size,
+    release_consistency_caches,
+)
+from seaexplorertools_spark.operators.rank import global_rank
+
+
+def _ranked(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    return global_rank(df, ["v", "id"], num_partitions=4)
+
+
+def test_release_unpersists_ledgered_caches(spark):
+    release_consistency_caches()  # clean slate from other tests
+    out = _ranked(spark)
+    assert out.count() == 1000
+    assert ledger_size() >= 1  # global_rank pinned its range partition
+    sc = spark.sparkContext
+    assert sc._jsc.sc().getPersistentRDDs().size() >= 1
+    n = release_consistency_caches(blocking=True)
+    assert n >= 1 and ledger_size() == 0
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_scope_releases_only_inner_caches(spark):
+    release_consistency_caches()
+    outer = _ranked(spark)
+    assert outer.count() == 1000
+    before = ledger_size()
+    assert before >= 1
+    with consistency_cache_scope(blocking=True):
+        inner = _ranked(spark)
+        assert inner.count() == 1000
+        assert ledger_size() > before
+    # scope exit released the inner pins, left the outer ones ledgered
+    assert ledger_size() == before
+    release_consistency_caches(blocking=True)
+
+
+def test_repeated_invocations_do_not_accumulate_with_scope(spark):
+    release_consistency_caches()
+    sc = spark.sparkContext
+    for _ in range(3):
+        with consistency_cache_scope(blocking=True):
+            assert _ranked(spark).count() == 1000
+    assert ledger_size() == 0
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0

@@ -168,9 +168,11 @@ def test_stream_tail_directory(spark, tmp_path):
 
 
 def test_writer_overwrite_and_orphan_sweep(spark, tmp_path, sf_dir):
-    """mode('overwrite') clears prior parts; commit() sweeps orphan part
-    files (failed-attempt leftovers) not listed in any manifest, while
-    append keeps prior committed parts."""
+    """mode('overwrite') clears prior parts; commit()'s orphan sweep is
+    scoped to the committing JOB's uuid stamp: a same-job speculative
+    leftover is removed, a foreign job's part file is never touched by an
+    append commit (concurrent-writer safety), while append keeps prior
+    committed parts."""
     import glob as _glob
     import os
 
@@ -189,20 +191,62 @@ def test_writer_overwrite_and_orphan_sweep(spark, tmp_path, sf_dir):
     first_parts = set(_glob.glob(f"{out}/part-*.nc"))
     assert first_parts
 
-    # plant an orphan (as if a dead attempt left it) — the next commit
-    # must sweep it because no manifest lists it
-    orphan = f"{out}/part-99999-deadbeef.nc"
-    open(orphan, "wb").write(b"CDF\x01junk")
+    # plant a FOREIGN-job orphan (stamp no append commit will carry):
+    # another writer's in-flight part must survive this job's sweep
+    foreign = f"{out}/part-99999-deadbeefdeadbeefdeadbeefdeadbeef-feed.nc"
+    open(foreign, "wb").write(b"CDF\x01junk")
+    # plant a SAME-job zombie: copy a committed part's name with this
+    # job's stamp swapped in after the fact is impossible pre-commit, so
+    # instead verify the scoped sweep via the glob pattern — a file that
+    # matches an actual committed part's job stamp but is unlisted
     df.write.format("netcdf3").mode("append").save(out)
-    assert not os.path.exists(orphan)
-    after_append = set(_glob.glob(f"{out}/part-*.nc"))
+    assert os.path.exists(foreign)  # foreign stamp → never swept by append
+    after_append = set(_glob.glob(f"{out}/part-*.nc")) - {foreign}
     assert first_parts <= after_append and len(after_append) > len(first_parts)
 
     df.write.format("netcdf3").mode("overwrite").save(out)
     after_ovw = set(_glob.glob(f"{out}/part-*.nc"))
+    # overwrite clears EVERYTHING prior (committed parts + foreign orphan)
+    assert not os.path.exists(foreign)
     assert after_ovw and after_ovw.isdisjoint(after_append)
     listed = set(open(f"{out}/_SUCCESS").read().split())
     assert listed == {os.path.basename(p) for p in after_ovw}
+
+
+def test_commit_sweep_scoped_to_job_uuid(tmp_path):
+    """Direct commit() semantics: a same-job unlisted part (zombie
+    speculative attempt) is swept; a foreign job's part and prior
+    manifest entries survive."""
+    import os
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from seaexplorertools_spark.sources.netcdf_ds import (
+        NetCDF3Writer,
+        _NcCommit,
+    )
+
+    out = str(tmp_path / "scoped")
+    os.makedirs(out)
+    schema = StructType([StructField("v", DoubleType())])
+    w = NetCDF3Writer(out, schema, overwrite=False)
+    committed = f"part-00000-{w._job_id}-aaaa.nc"
+    zombie = f"part-00001-{w._job_id}-bbbb.nc"
+    foreign = f"part-00002-{'f' * 32}-cccc.nc"
+    prior = f"part-00003-{'e' * 32}-dddd.nc"
+    for name in (committed, zombie, foreign, prior):
+        open(os.path.join(out, name), "wb").write(b"CDF\x01junk")
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write(prior)  # an earlier job's committed manifest
+
+    w.commit([_NcCommit(filename=committed, n_rows=1)])
+
+    assert os.path.exists(os.path.join(out, committed))
+    assert not os.path.exists(os.path.join(out, zombie))  # same job, unlisted
+    assert os.path.exists(os.path.join(out, foreign))  # other job: untouched
+    assert os.path.exists(os.path.join(out, prior))  # prior manifest entry
+    listed = set(open(os.path.join(out, "_SUCCESS")).read().split())
+    assert listed == {committed, prior}
 
 
 def test_stream_offset_survives_lexicographic_inversion(spark, tmp_path):
