@@ -298,37 +298,40 @@ def train_ivf_centroids(
     seed: int = 7,
     iters: int = 10,
 ) -> list[tuple[int, list[float]]]:
-    """Spherical k-means centroids from a DETERMINISTIC bounded sample.
+    """Spherical k-means centroids from a DETERMINISTIC, ENGINE-PORTABLE
+    bounded sample.
 
-    Sample = first ``sample_n`` rows by xxhash64(id) (stable across runs and
-    partitionings — never partition order), sorted by id driver-side, unit-
-    normalized; init = seeded first pick + farthest-point; ``iters`` Lloyd
-    rounds with cosine assignment. The collect is bounded by ``sample_n``
-    rows × dim doubles regardless of table size — the standard IVF training
-    shape (train on a sample, assign the full table with broadcast
-    centroids)."""
+    Sample = first ``sample_n`` rows by md5(id) (stable across runs,
+    partitionings AND engines — DuckDB computes the identical hex
+    string, which xxhash64 could not), sorted by id driver-side,
+    unit-normalized; init = the ``n_cells`` lowest-id sample rows (the
+    kmeans_lloyd lowest-id convention — replayable in SQL, unlike a
+    seeded RNG pick); ``iters`` Lloyd rounds with cosine assignment on
+    6-dp ROUNDED sims (first maximum wins ties) so the training
+    trajectory is bit-replayable by the driver's DuckDB oracle. The
+    collect is bounded by ``sample_n`` rows × dim doubles regardless of
+    table size — the standard IVF training shape (train on a sample,
+    assign the full table with broadcast centroids). ``seed`` is kept
+    for API stability but no longer consumed."""
     rows = (
         embeddings.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
         .limit(sample_n)
         .collect()
     )
     rows = sorted(rows, key=lambda r: r["id"])
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    idx = [int(rng.integers(len(X)))]
-    for _ in range(n_cells - 1):
-        d = np.min([((X - X[i]) ** 2).sum(axis=1) for i in idx], axis=0)
-        idx.append(int(np.argmax(d)))
-    C = X[idx].copy()
+    C = X[:n_cells].copy()
     for _ in range(iters):
-        sims = X @ C.T / (
-            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        sims = np.round(
+            X @ C.T
+            / (np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)),
+            6,
         )
-        a = np.argmax(sims, axis=1)
+        a = np.argmax(sims, axis=1)  # first max = lowest cell id on ties
         for j in range(n_cells):
             if (a == j).any():
                 C[j] = X[a == j].mean(axis=0)

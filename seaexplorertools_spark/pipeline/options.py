@@ -23,6 +23,11 @@ def default_options() -> dict:
         "top_mounted": None,  # None → auto-detect from magnetometer Z mean
         "geomag_target": None,  # scalar field strength; None → skip compass fit (offline)
         "y_res": 1.0,  # depth-bin resolution in metres (reference :49)
+        # gridding domain: "reference" reproduces the reference's pd.cut
+        # axes exactly (first profile dropped, capped at glider max
+        # pressure, right-closed bins — see gridding.py); "full" keeps
+        # every profile/depth with floor bins (engine extension)
+        "grid_domain": "reference",
         "interp_bucket": None,  # optional time-bucket width (s) for scalable interp joins
         "debug_plots": False,
     }

@@ -264,12 +264,15 @@ def reference_shear(
     y_res = float(options.get("y_res", 1.0))
     mission_part = [options["mission_col"]] if options.get("mission_col") else []
     part = mission_part
-    sh = gridding.grid_cells(gridded_cells, y_res)
+    # the reference derives BOTH grid axes from the glider (grid_shear_data
+    # :1651-1652) — same pd.cut domain here (see gridding.py docstring)
+    domain = gridding.resolve_domain(glider, options)
+    sh = gridding.grid_cells(gridded_cells, y_res, domain)
     gl = (
-        glider.groupBy(
-            bucket(F.col("profile_number").cast("double"), 0.0, 1.0).alias("profile_num"),
-            bucket(F.col("pressure"), 0.0, y_res).alias("depth_bin"),
+        gridding.with_grid_keys(
+            glider, F.col("profile_number").cast("double"), F.col("pressure"), y_res, domain
         )
+        .groupBy("profile_num", "depth_bin")
         .agg(
             F.avg("dac_e").alias("dac_e_g"),
             F.avg("dac_n").alias("dac_n_g"),

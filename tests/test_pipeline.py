@@ -190,6 +190,10 @@ def test_reference_shear_matches_numpy(stage1, mission):
     from seaexplorertools_spark.pipeline import gridding
     from seaexplorertools_spark.pipeline.velocity import get_dac, reference_shear
 
+    # this replication floor-buckets the FULL domain — run the engine in
+    # its "full" grid mode; the reference-domain (pd.cut) math is proven
+    # end-to-end by tests/test_reference_replay.py
+    options = {**options, "grid_domain": "full"}
     y_res = float(options.get("y_res", 1.0))
     gl_aug = get_dac(ping_aug, glider, options).cache()
     out = reference_shear(gridded, gl_aug, options).toPandas()
