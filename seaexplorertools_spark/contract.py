@@ -1672,9 +1672,10 @@ def dd_embedding_dup(spark, sf_dir):
     return pairs.select("id1", "id2", sim.alias("sim")).filter(F.col("sim") >= 0.3)
 
 
-@q(
-    "ann_topk_bruteforce",
-    """
+def _brute_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of similarity.brute_force_topk — shared by the
+    ann_topk_bruteforce gate and as the truth leg of ann_recall_report."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
     c AS (
@@ -1686,9 +1687,11 @@ def dd_embedding_dup(spark, sf_dir):
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rank
           FROM c)
-    SELECT query_id, rank, nbr_id, sim FROM r WHERE rank <= 5
-    """,
-)
+    SELECT query_id, rank, nbr_id, sim FROM r WHERE rank <= {k}
+    """
+
+
+@q("ann_topk_bruteforce", _brute_oracle_sql())
 def ann_topk_bruteforce(spark, sf_dir):
     """Exact brute-force cosine top-k (k=5) for the first 10 vectors as
     queries — the ANN correctness baseline. Rank on ROUNDED sim with vec_id
@@ -2642,13 +2645,116 @@ def q_range_frame_trailing(spark, sf_dir):
     )
 
 
-@q("ann_topk_ivf")  # approximate (cell-restricted recall) → rows-only check
+def _ivf_oracle_sql(
+    n_cells: int = 8, nprobe: int = 6, k: int = 5, dim: int = 64,
+    sample_n: int = 1024, iters: int = 10,
+) -> str:
+    """DuckDB replay of similarity.ivf_topk INCLUDING its k-means
+    training: md5-ordered sample, lowest-id init, ``iters`` unrolled
+    Lloyd rounds with 6-dp rounded cosine assignment (ties → lowest
+    cell), then full-table assignment, nprobe multi-probe, candidate
+    equi-join and 6-dp cosine re-rank — every comparison the engine
+    makes is on rounded values, so the whole approximate path is
+    EXACTLY replayable (upgraded from rows-only in round 5; the
+    q_kmeans_iterate unrolled-CTE pattern applied to the trainer)."""
+    parts = [f"""WITH cells AS MATERIALIZED (
+      SELECT vec_id, r.range + 1 AS pos1,
+             CAST(embedding[r.range + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range({dim}) r
+    ),
+    vnorm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM cells GROUP BY vec_id),
+    samp AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings
+      ) WHERE rk <= {sample_n}
+    ),
+    xs AS MATERIALIZED (
+      SELECT c.vec_id AS id, c.pos1, c.val / v.nrm AS xval
+      FROM cells c JOIN vnorm v USING (vec_id) JOIN samp s ON s.vec_id = c.vec_id
+    ),
+    xn AS MATERIALIZED (SELECT id, sqrt(SUM(xval * xval)) AS xn FROM xs GROUP BY id),
+    cent0 AS MATERIALIZED (
+      SELECT CAST(dense_rank() OVER (ORDER BY id) - 1 AS BIGINT) AS c_id, pos1, xval AS cval
+      FROM xs WHERE id IN (SELECT id FROM (SELECT DISTINCT id FROM xs) ORDER BY id LIMIT {n_cells})
+    )"""]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(f"""cn{t} AS MATERIALIZED (SELECT c_id, sqrt(SUM(cval * cval)) AS cn FROM {prev} GROUP BY c_id),
+    dt{t} AS MATERIALIZED (
+      SELECT xs.id, p.c_id, SUM(xs.xval * p.cval) AS dp
+      FROM xs JOIN {prev} p USING (pos1) GROUP BY xs.id, p.c_id
+    ),
+    asg{t} AS MATERIALIZED (
+      SELECT id, c_id FROM (
+        SELECT dt{t}.id, dt{t}.c_id,
+               row_number() OVER (
+                 PARTITION BY dt{t}.id
+                 ORDER BY round(dp / (xn.xn * cn{t}.cn), 6) DESC, dt{t}.c_id
+               ) AS rn
+        FROM dt{t} JOIN xn USING (id) JOIN cn{t} USING (c_id)
+      ) WHERE rn = 1
+    ),
+    mean{t} AS MATERIALIZED (
+      SELECT asg{t}.c_id, xs.pos1, AVG(xs.xval) AS cval
+      FROM asg{t} JOIN xs USING (id) GROUP BY 1, 2
+    ),
+    cent{t} AS MATERIALIZED (
+      SELECT p.c_id, p.pos1, COALESCE(m.cval, p.cval) AS cval
+      FROM {prev} p LEFT JOIN mean{t} m ON m.c_id = p.c_id AND m.pos1 = p.pos1
+    )""")
+        prev = f"cent{t}"
+    parts.append(f"""cnF AS MATERIALIZED (SELECT c_id, sqrt(SUM(cval * cval)) AS cn FROM {prev} GROUP BY c_id),
+    dotsF AS MATERIALIZED (
+      SELECT cells.vec_id, p.c_id, SUM(cells.val * p.cval) AS dp
+      FROM cells JOIN {prev} p USING (pos1) GROUP BY 1, 2
+    ),
+    simsF AS MATERIALIZED (
+      SELECT d.vec_id, d.c_id, round(d.dp / (v.nrm * c.cn), 6) AS sim
+      FROM dotsF d JOIN vnorm v USING (vec_id) JOIN cnF c USING (c_id)
+    ),
+    acell AS MATERIALIZED (
+      SELECT vec_id AS nbr_id, c_id AS cell FROM (
+        SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+        FROM simsF
+      ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+      SELECT vec_id AS query_id, c_id AS cell FROM (
+        SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+        FROM simsF WHERE vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.query_id, a.nbr_id FROM probe p JOIN acell a USING (cell)
+      WHERE a.nbr_id <> p.query_id
+    ),
+    ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS MATERIALIZED (
+      SELECT c.query_id, c.nbr_id,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                   6) AS sim
+      FROM cand c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.nbr_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, nbr_id, sim FROM (
+      SELECT query_id, nbr_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}""")
+    return ",\n    ".join(parts)
+
+
+@q("ann_topk_ivf", _ivf_oracle_sql())
 def ann_topk_ivf(spark, sf_dir):
     """IVF approximate ANN: sampled spherical-k-means coarse quantizer,
     inverted-list equi-join, nprobe=6 multi-probe — the second scale path
     beside hyperplane LSH; recall@5 ≈ 0.93 vs brute force on this fixture
-    (tests/test_similarity_recall.py). Approximate ⇒ no SQL oracle; driver
-    records rows-only."""
+    (tests/test_similarity_recall.py). The md5 sample, lowest-id init and
+    6-dp rounded assignments make the trained quantizer itself
+    deterministic and portable, so the oracle UNROLLS the 10 Lloyd
+    training rounds in SQL and replays the probe/re-rank EXACTLY —
+    upgraded from rows-only in round 5."""
     from .operators.similarity import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
@@ -5645,6 +5751,80 @@ def txt_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
+# fixed literal BPE rules for the exact-oracle encode variant: realistic
+# English merges, every rule left != right (self-pair rules like ('l','l')
+# merge alternately within runs — the generic engine scan handles them and
+# tests/test_bpe.py pins that path; the SQL replay below covers the
+# left != right case where one pass == "merge every match")
+_BPE_FIXED_RULES = [
+    (1, "e", "</w>", 0), (2, "t", "h", 0), (3, "th", "e</w>", 0),
+    (4, "s", "</w>", 0), (5, "i", "n", 0), (6, "a", "n", 0),
+    (7, "o", "r", 0), (8, "e", "r", 0),
+]
+
+
+def _bpe_fixed_oracle_sql(rules=None) -> str:
+    """DuckDB replay of bpe_encode under FIXED literal rules: symbols =
+    chars + '</w>' marker; each rule is one greedy left-to-right pass,
+    replayed as an iterated CTE pair — mark matches (sym = a AND
+    lead(sym) = b), drop the consumed right symbol (lag(hit)), rewrite
+    the match to the merged token, re-number. For left != right rules
+    matches can never overlap, so one windowed pass IS the greedy scan."""
+    rules = rules or _BPE_FIXED_RULES
+    parts = [f"""WITH words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(l, 1) AS wpos, unnest(l) AS word
+      FROM (SELECT doc_id, {_TOK_SQL} AS l FROM documents)
+    ),
+    s0 AS MATERIALIZED (
+      SELECT doc_id, wpos, p + 1 AS pos,
+             CASE WHEN p < length(word) THEN substr(word, CAST(p + 1 AS INT), 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT doc_id, wpos, word, unnest(range(length(word) + 1)) AS p
+            FROM words)
+    )"""]
+    prev = "s0"
+    for t, a, b, _ in sorted(rules):
+        parts.append(f"""h{t} AS MATERIALIZED (
+      SELECT doc_id, wpos, pos, sym,
+             (sym = '{a}' AND lead(sym) OVER (PARTITION BY doc_id, wpos ORDER BY pos) = '{b}') AS hit
+      FROM {prev}
+    ),
+    k{t} AS MATERIALIZED (
+      SELECT doc_id, wpos, pos, sym, hit FROM (
+        SELECT doc_id, wpos, pos, sym, hit,
+               coalesce(lag(hit) OVER (PARTITION BY doc_id, wpos ORDER BY pos), FALSE) AS consumed
+        FROM h{t}
+      ) WHERE NOT consumed
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT doc_id, wpos,
+             row_number() OVER (PARTITION BY doc_id, wpos ORDER BY pos) AS pos,
+             CASE WHEN hit THEN '{a}{b}' ELSE sym END AS sym
+      FROM k{t}
+    )""")
+        prev = f"s{t}"
+    final = (
+        f"SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens"
+        f" FROM {prev} GROUP BY doc_id"
+    )
+    return ",\n    ".join(parts) + "\n    " + final
+
+
+@q("txt_bpe_encode_fixed", _bpe_fixed_oracle_sql())
+def txt_bpe_encode_fixed(spark, sf_dir):
+    """bpe_encode under FIXED literal merge rules — the exact-oracle twin
+    of txt_bpe_encode (whose rules come from the iterative trainer and
+    stay rows-only): the same chained JVM scan-merges, but with the 8
+    _BPE_FIXED_RULES shipped as literals, so the DuckDB oracle replays
+    every greedy pass as an iterated windowed CTE and the driver check
+    is exact. Separates "is the ENCODER portable?" (this gate) from "is
+    the TRAINER right?" (tests/test_bpe.py's pure-python pin)."""
+    from .operators.bpe import bpe_encode
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_FIXED_RULES).select("doc_id", "n_tokens")
+
+
 @q(
     "q_pack_sequences",
     f"""
@@ -7024,7 +7204,113 @@ def txt_chunk_dedup(spark, sf_dir):
     )
 
 
-@q("ann_topk_pq")  # approximate (quantized shortlist) → rows-only check
+def _pq_oracle_sql(
+    n_sub: int = 16, n_cent: int = 16, k: int = 5, shortlist: int = 100,
+    dim: int = 64, sample_n: int = 512, iters: int = 8,
+) -> str:
+    """DuckDB replay of similarity.pq_topk INCLUDING the per-subspace
+    codebook training: md5-ordered sample, lowest-id init, ``iters``
+    Lloyd rounds on 6-dp rounded subspace distances. All 16 subspaces
+    ride ONE CTE chain keyed (sub, c_id) — the unroll is over Lloyd
+    rounds only, not subspaces. ADC lookup sums and the cosine re-rank
+    compare on 6-dp rounded values exactly like the engine (upgraded
+    from rows-only in round 5)."""
+    d_sub = dim // n_sub
+    parts = [f"""WITH cells AS MATERIALIZED (
+      SELECT vec_id, r.range + 1 AS pos1,
+             CAST(embedding[r.range + 1] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range({dim}) r
+    ),
+    sp AS MATERIALIZED (
+      SELECT vec_id, CAST((pos1 - 1) // {d_sub} AS BIGINT) AS sub,
+             ((pos1 - 1) % {d_sub}) + 1 AS spos, val
+      FROM cells
+    ),
+    samp AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM embeddings
+      ) WHERE rk <= {sample_n}
+    ),
+    ps AS MATERIALIZED (
+      SELECT sp.vec_id AS id, sp.sub, sp.spos, sp.val
+      FROM sp JOIN samp s ON s.vec_id = sp.vec_id
+    ),
+    cent0 AS MATERIALIZED (
+      SELECT CAST(dense_rank() OVER (ORDER BY id) - 1 AS BIGINT) AS c_id, sub, spos, val AS cval
+      FROM ps WHERE id IN (SELECT id FROM (SELECT DISTINCT id FROM ps) ORDER BY id LIMIT {n_cent})
+    )"""]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(f"""asg{t} AS MATERIALIZED (
+      SELECT id, sub, c_id FROM (
+        SELECT ps.id, ps.sub, p.c_id,
+               row_number() OVER (
+                 PARTITION BY ps.id, ps.sub
+                 ORDER BY round(SUM((ps.val - p.cval) * (ps.val - p.cval)), 6), p.c_id
+               ) AS rn
+        FROM ps JOIN {prev} p ON p.sub = ps.sub AND p.spos = ps.spos
+        GROUP BY ps.id, ps.sub, p.c_id
+      ) WHERE rn = 1
+    ),
+    mean{t} AS MATERIALIZED (
+      SELECT a.sub, a.c_id, ps.spos, AVG(ps.val) AS cval
+      FROM asg{t} a JOIN ps ON ps.id = a.id AND ps.sub = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    cent{t} AS MATERIALIZED (
+      SELECT p.c_id, p.sub, p.spos, COALESCE(m.cval, p.cval) AS cval
+      FROM {prev} p LEFT JOIN mean{t} m
+        ON m.c_id = p.c_id AND m.sub = p.sub AND m.spos = p.spos
+    )""")
+        prev = f"cent{t}"
+    parts.append(f"""codes AS MATERIALIZED (
+      SELECT vec_id, sub, c_id FROM (
+        SELECT sp.vec_id, sp.sub, p.c_id,
+               row_number() OVER (
+                 PARTITION BY sp.vec_id, sp.sub
+                 ORDER BY round(SUM((sp.val - p.cval) * (sp.val - p.cval)), 6), p.c_id
+               ) AS rn
+        FROM sp JOIN {prev} p ON p.sub = sp.sub AND p.spos = sp.spos
+        GROUP BY sp.vec_id, sp.sub, p.c_id
+      ) WHERE rn = 1
+    ),
+    luts AS MATERIALIZED (
+      SELECT sp.vec_id AS query_id, sp.sub, p.c_id,
+             SUM((sp.val - p.cval) * (sp.val - p.cval)) AS d2q
+      FROM sp JOIN {prev} p ON p.sub = sp.sub AND p.spos = sp.spos
+      WHERE sp.vec_id < 10
+      GROUP BY 1, 2, 3
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, nbr_id FROM (
+        SELECT l.query_id, c.vec_id AS nbr_id,
+               row_number() OVER (
+                 PARTITION BY l.query_id
+                 ORDER BY round(SUM(l.d2q), 6), c.vec_id
+               ) AS rn
+        FROM codes c JOIN luts l ON l.sub = c.sub AND l.c_id = c.c_id
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+      ) WHERE rn <= {shortlist}
+    ),
+    ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS MATERIALIZED (
+      SELECT s.query_id, s.nbr_id,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                   6) AS sim
+      FROM short s JOIN ev a ON a.vec_id = s.query_id JOIN ev b ON b.vec_id = s.nbr_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, nbr_id, sim FROM (
+      SELECT query_id, nbr_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}""")
+    return ",\n    ".join(parts)
+
+
+@q("ann_topk_pq", _pq_oracle_sql())
 def ann_topk_pq(spark, sf_dir):
     """Product-quantization ANN with ADC shortlist + exact re-rank
     (operators/similarity.py::pq_topk): vectors compress 16x into
@@ -7032,7 +7318,10 @@ def ann_topk_pq(spark, sf_dir):
     lookup tables, and just |queries| x shortlist full vectors are touched
     for the re-rank. The third scale path beside banded-LSH and IVF;
     recall@5 pinned vs brute force in tests/test_similarity_recall.py.
-    Approximate ⇒ no SQL oracle; driver records rows-only."""
+    With the md5 sample, lowest-id init and 6-dp rounded code/ADC
+    comparisons the quantizer is deterministic and portable, so the
+    oracle replays training + encoding + shortlist + re-rank EXACTLY —
+    upgraded from rows-only in round 5."""
     from .operators.similarity import pq_topk
 
     e = table(spark, sf_dir, "embeddings")
@@ -7847,13 +8136,42 @@ def q_first_touch(spark, sf_dir):
     )
 
 
-@q("ann_recall_report")  # approximate methods measured vs exact → rows-only
+def _recall_report_oracle_sql() -> str:
+    """Exact oracle for the recall report: each leg is the SAME replay
+    SQL that gates its own query (brute truth, banded-LSH, IVF-with-
+    trained-quantizer, PQ-ADC), nested as subqueries (DuckDB allows WITH
+    inside a derived table); recall = |top5 ∩ truth| / |truth| rounded
+    like the engine. Upgraded from rows-only in round 5 — every
+    approximate path is now deterministic + portable, so the report is
+    an exact-hash gate, not just a standing measurement."""
+    return f"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, nbr_id FROM ({_brute_oracle_sql()}) tb
+    ),
+    lsh5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_lsh_oracle_sql()}) tl),
+    ivf5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_ivf_oracle_sql()}) ti),
+    pq5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_pq_oracle_sql()}) tp),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM truth)
+    SELECT 'lsh_banded' AS method,
+           round((SELECT count(*) FROM lsh5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6) AS recall_at_5
+    UNION ALL
+    SELECT 'ivf_nprobe6',
+           round((SELECT count(*) FROM ivf5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6)
+    UNION ALL
+    SELECT 'pq_adc',
+           round((SELECT count(*) FROM pq5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6)
+    """
+
+
+@q("ann_recall_report", _recall_report_oracle_sql())
 def ann_recall_report(spark, sf_dir):
     """Recall@5 of every approximate ANN path (banded-LSH, IVF nprobe=6,
     PQ-ADC) against the exact brute-force top-5, computed IN-ENGINE as a
     DataFrame — one row per method. An approximate operator without a
     measured recall is unfalsifiable (round-1 verdict); this makes the
-    measurement a standing driver-recorded artifact, not just a pytest.
+    measurement a standing driver-recorded artifact, not just a pytest —
+    and since round 5 every leg is deterministic + SQL-replayable
+    (trained IVF/PQ quantizers included), it is an EXACT-oracle gate.
     The overlap join is (query_id, nbr_id)-keyed; truth and approx sets
     are both |queries|×5, so the whole check is dim-sized."""
     from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk, pq_topk

@@ -342,10 +342,12 @@ def _cell_sims(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col:
     """Materialize per-cell cosine sims ONCE into ``__sims`` — a cascaded
     when(best_sim < sim, ...) chain would re-inline every previous cosine
     into each branch and blow the expression tree up exponentially
-    (observed 200× slowdown)."""
+    (observed 200× slowdown). Sims are ROUNDED to 6 dp so the argmax /
+    probe orderings are engine-deterministic (ties resolve on cell id
+    identically here and in the DuckDB oracle replay)."""
     sims = F.array(
         *[
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+            F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])), 6)
             for _, cvec in centroids
         ]
     )
@@ -532,10 +534,13 @@ def train_pq_codebooks(
     seed: int = 11,
     iters: int = 8,
 ) -> list[list[list[float]]]:
-    """Per-subspace k-means codebooks from a deterministic bounded sample
-    (same training shape as ``train_ivf_centroids``: sample by
-    xxhash64(id), driver-side numpy Lloyd, broadcast back as literals).
-    Returns ``codebooks[sub][centroid][dim_sub]``.
+    """Per-subspace k-means codebooks from a deterministic, ENGINE-PORTABLE
+    bounded sample (same training shape as ``train_ivf_centroids``: sample
+    by md5(id), lowest-id init, 6-dp rounded assignment distances,
+    driver-side numpy Lloyd, broadcast back as literals — every step
+    replayable by the DuckDB oracle). Returns
+    ``codebooks[sub][centroid][dim_sub]``. ``seed`` kept for API
+    stability but no longer consumed.
 
     PQ is the quantizer that makes billion-vector ANN fit in memory: a
     64-dim float vector (256 B) compresses to ``n_sub`` uint8 codes
@@ -545,7 +550,7 @@ def train_pq_codebooks(
         embeddings.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
         .limit(sample_n)
         .collect()
     )
@@ -554,19 +559,13 @@ def train_pq_codebooks(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub
-    rng = np.random.default_rng(seed)
     books: list[list[list[float]]] = []
     for s in range(n_sub):
         Xs = X[:, s * d_sub : (s + 1) * d_sub]
-        # seeded pick + farthest-point init, then Lloyd
-        idx = [int(rng.integers(len(Xs)))]
-        for _ in range(n_cent - 1):
-            d = np.min([((Xs - Xs[i]) ** 2).sum(axis=1) for i in idx], axis=0)
-            idx.append(int(np.argmax(d)))
-        C = Xs[idx].copy()
+        C = Xs[:n_cent].copy()  # lowest-id init (rows are id-sorted)
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
+            d2 = np.round(((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+            a = np.argmin(d2, axis=1)  # first min = lowest code on ties
             for j in range(n_cent):
                 if (a == j).any():
                     C[j] = Xs[a == j].mean(axis=0)
@@ -598,7 +597,11 @@ def pq_assign_codes(
     out = df.select(F.col(id_col), v.alias("__v"))
     code_cols = []
     for s, book in enumerate(codebooks):
-        arr = F.array(*[_sub_d2(F.col("__v"), s * d_sub, c) for c in book])
+        # 6-dp rounded distances: code choice is engine-deterministic
+        # (ties → lowest code), replayable by the DuckDB oracle
+        arr = F.array(
+            *[F.round(_sub_d2(F.col("__v"), s * d_sub, c), 6) for c in book]
+        )
         out = out.withColumn(f"__d{s}", arr)
         code_cols.append(
             (F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))) - 1)
