@@ -288,3 +288,102 @@ def test_stream_offset_survives_lexicographic_inversion(spark, tmp_path):
         assert len({r["time_us"] for r in rows}) == 12
     finally:
         q.stop()
+
+
+def _write_record_dim_mission(tmp: str, n_files: int = 2):
+    """ad2cp-shaped files whose time dimension is the RECORD (unlimited)
+    dim — the layout real appended missions have (the reference's own
+    fixture files are this shape)."""
+    from seaexplorertools_spark.sources.netcdf3 import write_netcdf3
+
+    t0 = 1_800_000_000_000_000
+    all_t = []
+    for fi in range(n_files):
+        T, B = 5, 3
+        t = t0 + (fi * T + np.arange(T, dtype=np.float64)) * 1e6
+        all_t.append(t)
+        variables = {
+            "Data_Average_time": (("time",), t),
+            "Data_Average_Pressure": (("time",), np.linspace(2, 30, T)),
+            "Data_Average_Pitch": (("time",), np.full(T, -17.0)),
+        }
+        for b in (1, 2):
+            variables[f"Data_Average_VelocityBeam{b}"] = (
+                ("time", "bin"),
+                np.arange(T * B, dtype=np.float64).reshape(T, B) / (b + 1.0),
+            )
+        write_netcdf3(
+            f"{tmp}/rec_{fi}.nc", {"time": None, "bin": B}, variables
+        )
+    return np.concatenate(all_t)
+
+
+def test_record_dim_batch_scan(spark, tmp_path):
+    """Both layouts over record-dimension files: the distributed scan
+    decodes interleaved record slabs identically to fixed-dim files."""
+    all_t = _write_record_dim_mission(str(tmp_path))
+    spark.dataSource.register(NetCDF3DataSource)
+    ping = (
+        spark.read.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "ping")
+        .load(f"{tmp_path}/rec_*.nc")
+    )
+    rows = ping.orderBy("time_us").collect()
+    assert [r["time_us"] for r in rows] == sorted(all_t.astype(np.int64))
+    assert ping.rdd.getNumPartitions() == 2
+
+    cells = (
+        spark.read.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "cells")
+        .load(f"{tmp_path}/rec_*.nc")
+    )
+    got = cells.orderBy("time_us", "bin").collect()
+    assert len(got) == len(all_t) * 3
+    # spot-check the interleaved decode: VelocityBeam1 of file 0 row 2 bin 1
+    want = (2 * 3 + 1) / 2.0
+    hit = [
+        r for r in got
+        if r["time_us"] == int(all_t[2]) and r["bin"] == 1
+    ]
+    assert len(hit) == 1 and hit[0]["VelocityBeam1"] == pytest.approx(want)
+
+
+def test_record_dim_stream_tail(spark, tmp_path):
+    """Streaming tail over a growing RECORD-dim mission directory — the
+    file-set offset semantics hold regardless of the on-disk layout."""
+    import shutil
+
+    stage = tmp_path / "rstage"
+    stage.mkdir()
+    live = tmp_path / "rlive"
+    live.mkdir()
+    _write_record_dim_mission(str(stage))
+    shutil.copy(stage / "rec_0.nc", live / "rec_0.nc")
+
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format("netcdf3")
+        .option("group", "Data/Average")
+        .option("layout", "ping")
+        .load(f"{live}/rec_*.nc")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nc_rec_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) n from nc_rec_tail").collect()[0]["n"]
+        assert n1 == 5
+        shutil.copy(stage / "rec_1.nc", live / "rec_1.nc")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select time_us from nc_rec_tail order by time_us"
+        ).collect()
+        assert len(rows) == 10 and len({r["time_us"] for r in rows}) == 10
+    finally:
+        q.stop()

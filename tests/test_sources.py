@@ -90,6 +90,103 @@ def test_netcdf3_roundtrip():
     assert attrs == {"a_f": 2.5, "a_s": "hello", "a_i": 7}
 
 
+def test_netcdf3_record_dim_roundtrip():
+    """Record (unlimited) time dimension: interleaved record slabs round-
+    trip exactly — 1-D and 2-D record vars, a fixed var alongside, and the
+    record dim reporting the actual record count."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/rec.nc"
+        t = np.arange(7, dtype=np.float64) * 1e6
+        m = np.arange(21, dtype=np.float64).reshape(7, 3) / 3.0
+        i = np.arange(7, dtype=np.int32)
+        edges = np.array([0.5, 2.5, 4.5], dtype=np.float64)
+        write_netcdf3(
+            path,
+            {"time": None, "bin": 3},
+            {
+                "t": (("time",), t),
+                "m": (("time", "bin"), m),
+                "i": (("time",), i),
+                "edges": (("bin",), edges),  # fixed var among record vars
+            },
+            {"src": "record-dim test"},
+        )
+        dims, vars_, attrs = read_netcdf3(path)
+    assert dims == {"time": 7, "bin": 3}
+    assert np.array_equal(vars_["t"], t)
+    assert np.array_equal(vars_["m"], m)
+    assert np.array_equal(vars_["i"], i)
+    assert np.array_equal(vars_["edges"], edges)
+    assert attrs == {"src": "record-dim test"}
+
+
+def test_netcdf3_single_record_var_unpadded():
+    """The classic-format special case: a lone record variable of a narrow
+    type is stored with NO inter-record padding."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/lone.nc"
+        v = np.arange(5, dtype=np.int16)
+        write_netcdf3(path, {"time": None}, {"v": (("time",), v)})
+        import os
+
+        dims, vars_, _ = read_netcdf3(path)
+        # data section = 5 records x 2 bytes, unpadded
+        assert os.path.getsize(path) % 2 == 0
+    assert dims == {"time": 5}
+    assert np.array_equal(vars_["v"], v)
+
+
+def test_netcdf3_record_dim_empty_and_streaming():
+    """numrecs = 0 (declared, nothing appended) reads as empty arrays;
+    numrecs = 0xFFFFFFFF (STREAMING) derives the count from file size."""
+    import struct as _struct
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/empty.nc"
+        write_netcdf3(
+            path,
+            {"time": None, "bin": 2},
+            {"m": (("time", "bin"), np.empty((0, 2), dtype=np.float64)),
+             "t": (("time",), np.empty(0, dtype=np.float64))},
+        )
+        dims, vars_, _ = read_netcdf3(path)
+        assert dims["time"] == 0 and vars_["m"].shape == (0, 2)
+
+        path2 = f"{tmp}/stream.nc"
+        t = np.arange(4, dtype=np.float64)
+        m = np.arange(8, dtype=np.float64).reshape(4, 2)
+        write_netcdf3(
+            path2, {"time": None, "bin": 2},
+            {"t": (("time",), t), "m": (("time", "bin"), m)},
+        )
+        raw = bytearray(open(path2, "rb").read())
+        raw[4:8] = _struct.pack(">I", 0xFFFFFFFF)  # STREAMING sentinel
+        open(path2, "wb").write(bytes(raw))
+        dims, vars_, _ = read_netcdf3(path2)
+        assert dims["time"] == 4
+        assert np.array_equal(vars_["t"], t) and np.array_equal(vars_["m"], m)
+
+
+def test_netcdf3_record_dim_validation():
+    """Loud failures: two record dims; record dim not first; record-count
+    mismatch between variables."""
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with _pytest.raises(ValueError, match="at most one record"):
+            write_netcdf3(f"{tmp}/x.nc", {"a": None, "b": None}, {})
+        with _pytest.raises(ValueError, match="must be the first"):
+            write_netcdf3(
+                f"{tmp}/y.nc", {"time": None, "bin": 2},
+                {"m": (("bin", "time"), np.zeros((2, 3)))},
+            )
+        with _pytest.raises(ValueError, match="records"):
+            write_netcdf3(
+                f"{tmp}/z.nc", {"time": None},
+                {"a": (("time",), np.zeros(3)), "b": (("time",), np.zeros(4))},
+            )
+
+
 def _write_ad2cp_fixture(tmp: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two classic AD2CP files (multi-file mission): Data/Average group via
     the Data_Average_* flattening, BT group in file 1 only, Config attrs."""
