@@ -1,0 +1,1244 @@
+"""Deep OLAP join coverage: TPC-H shapes, KMV sketch, winnowing,
+recall report (round-3 additions, part 2).
+
+Split from the flat contract module in round 5 (registry mechanics and
+conventions: contract/_base.py; canonical key order: contract/_order.py).
+"""
+
+from __future__ import annotations
+
+import math  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..operators import windows as W  # noqa: F401
+from ..operators.grid import binned_agg_2d, histogram  # noqa: F401
+from ..operators.joins import asof_join, interp_join  # noqa: F401
+from ..operators.qc import qc_velocity  # noqa: F401
+from ._base import (  # noqa: F401
+    EV_ORDER,
+    ORACLES,
+    QUERIES,
+    R6P_SQL,
+    events,
+    q,
+    r6,
+    r6p,
+    table,
+    ts_us_col,
+)
+from .llm_core import _TOK_SQL, _brute_oracle_sql, _lsh_oracle_sql  # noqa: F401
+from .llm_scale import _ivf_oracle_sql  # noqa: F401
+from .warehouse import _pq_oracle_sql  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — deeper OLAP join coverage (TPC-H Q5/Q10/Q14/Q18/Q19 shapes on
+# the available columns), KMV distinct sketch, winnowing fingerprints,
+# Python UDTF surface, OHLC downsampling, time-decayed aggregates.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table join where customer and
+    supplier nation must MATCH — the classic snowflake probe with a
+    non-hierarchical cross-dimension equality. Plan: lineitem⋈orders is the
+    only big-big shuffle; customer/supplier/nation/region all broadcast
+    (AQE picks this below the 10 MB default at any SF; at 100 TB customer
+    outgrows broadcast and AQE falls back to a shuffle join on o_custkey —
+    both fine, no plan rewrite needed). Date filter pushed to the orders
+    scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): who returned the most revenue
+    in a quarter+ window. Returnflag filter pushed to the lineitem scan,
+    date filter to orders; customer/nation broadcast; top-20 runs as a
+    distributed TakeOrdered (no global sort materialization). c_custkey
+    tiebreak makes the LIMIT deterministic for the oracle compare."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q14",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), per month: conditional-aggregate ratio
+    over a fact⋈dim join. part broadcasts; one shuffle on the month key;
+    the CASE folds into the same partial aggregate as the denominator, so
+    the ratio costs one pass."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            r6(F.lit(100.0) * F.sum(promo) / F.sum(net)).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q18",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 6) AS total_qty
+    FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): HAVING-subquery membership
+    expressed as an aggregate→semi-join. The qualifying-order set is the
+    output of a map-side-combined groupBy (tiny vs lineitem), so it
+    broadcast-left-semi-joins back into the fact; no correlated per-row
+    subquery execution exists anywhere in the plan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(r6(F.sum("l_quantity")).alias("total_qty"))
+    )
+
+
+@q(
+    "q_tpch_q19",
+    """
+    SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    AND-clauses OR'd across join sides. Catalyst splits the disjunction:
+    the part-only part (brand ∈ {1,2,3}) and lineitem-only part (quantity
+    ∈ [1,50]) push to their scans as PushedFilters, the mixed residual
+    evaluates post-join — the textbook test that pushdown survives
+    disjunctions rather than giving up."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 30) & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash,
+           round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                      ELSE 63.0::DOUBLE * 281474976710656.0::DOUBLE / max(h) END, 6) AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type
+    (operators/sketches.py::kmv_distinct): keep the 64 smallest md5-derived
+    48-bit hashes, estimate distinct = 63/u_64. Unlike Spark's HLL
+    (hll_sketch_agg — tested separately, estimates implementation-defined),
+    KMV is deterministic given the hash, so this approximate operator gets
+    an EXACT cross-engine oracle — a falsifiable sketch. Mergeable across
+    shards (union → re-min, tests/test_sketches.py); bounded memory at any
+    cardinality. Reference A6 distinct-days (process_adcp.py:1246-1252) is
+    the exact twin."""
+    from ..operators.sketches import kmv_distinct
+
+    return kmv_distinct(events(spark, sf_dir), "user_id", ["event_type"], k=64)
+
+
+@q(
+    "q_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, h >> 40 AS idx, h % 1099511627776 AS w FROM h
+    ),
+    r AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m_rho
+      FROM b GROUP BY event_type, idx
+    ),
+    s AS (
+      SELECT event_type, sum(power(2.0, -m_rho)) AS s_nz, count(*) AS nz
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           (256 - nz)::BIGINT AS n_zero_regs,
+           round(CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                             / (s_nz + (256 - nz)) <= 640.0
+                       AND nz < 256
+                      THEN 256.0 * ln(256.0 / (256 - nz))
+                      ELSE ((0.7213 / (1 + 1.079 / 256.0)) * 256.0) * 256.0
+                             / (s_nz + (256 - nz)) END, 2) AS est_distinct
+    FROM s
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """From-scratch HyperLogLog distinct-count per event_type
+    (operators/sketches.py::hll_registers/hll_estimate): p=8 → 256
+    registers from the top bits of the md5-derived 48-bit hash, register =
+    max leading-zero rank of the 40-bit suffix, Flajolet-2007 estimator
+    with the linear-counting small-range correction. Every arithmetic step
+    (exact powers of two summing inside 52 mantissa bits, shared md5 hash)
+    is engine-portable, so this APPROXIMATE sketch has an EXACT DuckDB
+    oracle — same falsifiability bar as q_kmv_distinct, completing the
+    sketch family (KMV, Count-Min, HLL). Registers merge by elementwise
+    max (hll_merge — the 100 TB shard-combine path, law-tested in
+    tests/test_sketches.py). Reference A6 distinct-days
+    (process_adcp.py:1246-1252) is the exact-count twin."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    regs = hll_registers(events(spark, sf_dir), "user_id", ["event_type"], p=8)
+    return hll_estimate(regs, ["event_type"], p=8)
+
+
+@q(
+    "txt_winnow",
+    """
+    WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, s.n AS pos, len(tk) - 3 AS n_grams,
+             ('0x' || substr(md5(array_to_string(tk[s.n:s.n+3], ' ')), 1, 12))::BIGINT AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS n) s
+    ),
+    w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4
+    """,
+)
+def txt_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS; Schleimer et al., SIGMOD 2003) over
+    4-token shingles with window 5: any shared run of ≥ 8 tokens between
+    two documents is guaranteed a shared fingerprint — the
+    position-robust excerpt-level contamination detector, complementing
+    dd_contamination's exact 8-gram join. All JVM expressions
+    (operators/text.py::winnow_fingerprints); shuffle = one per-doc
+    window pass over shingle hashes."""
+    from ..operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5)
+
+
+@q(
+    "udtf_sentences",
+    """
+    SELECT doc_id, s.n - 1 AS sent_id, trim(a[s.n]) AS sentence
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+\\s+') AS a FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(a))) AS n) s
+    WHERE length(trim(a[s.n])) > 0
+    """,
+)
+def udtf_sentences(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.9; Spark 4 ``@udtf``): one input doc
+    row → N sentence rows via LATERAL, the table-function shape the
+    reference has no equivalent for (its pandas code reshapes in-memory).
+    The split regex sticks to the Java/RE2/Python-identical subset so the
+    DuckDB oracle is exact. Arrow-optimized UDTF eval
+    (spark.sql.execution.pythonUDTF.arrow.enabled — set in
+    session.py) keeps the Python boundary batched; for bulk production use
+    the equivalent pure-JVM split+posexplode is the fast path — this entry
+    exists to keep the UDTF machinery itself under oracle test."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_id, s.sentence "
+        "FROM __docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+@q(
+    "q_tumbling_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 600000000 AS bucket, value,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def q_tumbling_ohlc(spark, sf_dir):
+    """OHLC downsampling: 10-minute tumbling bars per event_type via
+    ``min_by``/``max_by`` over a (ts, event_id) ordering struct — open and
+    close come out of the SAME single-shuffle aggregate as high/low/volume;
+    no window pass, no self-join, map-side partials everywhere. The
+    (ts_us, event_id) tiebreak makes first/last deterministic (the oracle
+    reproduces it with two row_numbers). This is the reference's per-bin
+    first/last pattern (A8, min_by/max_by) composed with time bucketing."""
+    ev = events(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.expr("ts_us div 600000000").alias("bucket"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+@q(
+    "q_decayed_agg",
+    """
+    WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    w AS (
+      SELECT event_type, value,
+             round(exp(-((tmax - epoch_us(ts)) / 604800000000.0)), 9) AS w
+      FROM events CROSS JOIN m
+    )
+    SELECT event_type,
+           round(sum(value * w), 6) AS decayed_sum,
+           round(sum(w), 6) AS total_w,
+           round(sum(value * w) / sum(w), 6) AS decayed_mean
+    FROM w GROUP BY event_type
+    """,
+)
+def q_decayed_agg(spark, sf_dir):
+    """Exponential time-decay aggregation (half-life feature-store shape):
+    weight = exp(-Δt/τ), τ = 7 days, anchored at the stream's max
+    timestamp. The anchor is a 1-row agg cross-joined in (broadcast NL
+    join of a scalar — the J5 pattern, no collect in the plan); weights
+    round to 9 dp so both engines sum identical doubles and the 6-dp
+    output is summation-order-proof. One shuffle, map-side partials."""
+    ev = events(spark, sf_dir)
+    tmax = ev.agg(F.max("ts_us").alias("tmax"))
+    w = F.round(F.exp(-((F.col("tmax") - F.col("ts_us")) / F.lit(604800000000.0))), 9)
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .withColumn("w", w)
+        .groupBy("event_type")
+        .agg(
+            r6(F.sum(F.col("value") * F.col("w"))).alias("decayed_sum"),
+            r6(F.sum("w")).alias("total_w"),
+            r6(F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("decayed_mean"),
+        )
+    )
+
+
+@q(
+    "dd_winnow_containment",
+    """
+    WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, s.n AS pos, len(tk) - 3 AS n_grams,
+             ('0x' || substr(md5(array_to_string(tk[s.n:s.n+3], ' ')), 1, 12))::BIGINT AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS n) s
+    ),
+    w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 4),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+    ),
+    fpr AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+      FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, shared,
+           round(shared / least(s1.n_fp, s2.n_fp)::DOUBLE, 6) AS containment
+    FROM pairs
+      JOIN sizes s1 ON s1.doc_id = doc1
+      JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE shared >= 3
+    """,
+)
+def dd_winnow_containment(spark, sf_dir):
+    """Excerpt-containment scoring over winnowing fingerprints: doc pairs
+    sharing ≥ 3 selected fingerprints, scored shared/min(|fp|) — the MOSS
+    aggregation step, catching partial-overlap/quotation duplicates that
+    whole-doc MinHash misses (a copied paragraph in an otherwise-unique
+    doc still pairs). Scale posture: the pair join is keyed on fingerprint
+    with a document-frequency cap (fp in ≤ 20 docs) exactly like the
+    LSH-band df bound — a boilerplate fingerprint shared by a million
+    docs is dropped, not joined, so pair volume is Σ df² over RARE
+    fingerprints only."""
+    from ..operators.text import winnow_fingerprints
+
+    # the fingerprint set feeds three consumers (df-cap, pair join, sizes) —
+    # cache the staging boundary so winnowing runs once, not three times
+    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5).cache()
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 20).select("fp")
+    fpr = fps.join(rare, "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fpr.select(F.col("doc_id").alias("doc1"), "fp")
+    b = fpr.select(F.col("doc_id").alias("doc2"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared",
+            r6(F.col("shared") / F.least("n1", "n2").cast("double")).alias("containment"),
+        )
+    )
+
+
+@q(
+    "q_curriculum_order",
+    """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: exact global rank of every document under a
+    quality ordering (here n_chars DESC with doc_id tiebreak) WITHOUT the
+    single-partition global window — operators/rank.py::global_rank runs a
+    range repartition + per-partition local row_number + tiny offset
+    broadcast, so the same plan ranks a 100 TB corpus. The oracle is the
+    naive global row_number (identical result by construction: rank
+    depends only on the total order)."""
+    from ..operators.rank import global_rank
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id")], "rank")
+
+
+@q(
+    "q_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl)::DOUBLE AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'data', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query over the
+    token stream: Robertson/Spärck-Jones idf × length-normalized tf. Plan:
+    the term filter prunes the exploded stream BEFORE any shuffle (only
+    matching-term rows move), per-term df and the corpus (N, avgdl)
+    scalars are dim-sized broadcasts — the standard serving decomposition
+    of a BM25 index build, no UDFs, exact oracle."""
+    from ..operators.dedup import tokens as tok_fn
+
+    terms = ["spark", "data", "window"]
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").cast("double").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + F.lit(1.0)
+    )
+    score = idf * F.col("tf") * F.lit(2.2) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(score)).alias("bm25"))
+    )
+
+
+@q(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) on the available columns: orders
+    in a quarter with ≥ 1 slow lineitem (shipped > 60 days after the order
+    date — the snapshot has no commit/receipt dates; same correlated-EXISTS
+    shape). Spark plan: the correlated EXISTS decorrelates to a left-semi
+    join on l_orderkey with the date comparison as join condition — no
+    per-row subquery execution."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "q_tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): pure scan-side conjunctive
+    range predicates + single global aggregate — every filter lands in
+    PushedFilters, the aggregate is map-side partial + 1-row final; the
+    canonical 'is your scan path efficient' probe."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "q_tpch_q12",
+    """
+    SELECT year(l_shipdate) AS ship_year,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-priority split; ship-year stands in for the
+    absent l_shipmode): fact⋈fact equi-join with conditional-count
+    aggregation — both CASE branches fold into ONE partial aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q16",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (supplier-count by part attributes; lineitem stands in
+    for the absent partsupp): negated + IN-list predicates pushed to the
+    part scan, distinct-count via Spark's two-stage expand-aggregate
+    (partial distinct per mapper, exact merge) — no collect, no
+    dropDuplicates shuffle beyond the agg's own."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q_first_touch",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    conv AS (
+      SELECT user_id, count(*) AS n_purchases,
+             round(sum(value), 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT first_touch, count(*) AS n_users,
+           sum(coalesce(n_purchases, 0))::BIGINT AS purchases,
+           round(sum(coalesce(purchase_value, 0.0)), 6) AS revenue
+    FROM firsts LEFT JOIN conv USING (user_id)
+    GROUP BY first_touch
+    """,
+)
+def q_first_touch(spark, sf_dir):
+    """First-touch attribution: each user's earliest event (deterministic
+    (ts, event_id) tiebreak) is the acquisition channel; purchases and
+    revenue roll up per channel. Two map-side-combined aggregates keyed by
+    user_id + one channel-keyed rollup — min_by pulls the first touch out
+    of the same shuffle that counts, no window pass over the event
+    stream."""
+    ev = events(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    firsts = ev.groupBy("user_id").agg(F.min_by("event_type", key).alias("first_touch"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), r6(F.sum("value")).alias("purchase_value"))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("n_purchases"), F.lit(0))).alias("purchases"),
+            r6(F.sum(F.coalesce(F.col("purchase_value"), F.lit(0.0)))).alias("revenue"),
+        )
+    )
+
+
+def _recall_report_oracle_sql() -> str:
+    """Exact oracle for the recall report: each leg is the SAME replay
+    SQL that gates its own query (brute truth, banded-LSH, IVF-with-
+    trained-quantizer, PQ-ADC), nested as subqueries (DuckDB allows WITH
+    inside a derived table); recall = |top5 ∩ truth| / |truth| rounded
+    like the engine. Upgraded from rows-only in round 5 — every
+    approximate path is now deterministic + portable, so the report is
+    an exact-hash gate, not just a standing measurement."""
+    return f"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, nbr_id FROM ({_brute_oracle_sql()}) tb
+    ),
+    lsh5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_lsh_oracle_sql()}) tl),
+    ivf5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_ivf_oracle_sql()}) ti),
+    pq5 AS MATERIALIZED (SELECT query_id, nbr_id FROM ({_pq_oracle_sql()}) tp),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM truth)
+    SELECT 'lsh_banded' AS method,
+           round((SELECT count(*) FROM lsh5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6) AS recall_at_5
+    UNION ALL
+    SELECT 'ivf_nprobe6',
+           round((SELECT count(*) FROM ivf5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6)
+    UNION ALL
+    SELECT 'pq_adc',
+           round((SELECT count(*) FROM pq5 JOIN truth USING (query_id, nbr_id)) / (SELECT n FROM nt), 6)
+    """
+
+
+@q("ann_recall_report", _recall_report_oracle_sql())
+def ann_recall_report(spark, sf_dir):
+    """Recall@5 of every approximate ANN path (banded-LSH, IVF nprobe=6,
+    PQ-ADC) against the exact brute-force top-5, computed IN-ENGINE as a
+    DataFrame — one row per method. An approximate operator without a
+    measured recall is unfalsifiable (round-1 verdict); this makes the
+    measurement a standing driver-recorded artifact, not just a pytest —
+    and since round 5 every leg is deterministic + SQL-replayable
+    (trained IVF/PQ quantizers included), it is an EXACT-oracle gate.
+    The overlap join is (query_id, nbr_id)-keyed; truth and approx sets
+    are both |queries|×5, so the whole check is dim-sized."""
+    from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk, pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, qs, k=5).select("query_id", "nbr_id").cache()
+    n_truth = truth.count()
+
+    def rec(df, method):
+        hits = df.select("query_id", "nbr_id").join(truth, ["query_id", "nbr_id"]).count()
+        return (method, round(hits / n_truth, 6))
+
+    rows = [
+        rec(lsh_topk(e, qs, dim=64, k=5), "lsh_banded"),
+        rec(ivf_topk(e, qs, n_cells=8, nprobe=6, k=5), "ivf_nprobe6"),
+        rec(pq_topk(e, qs, n_sub=16, n_cent=16, k=5, shortlist=100), "pq_adc"),
+    ]
+    return spark.createDataFrame(rows, "method string, recall_at_5 double")
+
+
+@q(
+    "q_tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade flow —
+    the same dim (nation) joins TWICE under different roles, with a
+    cross-role disjunctive filter evaluated post-join. Both nation copies
+    broadcast; the (supp,cust) pair predicate cannot push to either scan
+    alone, the per-role IN('NATION_1','NATION_2') residuals can (and do)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q8",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): 8-table snowflake where the share
+    numerator is a conditional slice of the SAME aggregate — one pass, no
+    self-join; region filter prunes through the customer-side nation role
+    only (the supplier-side nation stays unfiltered for the CASE)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n2_region"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r6(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", net).otherwise(F.lit(0.0)))
+                / F.sum(net)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q_tpch_q13",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): LEFT join with a non-key join
+    condition (the filter belongs to the JOIN, not a WHERE — moving it
+    would drop zero-order customers), two-level aggregate; count(col)
+    null-skipping keeps the zero bucket."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q_tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): aggregate → scalar-max subquery → filter.
+    The revenue CTE is computed once and cached; the max is a 1-row
+    broadcast joined back (J5 pattern) — no second lineitem scan, no
+    collect. Ties (if any) return every top supplier, same as the spec."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(r6(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("total_revenue"))
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q_tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    average decorrelated into a groupBy-aggregate broadcast back onto the
+    fact — each part's 0.2·avg threshold computed once, not per row; the
+    brand filter prunes the part side before both joins."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(thresh), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# The driver snapshot has no partsupp table; Q2/Q9/Q11/Q20 run over a
+# DERIVED supply table — distinct (part, supplier) pairs from lineitem with
+# min unit price as supplycost and total shipped quantity as availqty.
+# Deterministic, so the shapes stay exactly oracle-checkable. supplycost
+# uses tie-proof r6p: price/qty lands on the decimal grid, where Spark's
+# HALF_UP and DuckDB's rounding disagree on exact .5 ties.
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             floor(min(l_extendedprice / l_quantity) * 1000000.0 + 0.5) / 1000000.0
+               AS ps_supplycost,
+             round(sum(l_quantity), 6) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_ps(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        r6p(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("ps_supplycost"),
+        r6(F.sum("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@q(
+    "q_tpch_q2",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mincost AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM part
+      JOIN eu ON ps_partkey = p_partkey
+      JOIN mincost ON mincost.ps_partkey = p_partkey AND ps_supplycost = mc
+    WHERE p_size = 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) over the derived supply table: the
+    correlated min-subquery decorrelates to a per-part min aggregate
+    joined back (computed on the region-filtered slice ONCE — not per
+    part-row); supplier/nation/region broadcast; top-20 is a distributed
+    TakeOrdered with a (acctbal, nation, supplier, part) total order."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mincost = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        p.join(eu, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            mincost,
+            (F.col("m_partkey") == F.col("p_partkey")) & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q9",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(floor((l_extendedprice * (1 - l_discount)
+                            - ps_supplycost * l_quantity) * 1000000.0 + 0.5)
+                     / 1000000.0), 6) AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) over the derived supply table: the
+    profit term has CANCELLATION (revenue − cost), so each term is rounded
+    to 6 dp with the tie-proof floor-based r6p BEFORE the sum (money-grid
+    products land on exact .5 ties where HALF_UP and HALF_EVEN disagree —
+    measured 3.2e-5 drift with plain round) — both engines then add
+    identical doubles and the outer rounding only removes
+    summation-order noise. The ps join is
+    a composite-key (part, supp) shuffle join against the fact — the one
+    join here that stays big-big at 100 TB; bucketing both sides on
+    l_partkey would co-locate it (tests/test_bucketing.py shows the
+    layout)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    ps = _derived_ps(spark, sf_dir)
+    term = r6p(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(r6(F.sum(term)).alias("profit"))
+    )
+
+
+@q(
+    "q_tpch_q11",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    j AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+    )
+    SELECT ps_partkey, round(sum(val), 6) AS value
+    FROM j GROUP BY ps_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM j)
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock) over the derived supply table: per-part
+    value filtered against a fraction of the GLOBAL value — the scalar
+    total is a 1-row broadcast from the same cached slice, so the data is
+    scanned once, not once per side of the HAVING."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    j = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"))
+        .cache()
+    )
+    total = j.agg((F.sum("val") * F.lit(0.001)).alias("thresh"))
+    return (
+        j.groupBy("ps_partkey")
+        .agg(F.sum("val").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("ps_partkey", r6(F.col("raw_value")).alias("value"))
+    )
+
+

@@ -120,7 +120,14 @@ def interp_join(
 
     w = Window.partitionBy(*part_cols).orderBy(_T, _SIDE)
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    # "next" lookups run over the REVERSED order with a RUNNING frame:
+    # Spark's (k, unboundedFollowing) frames re-scan the partition tail per
+    # row — O(n²) per partition (a multi-minute hang at 50k rows in one
+    # mission) — while unboundedPreceding running frames are incremental
+    # O(n). first-non-null-after ascending ≡ last-non-null-before
+    # descending (strictly before current: frame end -1 excludes self).
+    w_rev = Window.partitionBy(*part_cols).orderBy(F.col(_T).desc(), F.col(_SIDE).desc())
+    w_next = w_rev.rowsBetween(Window.unboundedPreceding, -1)
     # samples sort before probes at equal t (side 0 < 1), so "preceding"
     # includes a sample at exactly t; t == prev_t then returns prev_v exactly.
     out = u
@@ -130,8 +137,8 @@ def interp_join(
         sample_v = F.when(F.col(_SIDE) == 0, F.col(v))
         prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
         prev_v = F.last(sample_v, ignorenulls=True).over(w_prev)
-        next_t = F.first(sample_t, ignorenulls=True).over(w_next)
-        next_v = F.first(sample_v, ignorenulls=True).over(w_next)
+        next_t = F.last(sample_t, ignorenulls=True).over(w_next)
+        next_v = F.last(sample_v, ignorenulls=True).over(w_next)
         frac = (F.col(_T) - prev_t) / F.nullif(next_t - prev_t, F.lit(0.0))
         interp = (
             F.when(prev_t.isNull(), F.lit(None).cast("double"))
@@ -181,11 +188,15 @@ def asof_join(
 
     w = Window.partitionBy(*part_cols).orderBy(_T, _SIDE)
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # reversed-order running frame for the "next" lookup (see interp_join:
+    # Spark's unboundedFollowing frames are O(n²) per partition); frame end
+    # 0 over the reversed order = at-or-after current in the true order
+    w_rev = Window.partitionBy(*part_cols).orderBy(F.col(_T).desc(), F.col(_SIDE).desc())
+    w_next = w_rev.rowsBetween(Window.unboundedPreceding, 0)
     is_sample = F.col(_SIDE) == 0
     sample_t = F.when(is_sample, F.col(_T))
     prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
-    next_t = F.first(sample_t, ignorenulls=True).over(w_next)
+    next_t = F.last(sample_t, ignorenulls=True).over(w_next)
 
     d_prev = F.col(_T) - prev_t
     d_next = next_t - F.col(_T)
@@ -203,7 +214,7 @@ def asof_join(
     # :1503-1507).
     record = F.when(is_sample, F.struct(*[F.col(v) for v in values]))
     prev_rec = F.last(record, ignorenulls=True).over(w_prev)
-    next_rec = F.first(record, ignorenulls=True).over(w_next)
+    next_rec = F.last(record, ignorenulls=True).over(w_next)
     out = u
     result_cols = []
     for v in values:

@@ -153,10 +153,19 @@ def ffill(v: Column | str, partition_by: list, order_by: list) -> Column:
 
 
 def bfill(v: Column | str, partition_by: list, order_by: list) -> Column:
-    """W5 — fillna(method='bfill')."""
-    w = _w(partition_by, order_by).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    """W5 — fillna(method='bfill').
+
+    Expressed as a RUNNING frame over the REVERSED order: Spark executes
+    (currentRow, unboundedFollowing) frames by re-scanning the remaining
+    partition per row — O(n²) per partition, observed as a multi-minute
+    hang at 50k rows/partition — while (unboundedPreceding, currentRow)
+    is incremental O(n). first-non-null-at-or-after ascending ≡
+    last-non-null-at-or-before descending."""
+    rev = Window.partitionBy(*partition_by).orderBy(
+        *[(F.col(c) if isinstance(c, str) else c).desc() for c in order_by]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vc = F.col(v) if isinstance(v, str) else v
-    return F.first(vc, ignorenulls=True).over(w)
+    return F.last(vc, ignorenulls=True).over(rev)
 
 
 def demean(v: Column | str, partition_by: list) -> Column:

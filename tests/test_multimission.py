@@ -148,3 +148,48 @@ def test_velocity_from_shear_mission_isolation(spark, two_missions):
         else:
             assert gn == pytest.approx(wn, rel=1e-9, abs=1e-12), k
     assert n_checked > 50
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count window specs with NO partition key in the formatted physical
+    plan (the scripts/audit_plans.py detector)."""
+    import re
+
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    n = 0
+    for spec in re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        head = [a.strip() for a in spec.split(",") if a.strip()]
+        if not any((" ASC" not in a and " DESC" not in a) for a in head):
+            n += 1
+    return n
+
+
+def test_mission_partitioned_plans_have_no_global_windows(spark, two_missions):
+    """With options['mission_col'] set, EVERY window in the DAC and
+    referencing plans must carry a partition key — a single unpartitioned
+    window would serialize the whole fleet of missions through one task."""
+    from seaexplorertools_spark.pipeline.velocity import reference_shear
+
+    (ga, pa, ca, attrs), (gb, pb, cb, _) = two_missions
+    base = default_options()
+    base["correctADCPHeading"] = False
+    gridded_a, ping_a, opts = shear_from_adcp(
+        ca, pa.drop("mission"), ga.drop("mission"), attrs, dict(base)
+    )
+    combined_glider = ga.unionByName(gb)
+    combined_ping = ping_a.withColumn("mission", F.lit("A"))
+    opts = dict(opts)
+    opts["mission_col"] = "mission"
+
+    dac = get_dac(combined_ping, combined_glider, opts)
+    assert _unpartitioned_windows(dac) == 0
+
+    # cut the stage-1 lineage: stage 1 runs per mission by design (its
+    # global interp windows are the documented single-series semantics),
+    # so the assertion targets the stage-3 plan alone
+    gridded = gridded_a.localCheckpoint(eager=True)
+    ref = reference_shear(gridded, dac, opts)
+    assert _unpartitioned_windows(ref) == 0
