@@ -30,6 +30,7 @@ from ._base import (  # noqa: F401
     ts_us_col,
 )
 from .llm_core import _TOK_SQL  # noqa: F401
+from ..operators.dedup import simhash32  # noqa: F401
 from .refparity import _EV_W_SQL  # noqa: F401
 
 

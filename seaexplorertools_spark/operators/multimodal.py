@@ -122,17 +122,113 @@ def encode_png(width: int, height: int, rgb: bytes | None = None) -> bytes:
     )
 
 
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full pure-python PNG pixel decode (stdlib zlib): 8-bit,
+    non-interlaced gray / gray+alpha / RGB / RGBA. Returns
+    ``(width, height, channels, raster)`` with the raster row-major,
+    unfiltered per the PNG spec (filters 0-4 incl. Paeth). Raises
+    ValueError for other bit depths, palette images, or Adam7 — the
+    loud boundary where a real deployment brings PIL."""
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or interlace:
+        raise ValueError(f"unsupported PNG layout (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette needs PIL)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    bpp = channels
+    for _y in range(h):
+        f = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out += line
+        prev = line
+    return w, h, channels, bytes(out)
+
+
+def resize_png_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real-pixel PNG resize: decode (decode_png_pixels), nearest-neighbor
+    resample, re-encode 8-bit RGB (gray triplicates, alpha drops)."""
+    w0, h0, ch, px = decode_png_pixels(payload)
+    rows = bytearray()
+    for y in range(height):
+        sy = y * h0 // height
+        base = sy * w0
+        for x in range(width):
+            o = (base + x * w0 // width) * ch
+            if ch >= 3:
+                rows += px[o : o + 3]
+            else:  # gray / gray+alpha → replicate luminance
+                rows += px[o : o + 1] * 3
+    return encode_png(width, height, bytes(rows))
+
+
 def decode_real(payload: bytes, kind: str) -> dict:
     """Real decode, as deep as pure python goes: image container headers →
-    {width, height}. Pixel rasters / audio samples / video frames need
-    PIL / soundfile / ffmpeg (absent in this container) and raise."""
+    {width, height}; full PIXELS for 8-bit non-interlaced PNG
+    (decode_png_pixels — stdlib-only). Other rasters / audio samples /
+    video frames need PIL / soundfile / ffmpeg (absent in this container)
+    and raise."""
     if kind == "image":
+        try:
+            w, h, ch, px = decode_png_pixels(payload)
+            return {"width": w, "height": h, "channels": ch, "pixels": px}
+        except ValueError:
+            pass
         w, h = parse_image_header(payload)
         if w is not None:
             return {"width": w, "height": h}
     raise NotImplementedError(
-        "full pixel/audio/video decode requires PIL/soundfile/ffmpeg (absent "
-        "in this container); header parse covers PNG/GIF/BMP/JPEG dimensions"
+        "full pixel/audio/video decode beyond 8-bit PNG requires "
+        "PIL/soundfile/ffmpeg (absent in this container); header parse "
+        "covers PNG/GIF/BMP/JPEG dimensions"
     )
 
 
@@ -236,15 +332,29 @@ def resize_images(
     width: int = 64,
     height: int = 64,
     per_row_dims: bool = False,
+    mode: str = "stub",
 ) -> DataFrame:
-    """Image resize plumbing (decode/encode STUBBED): real code would
-    PIL-decode, resize, re-encode; the stub deterministically truncates/pads
-    the payload to width*height bytes so batch shapes, schema and
-    partition-preservation are exercised end-to-end. With
-    ``per_row_dims=True`` the target is each row's OWN (width, height)
-    metadata — input-dependent outputs, which is what lets the contract
-    check the whole path against integer arithmetic instead of a
-    constant."""
+    """Image resize over binary payloads (mapInPandas, Arrow-batched,
+    partition-preserving — no shuffle).
+
+    ``mode="decode"`` does the REAL thing for 8-bit non-interlaced PNGs:
+    pure-python pixel decode (decode_png_pixels), nearest-neighbor
+    resample, RGB re-encode — payloads the decoder rejects fall back to
+    the stub so a mixed corpus never fails mid-job. ``mode="stub"``
+    (default, and the oracle-checked contract semantics) deterministically
+    truncates/pads the payload to width*height bytes so batch shapes,
+    schema and partition-preservation are exercised without decode libs.
+    With ``per_row_dims=True`` the target is each row's OWN
+    (width, height) metadata — input-dependent outputs, which is what
+    lets the contract check the whole path against integer arithmetic.
+
+    Deployment note: ``mode="decode"`` references the module-level PNG
+    codec, so workers must be able to import this package (true in local
+    mode and under ``--py-files``/pip deployments) — unlike the stub
+    path, whose helpers are nested for by-value pickling."""
+    if mode not in ("stub", "decode"):
+        raise ValueError(f"mode must be 'stub' or 'decode', got {mode!r}")
+    real = mode == "decode"
 
     def do_resize(batches):
         for pdf in batches:
@@ -258,8 +368,14 @@ def resize_images(
                     continue
                 w = int(w0) if per_row_dims and pd.notna(w0) else width
                 h = int(h0) if per_row_dims and pd.notna(h0) else height
-                target = w * h
                 b = bytes(payload)
+                if real:
+                    try:
+                        out.append((mid, kind, resize_png_payload(b, w, h), w, h))
+                        continue
+                    except ValueError:
+                        pass  # non-PNG / unsupported layout → stub below
+                target = w * h
                 resized = (b * (target // max(len(b), 1) + 1))[:target]
                 out.append((mid, kind, resized, w, h))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "width", "height"])

@@ -34,7 +34,10 @@ def test_decode_real_on_genuine_png():
     """decode_real parses a spec-valid PNG (zlib-compressed IDAT, correct
     CRCs) produced by encode_png — a real file, not a crafted prefix."""
     png = encode_png(37, 21, bytes(range(256)) * (37 * 21 * 3 // 256 + 1))
-    assert decode_real(png, "image") == {"width": 37, "height": 21}
+    out = decode_real(png, "image")
+    # round 5: decode_real goes all the way to PIXELS for 8-bit PNGs
+    assert out["width"] == 37 and out["height"] == 21
+    assert out["channels"] == 3 and len(out["pixels"]) == 37 * 21 * 3
     with pytest.raises(NotImplementedError):
         decode_real(b"not an image at all padded....", "image")
     with pytest.raises(NotImplementedError):
@@ -112,3 +115,119 @@ def test_wav_header_parse_against_stdlib_wave(spark):
         44100, 2, 16, 1000,
     )
     assert row["n_bytes"] == len(raw)
+
+
+def test_png_pixel_codec_roundtrip_all_filters():
+    """decode_png_pixels inverts encode_png exactly, and unfilters
+    Sub/Up/Average/Paeth rasters produced by a independent re-filtering of
+    the same image."""
+    import struct
+    import zlib
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h = 7, 5
+    rgb = bytes((x * 37 + y * 11 + c * 101) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png = encode_png(w, h, rgb)
+    dw, dh, ch, px = decode_png_pixels(png)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == rgb
+
+    # hand-build a PNG using every filter type, one per row (5 rows)
+    stride = w * 3
+    rows = [rgb[y * stride : (y + 1) * stride] for y in range(h)]
+
+    def filt(ftype, cur, prev):
+        out = bytearray()
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw += bytes([ftype]) + filt(ftype, rows[y], prev)
+        prev = rows[y]
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, ch, px = decode_png_pixels(png2)
+    assert px == rgb  # every filter type unfiltered exactly
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from seaexplorertools_spark.operators.multimodal import decode_png_pixels
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"JFIF not a png")
+
+
+def test_resize_images_decode_mode_real_pixels(spark):
+    """mode='decode': a real 4x4 gradient PNG nearest-neighbor-resampled to
+    2x2 — output pixels equal the exact source pixels the NN map selects;
+    a non-PNG payload falls back to the stub on the same run."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    w0 = h0 = 4
+    rgb = bytes(
+        (x * 50 + y * 13 + c * 7) % 256
+        for y in range(h0) for x in range(w0) for c in range(3)
+    )
+    png = encode_png(w0, h0, rgb)
+    rows = [
+        (1, "image", bytearray(png), w0, h0),
+        (2, "image", bytearray(b"rawbytesnotpng"), 3, 3),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, height int"
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media, width=2, height=2, mode="decode").collect()
+    }
+    dw, dh, ch, px = decode_png_pixels(bytes(out[1]["payload"]))
+    assert (dw, dh, ch) == (2, 2, 3)
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
+    want = bytes(
+        int(src[y * h0 // 2, x * w0 // 2, c])
+        for y in range(2) for x in range(2) for c in range(3)
+    )
+    assert px == want
+    # non-PNG row used the stub: width*height bytes of cycled payload
+    stub = bytes(out[2]["payload"])
+    assert len(stub) == 4 and stub == (b"rawbytesnotpng" * 1)[:4]
