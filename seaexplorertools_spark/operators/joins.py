@@ -130,15 +130,25 @@ def interp_join(
     w_next = w_rev.rowsBetween(Window.unboundedPreceding, -1)
     # samples sort before probes at equal t (side 0 < 1), so "preceding"
     # includes a sample at exactly t; t == prev_t then returns prev_v exactly.
-    out = u
-    result_cols = []
+    #
+    # All prev-lookups land in ONE select and all next-lookups in ONE
+    # select: Catalyst only collapses ADJACENT Window nodes with the same
+    # spec, so a per-value withColumn loop interleaving asc/desc specs
+    # would plan 2·N windows (and 2·N local sorts) instead of 2.
+    prev_exprs, next_exprs = [], []
     for v in values:
         sample_t = F.when(F.col(v).isNotNull() & (F.col(_SIDE) == 0), F.col(_T))
         sample_v = F.when(F.col(_SIDE) == 0, F.col(v))
-        prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
-        prev_v = F.last(sample_v, ignorenulls=True).over(w_prev)
-        next_t = F.last(sample_t, ignorenulls=True).over(w_next)
-        next_v = F.last(sample_v, ignorenulls=True).over(w_next)
+        prev_exprs.append(F.last(sample_t, ignorenulls=True).over(w_prev).alias(f"__pt_{v}"))
+        prev_exprs.append(F.last(sample_v, ignorenulls=True).over(w_prev).alias(f"__pv_{v}"))
+        next_exprs.append(F.last(sample_t, ignorenulls=True).over(w_next).alias(f"__nt_{v}"))
+        next_exprs.append(F.last(sample_v, ignorenulls=True).over(w_next).alias(f"__nv_{v}"))
+    out = u.select("*", *next_exprs).select("*", *prev_exprs)
+    result_cols = []
+    helper_cols = []
+    for v in values:
+        prev_t, prev_v = F.col(f"__pt_{v}"), F.col(f"__pv_{v}")
+        next_t, next_v = F.col(f"__nt_{v}"), F.col(f"__nv_{v}")
         frac = (F.col(_T) - prev_t) / F.nullif(next_t - prev_t, F.lit(0.0))
         interp = (
             F.when(prev_t.isNull(), F.lit(None).cast("double"))
@@ -149,8 +159,9 @@ def interp_join(
         name = v + suffix if suffix else v
         out = out.withColumn(name, interp)
         result_cols.append(name)
+        helper_cols += [f"__pt_{v}", f"__pv_{v}", f"__nt_{v}", f"__nv_{v}"]
 
-    out = out.filter(F.col(_SIDE) == 1)
+    out = out.filter(F.col(_SIDE) == 1).drop(*helper_cols)
     if bucket is not None:
         out = out.filter(F.col(_BUCKET) == F.col(_HOME))
     drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
@@ -195,8 +206,20 @@ def asof_join(
     w_next = w_rev.rowsBetween(Window.unboundedPreceding, 0)
     is_sample = F.col(_SIDE) == 0
     sample_t = F.when(is_sample, F.col(_T))
-    prev_t = F.last(sample_t, ignorenulls=True).over(w_prev)
-    next_t = F.last(sample_t, ignorenulls=True).over(w_next)
+    # one select per window DIRECTION (see interp_join: adjacent-only
+    # window collapsing) — prev_t/prev_rec share the asc sort, next_t/
+    # next_rec the desc sort
+    record_expr = F.when(is_sample, F.struct(*[F.col(v) for v in values]))
+    u = u.select(
+        "*",
+        F.last(sample_t, ignorenulls=True).over(w_next).alias("__next_t"),
+        F.last(record_expr, ignorenulls=True).over(w_next).alias("__next_rec"),
+    ).select(
+        "*",
+        F.last(sample_t, ignorenulls=True).over(w_prev).alias("__prev_t"),
+        F.last(record_expr, ignorenulls=True).over(w_prev).alias("__prev_rec"),
+    )
+    prev_t, next_t = F.col("__prev_t"), F.col("__next_t")
 
     d_prev = F.col(_T) - prev_t
     d_next = next_t - F.col(_T)
@@ -212,9 +235,7 @@ def asof_join(
     # the nearest SAMPLE ROW — not the nearest non-null value per column
     # (the reference takes the argmin ping's value even when it is NaN,
     # :1503-1507).
-    record = F.when(is_sample, F.struct(*[F.col(v) for v in values]))
-    prev_rec = F.last(record, ignorenulls=True).over(w_prev)
-    next_rec = F.last(record, ignorenulls=True).over(w_next)
+    prev_rec, next_rec = F.col("__prev_rec"), F.col("__next_rec")
     out = u
     result_cols = []
     for v in values:
@@ -232,7 +253,9 @@ def asof_join(
     out = out.filter(F.col(_SIDE) == 1)
     if bucket is not None:
         out = out.filter(F.col(_BUCKET) == F.col(_HOME))
-    drop = [_SIDE, _T] + ([_BUCKET, _HOME] if bucket is not None else [])
+    drop = [_SIDE, _T, "__prev_t", "__next_t", "__prev_rec", "__next_rec"] + (
+        [_BUCKET, _HOME] if bucket is not None else []
+    )
     if suffix:
         drop += values
     return out.drop(*drop)

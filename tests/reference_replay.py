@@ -223,6 +223,9 @@ def replay_shear_from_adcp(glider: pd.DataFrame, ping: pd.DataFrame,
         vm = np.where(np.abs(V[b]) > options["velocityThreshold"], np.nan, 1.0)
         V[b] = V[b] * cm * am * vm
 
+    # --- correct_shear :771-784 (no-op unless a correct*shear flag is on)
+    V = replay_correct_shear(V, options)
+
     # --- regridADCPdata :876-981
     thr = options["ADCP_regrid_correlation_threshold"]
     means = [np.nanmean(C[b], axis=0) for b in (1, 2, 3, 4)]
@@ -613,3 +616,51 @@ def replay_velocity_from_shear(adcp: dict, glider: pd.DataFrame, bt: pd.DataFram
         }
     )
     return out
+
+
+# ------------------------------------------------- optional: correct_shear
+_XYZZ_T = np.array([
+    [0.6782, 0.0, -0.6782, 0.0],
+    [0.0, -1.1831, 0.0, 1.1831],
+    [0.7400, 0.0, 0.7400, 0.0],
+    [0.0, 0.5518, 0.0, 0.5518],
+])  # reference quad_beam2xyzz_mat :595-615
+
+
+def replay_correct_shear(V: dict, options: dict) -> dict:
+    """Reference correct_shear (:771-784) + _shear_correction (:682-768):
+    per enabled component (ZZ4, Z4, Y4, X4 in that order), recompute XYZZ
+    from the CURRENT beams, select pings whose FIRST-bin through-water
+    speed lies strictly inside (0.2, arange(0.2,0.3,0.01)[-1]), average the
+    per-ping bin difference of the component over those pings, cumsum with
+    a leading 0 (NaN poisons deeper bins), demean, subtract from every
+    ping, convert back to beams. ``V`` maps beam number -> [time, bin]
+    matrix and is modified COPY-wise (returns a new dict)."""
+    flags = [
+        ("correctZZshear", 3), ("correctZshear", 2),
+        ("correctYshear", 1), ("correctXshear", 0),
+    ]
+    if not any(options.get(k) for k, _ in flags):
+        return V
+    band = np.arange(0.2, 0.3, 0.01)
+    lo, hi = float(band[0]), float(band[-1])
+    Vb = {b: V[b].copy() for b in (1, 2, 3, 4)}
+    Tinv = np.linalg.inv(_XYZZ_T)
+    for flag, comp_idx in flags:
+        if not options.get(flag):
+            continue
+        stack = np.stack([Vb[1], Vb[2], Vb[3], Vb[4]])  # [4, time, bin]
+        xyzz = np.einsum("ij,jtb->itb", _XYZZ_T, stack)
+        x4, y4, z4, zz4 = xyzz
+        spd = np.sqrt(x4**2 + y4**2 + ((z4 + zz4) / 2) ** 2)[:, 0]  # first bin
+        sel = (spd > lo) & (spd < hi)
+        comp = xyzz[comp_idx]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mean_dv = np.nanmean(np.diff(comp[sel], axis=1), axis=0)
+        ref = np.cumsum(np.insert(mean_dv, 0, 0))  # NaN propagates downward
+        ref = ref - _quiet_nan(np.nanmean, ref)
+        xyzz[comp_idx] = comp - ref[None, :]
+        back = np.einsum("ij,jtb->itb", Tinv, xyzz)
+        Vb = {b: back[b - 1] for b in (1, 2, 3, 4)}
+    return Vb

@@ -57,8 +57,11 @@ def test_equi_3way_broadcasts_both_dims(spark, sf_dir):
 
 
 def test_interp_join_one_sort_for_all_values(spark, sf_dir):
-    """J1 with N value columns must reuse ONE window sort, not N — check a
-    single Window node / single sort in the plan."""
+    """J1 with N value columns must reuse ONE window sort PER DIRECTION,
+    not N: one ascending local sort feeds every prev-sample lookup and one
+    descending local sort feeds every next-sample lookup (the O(n) running
+    frames that replaced the O(n²) unboundedFollowing frames in round 5) —
+    and still ONE exchange for the union window."""
     from seaexplorertools_spark.operators.joins import interp_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,8 +71,8 @@ def test_interp_join_one_sort_for_all_values(spark, sf_dir):
     probes = ev.select("event_id", "user_id", "ts_us")
     out = interp_join(samples, probes, on="ts_us", values=["v1", "v2", "v3"], partition_by=["user_id"], suffix="_i")
     txt = explain_str(out, "simple")
-    # one exchange for the union window (plus the union's child scans)
-    assert txt.count("Sort ") <= 2, txt
+    # asc + desc local sorts (value-count-independent), one union exchange
+    assert txt.count("Sort ") <= 3, txt
     assert count_exchanges(out) <= 2, txt
 
 

@@ -212,3 +212,59 @@ def test_bottom_track_matches(spark, engine, replica, mission):
         assert (np.isfinite(e) == np.isfinite(rep)).all(), eng_col
         assert int(np.isfinite(rep).sum()) >= 10, eng_col
         assert np.allclose(e, rep, equal_nan=True, atol=ATOL, rtol=RTOL), eng_col
+
+
+def test_stage1_with_shear_correction_enabled(spark, mission):
+    """O3 parity under an INDEPENDENT replay: rerun stage 1 with
+    correctZZshear + correctYshear ON — selection band, per-bin mean
+    difference, NaN-poisoned cumsum, demean, component subtraction and the
+    XYZZ round-trip must all match the reference math (replayed from
+    process_adcp.py:682-784, sharing nothing with the engine)."""
+    glider_pd, ping_pd, cells_pd, bt_pd, attrs = mission
+    options = default_options()
+    options["correctADCPHeading"] = False
+    options["correctZZshear"] = True
+    options["correctYshear"] = True
+    glider = spark.createDataFrame(glider_pd)
+    gridded, ping_aug, options = shear_from_adcp(
+        spark.createDataFrame(cells_pd),
+        spark.createDataFrame(ping_pd),
+        glider,
+        attrs,
+        options,
+    )
+    pdf = gridded.select(
+        "time_us", "gridded_bin", "e", "n", "u", "sh_e", "sh_n", "sh_u"
+    ).toPandas()
+
+    ropts = {
+        "correlationThreshold": 70.0,
+        "ampThreshold": 75.0,
+        "velocityThreshold": 0.8,
+        "ADCP_regrid_correlation_threshold": 20.0,
+        "y_res": 1.0,
+        "correctZZshear": True,
+        "correctYshear": True,
+    }
+    adcp = RR.replay_shear_from_adcp(glider_pd, ping_pd, cells_pd, attrs, ropts)
+    t_index = {t: i for i, t in enumerate(adcp["time_us"])}
+    n_checked = 0
+    for eng_col, rep_key in [("e", "E"), ("n", "N"), ("u", "U"), ("sh_e", "Sh_E")]:
+        em = np.full_like(adcp[rep_key], np.nan)
+        rows = pdf["time_us"].map(t_index).to_numpy()
+        cols = pdf["gridded_bin"].to_numpy(int)
+        em[rows, cols] = pdf[eng_col].to_numpy(float)
+        rm = adcp[rep_key]
+        assert (np.isfinite(em) == np.isfinite(rm)).all(), eng_col
+        assert np.allclose(em, rm, equal_nan=True, atol=ATOL, rtol=RTOL), (
+            eng_col, float(np.nanmax(np.abs(em - rm)))
+        )
+        n_checked += int(np.isfinite(rm).sum())
+    assert n_checked > 5000
+    # the correction must have CHANGED something vs the flags-off replica
+    base = RR.replay_shear_from_adcp(
+        glider_pd, ping_pd, cells_pd, attrs,
+        {k: v for k, v in ropts.items() if not k.startswith("correct")},
+    )
+    both = np.isfinite(adcp["E"]) & np.isfinite(base["E"])
+    assert np.nanmax(np.abs(adcp["E"][both] - base["E"][both])) > 1e-6
