@@ -220,7 +220,9 @@ def decode_real(payload: bytes, kind: str) -> dict:
         try:
             w, h, ch, px = decode_png_pixels(payload)
             return {"width": w, "height": h, "channels": ch, "pixels": px}
-        except ValueError:
+        except (ValueError, zlib.error, struct.error):
+            # zlib.error: corrupt IDAT behind a valid magic; struct.error:
+            # truncated header — degrade to the header parse, never crash
             pass
         w, h = parse_image_header(payload)
         if w is not None:
@@ -373,8 +375,11 @@ def resize_images(
                     try:
                         out.append((mid, kind, resize_png_payload(b, w, h), w, h))
                         continue
-                    except ValueError:
-                        pass  # non-PNG / unsupported layout → stub below
+                    except (ValueError, zlib.error, struct.error):
+                        # non-PNG, unsupported layout, OR corrupt bytes
+                        # behind a valid magic → stub below (a mixed/dirty
+                        # corpus must never fail the job mid-scan)
+                        pass
                 target = w * h
                 resized = (b * (target // max(len(b), 1) + 1))[:target]
                 out.append((mid, kind, resized, w, h))

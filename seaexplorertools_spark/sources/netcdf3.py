@@ -100,7 +100,7 @@ def write_netcdf3(
         raise ValueError(f"at most one record dimension allowed, got {rec_dims}")
     rec_dim = rec_dims[0] if rec_dims else None
 
-    numrecs = 0
+    numrecs = None  # None = no record var seen yet (0 is a VALID count)
     for name, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
         if rec_dim is not None and rec_dim in vdims:
@@ -112,7 +112,7 @@ def write_netcdf3(
             shape = tuple(dims[d] for d in vdims[1:])
             if tuple(arr.shape[1:]) != shape:
                 raise ValueError(f"{name}: shape {arr.shape} != dims (rec, {shape})")
-            if numrecs and arr.shape[0] != numrecs:
+            if numrecs is not None and arr.shape[0] != numrecs:
                 raise ValueError(
                     f"{name}: {arr.shape[0]} records != {numrecs} in earlier vars"
                 )
@@ -122,6 +122,7 @@ def write_netcdf3(
             if tuple(arr.shape) != shape:
                 raise ValueError(f"{name}: shape {arr.shape} != dims {shape}")
 
+    numrecs = numrecs or 0
     header = bytearray()
     header += b"CDF\x01"
     header += struct.pack(">i", numrecs)
@@ -140,9 +141,6 @@ def write_netcdf3(
 
     # (name, vdims, nc_type, vsize, big-endian bytes, is_record)
     var_meta = []
-    n_rec_vars = sum(
-        1 for _, (vdims, _) in variables.items() if rec_dim is not None and vdims and vdims[0] == rec_dim
-    )
     for name, (vdims, arr) in variables.items():
         arr = np.asarray(arr)
         t = _nc_type_for(arr)
@@ -296,6 +294,13 @@ def read_netcdf3(path: str):
 
     rec_vars = [v for v in var_list if v[5]]
     recsize = sum(v[3] for v in rec_vars)
+    if len(rec_vars) == 1:
+        # lone record var: stored UNPADDED (spec special case), while the
+        # header vsize is always 4-padded — stride/recsize must use the
+        # true per-record byte count or narrow types miscount records
+        _, dim_ids1, t1, _, _, _ = rec_vars[0]
+        rest1 = tuple(dim_sizes[i] for i in dim_ids1[1:])
+        recsize = int(np.prod(rest1, dtype=int)) * _SIZE_OF_TYPE[t1] if rest1 else _SIZE_OF_TYPE[t1]
     if numrecs == 0xFFFFFFFF:  # STREAMING: derive the count from file size
         if rec_vars and recsize:
             first_begin = min(v[4] for v in rec_vars)

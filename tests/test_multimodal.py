@@ -191,6 +191,37 @@ def test_png_decode_rejects_unsupported():
         decode_png_pixels(b"JFIF not a png")
 
 
+def test_resize_decode_mode_survives_corrupt_png(spark):
+    """A payload with a VALID PNG magic but corrupt IDAT (zlib.error) or a
+    truncated IHDR (struct.error) must fall back to the stub, not abort the
+    job — a dirty corpus is the normal case at scale."""
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_real,
+        encode_png,
+        resize_images,
+    )
+
+    good = encode_png(4, 4, bytes(48))
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside the IDAT stream
+    truncated = good[:20]  # mid-IHDR
+    rows = [
+        (1, "image", bytearray(corrupt), 4, 4),
+        (2, "image", bytearray(truncated), 4, 4),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, height int"
+    )
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media, width=2, height=2, mode="decode").collect()
+    }
+    assert len(out[1]) == 4 and len(out[2]) == 4  # stub: width*height bytes
+    # decode_real degrades to the header parse instead of crashing
+    got = decode_real(bytes(corrupt), "image")
+    assert got == {"width": 4, "height": 4}
+
+
 def test_resize_images_decode_mode_real_pixels(spark):
     """mode='decode': a real 4x4 gradient PNG nearest-neighbor-resampled to
     2x2 — output pixels equal the exact source pixels the NN map selects;

@@ -167,6 +167,38 @@ def test_netcdf3_record_dim_empty_and_streaming():
         assert np.array_equal(vars_["t"], t) and np.array_equal(vars_["m"], m)
 
 
+def test_netcdf3_streaming_lone_narrow_record_var():
+    """STREAMING (numrecs=0xFFFFFFFF) with a LONE int16 record variable:
+    the stride is the UNPADDED 2-byte record, so the derived count must
+    not halve (the header vsize is 4-padded per spec)."""
+    import struct as _struct
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/lone_stream.nc"
+        v = np.arange(100, dtype=np.int16)
+        write_netcdf3(path, {"time": None}, {"v": (("time",), v)})
+        raw = bytearray(open(path, "rb").read())
+        raw[4:8] = _struct.pack(">I", 0xFFFFFFFF)
+        open(path, "wb").write(bytes(raw))
+        dims, vars_, _ = read_netcdf3(path)
+    assert dims["time"] == 100
+    assert np.array_equal(vars_["v"], v)
+
+
+def test_netcdf3_zero_record_var_mismatch_fails_loudly():
+    """A 0-record variable alongside a populated one is a count mismatch,
+    not a license to fabricate zero-filled records."""
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with _pytest.raises(ValueError, match="records"):
+            write_netcdf3(
+                f"{tmp}/zr.nc", {"t": None, "x": 3},
+                {"a": (("t", "x"), np.zeros((0, 3))),
+                 "b": (("t",), np.arange(5.0))},
+            )
+
+
 def test_netcdf3_record_dim_validation():
     """Loud failures: two record dims; record dim not first; record-count
     mismatch between variables."""
