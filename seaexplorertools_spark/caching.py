@@ -33,19 +33,22 @@ branch-divergence the cache exists to prevent.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
 _LEDGER: list[DataFrame] = []
+_LOCK = threading.Lock()  # drivers commonly run queries from thread pools
 
 
 def consistency_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + register in the session ledger so the caller can
     reclaim the memory later. Returns ``df`` (same object, cached)."""
     df = df.cache()
-    _LEDGER.append(df)
+    with _LOCK:
+        _LEDGER.append(df)
     return df
 
 
@@ -53,14 +56,15 @@ def release_consistency_caches(blocking: bool = False) -> int:
     """Unpersist every ledgered internal cache; returns how many were
     released. Safe to call between actions; do NOT call while a query
     built on one of these operators is mid-execution."""
-    n = len(_LEDGER)
-    for df in _LEDGER:
+    with _LOCK:
+        drained = list(_LEDGER)
+        _LEDGER.clear()
+    for df in drained:
         try:
             df.unpersist(blocking=blocking)
         except Exception:  # session already stopped — nothing to free
             pass
-    _LEDGER.clear()
-    return n
+    return len(drained)
 
 
 def ledger_size() -> int:
@@ -77,12 +81,14 @@ def consistency_cache_scope(blocking: bool = False) -> Iterator[None]:
             out = global_rank(df, ["quality", "doc_id"]).collect()
         # rank's range-partition pin is released here
     """
-    mark = len(_LEDGER)
+    with _LOCK:
+        mark = len(_LEDGER)
     try:
         yield
     finally:
-        tail = _LEDGER[mark:]
-        del _LEDGER[mark:]
+        with _LOCK:
+            tail = _LEDGER[mark:]
+            del _LEDGER[mark:]
         for df in tail:
             try:
                 df.unpersist(blocking=blocking)

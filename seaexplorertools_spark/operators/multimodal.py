@@ -390,11 +390,83 @@ def resize_images(
     )
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling plumbing (decode STUBBED): real code would
-    ffmpeg-seek; the stub slices the payload into n_frames even chunks —
-    one output row per (media, frame), the explode-shaped schema a training
-    pipeline feeds to per-frame feature extraction."""
+def parse_gif_frames(payload: bytes) -> list[dict]:
+    """Real GIF block-structure walk (pure python, GIF87a/89a): locate
+    every frame's image descriptor and encoded data sub-blocks without
+    LZW-decoding pixels. Returns one dict per frame: ``start``/``end``
+    byte offsets of the frame's descriptor+data span, the frame's
+    ``width``/``height``/``left``/``top``, and the preceding Graphic
+    Control Extension's ``delay_ms`` (0 when absent). Raises ValueError
+    for non-GIF payloads or a truncated block stream."""
+    if payload is None:
+        raise ValueError("not a GIF payload")
+    b = bytes(payload)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    i = 13
+    gct_flag = b[10] & 0x80
+    if gct_flag:
+        i += 3 * (2 << (b[10] & 0x07))  # global color table
+    frames: list[dict] = []
+    delay_ms = 0
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(b) and b[j]:
+            j += 1 + b[j]
+        return j + 1  # past the 0x00 terminator
+
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x3B:  # trailer
+            return frames
+        if marker == 0x21:  # extension
+            if i + 2 > len(b):
+                break
+            label = b[i + 1]
+            if label == 0xF9 and i + 8 <= len(b):  # graphic control
+                delay_ms = int.from_bytes(b[i + 4 : i + 6], "little") * 10
+            i = skip_subblocks(i + 2)
+        elif marker == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                break
+            start = i
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            j = i + 10
+            if b[i + 9] & 0x80:  # local color table
+                j += 3 * (2 << (b[i + 9] & 0x07))
+            j += 1  # LZW minimum code size byte
+            j = skip_subblocks(j)
+            frames.append(
+                {"start": start, "end": j, "width": w, "height": h,
+                 "left": left, "top": top, "delay_ms": delay_ms}
+            )
+            delay_ms = 0
+            i = j
+        else:
+            raise ValueError(f"corrupt GIF block marker 0x{marker:02x} at {i}")
+    raise ValueError("truncated GIF block stream (no trailer)")
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, mode: str = "stub") -> DataFrame:
+    """Video/animation frame sampling — one output row per (media, frame),
+    the explode-shaped schema a training pipeline feeds to per-frame
+    feature extraction.
+
+    ``mode="gif"`` does the REAL thing for animated GIFs: walk the block
+    structure (``parse_gif_frames``), evenly sample ``n_frames`` of the
+    ACTUAL frames, and emit each frame's descriptor+data byte span (still
+    LZW-encoded — pixel decode is a separate concern); payloads the walker
+    rejects fall back to the stub slicing so a mixed corpus never fails.
+    ``mode="stub"`` slices the payload into n_frames even chunks — the
+    codec-free plumbing default. Deployment note for "gif": module-level
+    parser, workers must import this package (same contract as
+    resize_images(mode="decode"))."""
+    if mode not in ("stub", "gif"):
+        raise ValueError(f"mode must be 'stub' or 'gif', got {mode!r}")
+    real = mode == "gif"
 
     def do_sample(batches):
         for pdf in batches:
@@ -403,6 +475,19 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 if payload is None or len(payload) == 0:
                     continue
                 b = bytes(payload)
+                if real:
+                    try:
+                        frames = parse_gif_frames(b)
+                        if frames:
+                            k = min(n_frames, len(frames))
+                            picks = [
+                                frames[(fi * len(frames)) // k] for fi in range(k)
+                            ]
+                            for fi, fr in enumerate(picks):
+                                out.append((mid, fi, b[fr["start"] : fr["end"]]))
+                            continue
+                    except ValueError:
+                        pass  # non-GIF / corrupt → stub slicing below
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     out.append((mid, i, b[i * step : (i + 1) * step]))
@@ -494,6 +579,105 @@ def parse_wav_header(payload: bytes | None) -> dict | None:
         "n_frames": n_frames,
         "duration_ms": (n_frames * 1000) // max(fmt["sample_rate"], 1),
     }
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Real PCM sample decode, pure python/numpy: 16-bit integer PCM
+    (format tag 1) RIFF/WAVE → ``(sample_rate, channels, samples)`` with
+    ``samples`` shaped [n_frames, channels], int16. Raises ValueError for
+    non-WAV payloads or compressed/float formats — the loud boundary
+    where a real deployment brings soundfile/ffmpeg."""
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("not a WAV payload")
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = {
+                "tag": int.from_bytes(b[i + 8 : i + 10], "little"),
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
+                "block_align": int.from_bytes(b[i + 20 : i + 22], "little"),
+                "bits": int.from_bytes(b[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    if fmt["tag"] != 1 or fmt["bits"] != 16 or fmt["channels"] < 1:
+        raise ValueError(
+            f"unsupported WAV encoding (tag={fmt['tag']}, bits={fmt['bits']})"
+            " — integer PCM16 only; bring soundfile for the rest"
+        )
+    n_frames = len(data) // fmt["block_align"]
+    samples = np.frombuffer(
+        data[: n_frames * fmt["block_align"]], dtype="<i2"
+    ).reshape(n_frames, fmt["channels"])
+    return fmt["sample_rate"], fmt["channels"], samples
+
+
+WAV_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+    ]
+)
+
+
+def wav_signal_features(media: DataFrame) -> DataFrame:
+    """REAL signal features from decoded PCM16 samples (no codec libs):
+    per payload, RMS and peak of the channel-mean waveform (int16 units)
+    and the zero-crossing rate — the audio-quality trio a training-data
+    gate filters on (silence ≈ rms→0, clipping ≈ peak→32767, noise ≈ high
+    ZCR). Non-decodable payloads yield NULL features, never a failed job.
+
+    Deployment note: references the module-level decoder, so workers must
+    import this package (local mode / --py-files — same contract as
+    resize_images(mode="decode"))."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, ch, s = decode_wav_samples(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                if len(s) == 0:
+                    rows.append((mid, rate, ch, 0, None, None, None))
+                    continue
+                mono = s.astype(np.float64).mean(axis=1)
+                rms = float(np.sqrt(np.mean(mono**2)))
+                peak = float(np.max(np.abs(mono)))
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                rows.append((mid, rate, ch, len(s), rms, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_frames",
+                    "rms", "peak", "zero_cross_rate",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, WAV_SIGNAL_SCHEMA
+    )
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

@@ -262,3 +262,109 @@ def test_resize_images_decode_mode_real_pixels(spark):
     # non-PNG row used the stub: width*height bytes of cycled payload
     stub = bytes(out[2]["payload"])
     assert len(stub) == 4 and stub == (b"rawbytesnotpng" * 1)[:4]
+
+
+def test_wav_sample_decode_and_signal_features(spark):
+    """decode_wav_samples returns the EXACT PCM16 frames the stdlib wave
+    module wrote; wav_signal_features' rms/peak/zcr equal a direct numpy
+    computation on the known waveform; non-PCM16 payloads degrade to NULL
+    features instead of failing the job."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_signal_features,
+    )
+
+    t = np.arange(2000)
+    mono = (10000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    stereo = np.stack([mono, (mono // 2)], axis=1)
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(stereo.astype("<i2").tobytes())
+    raw = buf.getvalue()
+
+    rate, ch, s = decode_wav_samples(raw)
+    assert (rate, ch) == (16000, 2)
+    assert np.array_equal(s, stereo)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(b"not audio at all"))],
+        ["media_id", "payload"],
+    )
+    rows = {r["media_id"]: r for r in wav_signal_features(df).collect()}
+    m = stereo.astype(np.float64).mean(axis=1)
+    assert rows[1]["n_frames"] == 2000
+    assert rows[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(m**2))))
+    assert rows[1]["peak"] == pytest.approx(float(np.max(np.abs(m))))
+    want_zc = float(np.mean(np.signbit(m[1:]) != np.signbit(m[:-1])))
+    assert rows[1]["zero_cross_rate"] == pytest.approx(want_zc)
+    assert rows[2]["rms"] is None and rows[2]["sample_rate"] is None
+
+    with pytest.raises(ValueError):
+        decode_wav_samples(b"RIFFxxxxWAVE")  # no fmt/data chunks
+
+
+def _build_gif(n_frames=5, w=4, h=3, delays=(10, 20, 30, 40, 50)):
+    """Hand-assemble a spec-valid GIF89a with n animated frames (tiny LZW
+    data sub-blocks; pixel content irrelevant to the boundary walk)."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x00, 0, 0])  # GCT flag, 2-entry table
+    out += b"\x00\x00\x00\xff\xff\xff"  # global color table (2 x RGB)
+    frames = []
+    for i in range(n_frames):
+        # graphic control extension with a per-frame delay
+        out += b"\x21\xf9\x04\x00" + (delays[i] // 10).to_bytes(2, "little") + b"\x00\x00"
+        start = len(out)
+        out += b"\x2c"  # image descriptor
+        out += (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00"  # no local color table
+        out += b"\x02"  # LZW min code size
+        data = bytes([i + 1] * 3)  # fake LZW bytes
+        out += bytes([len(data)]) + data + b"\x00"
+        frames.append((start, len(out)))
+    out += b"\x3b"  # trailer
+    return bytes(out), frames
+
+
+def test_gif_frame_walk_and_real_sampling(spark):
+    """parse_gif_frames finds every frame's exact byte span and delay;
+    sample_frames(mode='gif') emits REAL frame spans (evenly sampled),
+    and falls back to stub slicing for non-GIF payloads."""
+    from seaexplorertools_spark.operators.multimodal import (
+        parse_gif_frames,
+        sample_frames,
+    )
+
+    gif, spans = _build_gif()
+    frames = parse_gif_frames(gif)
+    assert [(f["start"], f["end"]) for f in frames] == spans
+    assert [f["delay_ms"] for f in frames] == [10, 20, 30, 40, 50]
+    assert all((f["width"], f["height"]) == (4, 3) for f in frames)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"AVI-ish opaque payload bytes"))],
+        ["media_id", "payload"],
+    )
+    rows = sample_frames(df, n_frames=2, mode="gif").collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame_payload"])) for r in by_media[1]
+    )
+    # 2 of 5 frames, evenly sampled: indices 0 and 2
+    assert got[0][1] == gif[spans[0][0] : spans[0][1]]
+    assert got[1][1] == gif[spans[2][0] : spans[2][1]]
+    assert len(by_media[2]) == 2  # stub fallback still yields frames
+
+    with pytest.raises(ValueError):
+        parse_gif_frames(b"GIF89a\x00")  # truncated
