@@ -1409,3 +1409,116 @@ def pipe_multimission_dac(spark, sf_dir):
         r6p(F.col("dac_e")).alias("dac_e"),
         r6p(F.col("dac_n")).alias("dac_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: bucketed scale-mode J1/J2 under the EXACT oracle (VERDICT r5 #7)
+# ---------------------------------------------------------------------------
+
+
+def _exact_bucket_width(samples, probes, on="ts_us", partition_by=("user_id",)):
+    """Tightest bucket width that makes ``interp_join(bucket=)`` /
+    ``asof_join(bucket=)`` EXACT by construction: the max distance from any
+    probe to its bracketing (prev/next) sample, + 1.
+
+    The bucket mode fans samples into their own ± neighbor buckets, so a
+    probe in bucket b sees exactly the samples in [(b-1)·B, (b+2)·B); with
+    B ≥ that max distance every probe's bracketing pair is visible and the
+    bucketed result equals the global-window result row-for-row. At 100 TB
+    the caller picks B from domain knowledge (sensor cadence × slack); the
+    contract derives the tight bound from data so the query is green at
+    every SF by construction. One union + 2 running-frame windows + a
+    1-row max — a scalar driver collect within the documented policy.
+    """
+    pb = list(partition_by)
+    s = samples.select(*pb, F.col(on).cast("double").alias("__bt"), F.lit(0).alias("__bs"))
+    p = probes.select(*pb, F.col(on).cast("double").alias("__bt"), F.lit(1).alias("__bs"))
+    u = s.unionByName(p)
+    wp = (
+        Window.partitionBy(*pb)
+        .orderBy("__bt", "__bs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # reversed-order running frame, not (0, unboundedFollowing) — see
+    # operators/joins.py: following-frames are O(n²) per partition
+    wn = (
+        Window.partitionBy(*pb)
+        .orderBy(F.col("__bt").desc(), F.col("__bs").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = F.when(F.col("__bs") == 0, F.col("__bt"))
+    u = u.select("*", F.last(st, ignorenulls=True).over(wn).alias("__nx")).select(
+        "*", F.last(st, ignorenulls=True).over(wp).alias("__pv")
+    )
+    row = (
+        u.filter(F.col("__bs") == 1)
+        .agg(
+            F.max(
+                F.greatest(
+                    F.coalesce(F.col("__bt") - F.col("__pv"), F.lit(0.0)),
+                    F.coalesce(F.col("__nx") - F.col("__bt"), F.lit(0.0)),
+                )
+            ).alias("m")
+        )
+        .collect()[0]
+    )
+    return (row["m"] or 0.0) + 1.0
+
+
+@q("j1_interp_join_bucketed")
+def j1_interp_join_bucketed(spark, sf_dir):
+    """J1 in ``bucket=`` scale mode — the plan a 100 TB un-keyed series
+    actually runs (per-(key, bucket) windows, 3× sample fan-out buys
+    unbounded parallelism; operators/joins.py:83-97). Same semantics as
+    j1_interp_join (reference interp, process_adcp.py:144-146); the oracle
+    IS j1_interp_join's SQL — results identical by construction because
+    the bucket width exceeds every probe's bracketing distance."""
+    ev = events(spark, sf_dir)
+    samples = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us", "value")
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    bucket = _exact_bucket_width(samples.filter(F.col("value").isNotNull()), probes)
+    out = interp_join(
+        samples,
+        probes,
+        on="ts_us",
+        values=["value"],
+        partition_by=["user_id"],
+        bucket=bucket,
+        suffix="_i",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts_us").alias("t_us"), r6(F.col("value_i")).alias("value_i")
+    )
+
+
+ORACLES["j1_interp_join_bucketed"] = ORACLES["j1_interp_join"]
+
+
+@q("j2_asof_nearest_bucketed")
+def j2_asof_nearest_bucketed(spark, sf_dir):
+    """J2 nearest-|Δt| as-of in ``bucket=`` scale mode (reference
+    process_adcp.py:1503-1507 argmin loop). Oracle IS j2_asof_nearest's
+    SQL — identical by construction, see j1_interp_join_bucketed."""
+    ev = events(spark, sf_dir)
+    samples = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value", F.col("ts_us").cast("double").alias("t_s")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    bucket = _exact_bucket_width(samples, probes)
+    out = asof_join(
+        samples,
+        probes,
+        on="ts_us",
+        values=["value", "t_s"],
+        partition_by=["user_id"],
+        bucket=bucket,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("v_near"),
+        F.abs(F.col("ts_us").cast("double") - F.col("t_s")).cast("long").alias("dt_us"),
+    )
+
+
+ORACLES["j2_asof_nearest_bucketed"] = ORACLES["j2_asof_nearest"]

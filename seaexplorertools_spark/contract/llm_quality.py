@@ -644,11 +644,11 @@ def q_column_corr(spark, sf_dir):
     "q_table_checksum",
     """
     SELECT count(*) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(md5(
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(
                      CAST(o_orderkey AS VARCHAR) || chr(31)
                      || o_orderstatus || chr(31)
                      || CAST(o_totalprice AS VARCHAR)), 1, 12)) AS BIGINT))
-                AS DECIMAL(38, 0)) AS checksum
+                AS DECIMAL(38, 0)) AS VARCHAR) AS checksum
     FROM orders
     """,
 )
@@ -661,7 +661,12 @@ def q_table_checksum(spark, sf_dir):
     aggregate; equal checksums + equal counts ⇒ replicas agree with
     2^-48-scale collision odds per differing row. Float columns are
     stringified through CAST — both engines print shortest-roundtrip
-    doubles, verified by the hash match itself."""
+    doubles. The checksum is EMITTED AS A STRING: the sum exceeds int64
+    at sf≥0.1, and >int64 DECIMAL(38,0) scalars canonicalize differently
+    across engines' pandas conversions (DuckDB coerces to float64,
+    Spark's toPandas keeps object Decimals), which hash-mismatched a
+    value-identical result in CORRECTNESS_r05 — a string round-trips
+    identically everywhere."""
     o = table(spark, sf_dir, "orders")
     row_str = F.concat_ws(
         "\x1f",
@@ -672,7 +677,7 @@ def q_table_checksum(spark, sf_dir):
     h = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("bigint")
     return o.agg(
         F.count("*").alias("n_rows"),
-        F.sum(h.cast("decimal(38,0)")).alias("checksum"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
 
 
