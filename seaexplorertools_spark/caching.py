@@ -26,6 +26,14 @@ This module gives every such internal persist a handle:
   an enclosed block created — the "caller-owned caching" shape that
   ``jaccard_on_pairs`` pioneered with its ``token_df`` parameter).
 
+Scope ownership is per-thread: each scope carries a token, entries are
+tagged with the innermost token of the REGISTERING thread, and a scope
+exit unpersists only its own entries. Under a multi-threaded driver a
+scope exiting in one thread therefore never unpersists a consistency
+cache another thread's still-executing query registered concurrently
+(which would re-expose the AQE range-boundary branch divergence the
+cache exists to prevent).
+
 Call release points BETWEEN actions only: unpersisting while a query
 that depends on a consistency cache is still executing re-exposes the
 branch-divergence the cache exists to prevent.
@@ -39,25 +47,34 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_LEDGER: list[DataFrame] = []
+# (owning scope token | None, df) — token identity is the removal key
+_LEDGER: list[tuple[object, DataFrame]] = []
 _LOCK = threading.Lock()  # drivers commonly run queries from thread pools
+_SCOPES = threading.local()  # per-thread stack of active scope tokens
+
+
+def _current_token() -> object | None:
+    stack = getattr(_SCOPES, "stack", None)
+    return stack[-1] if stack else None
 
 
 def consistency_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + register in the session ledger so the caller can
-    reclaim the memory later. Returns ``df`` (same object, cached)."""
+    reclaim the memory later. Returns ``df`` (same object, cached). The
+    entry is owned by the registering thread's innermost active
+    :func:`consistency_cache_scope`, if any."""
     df = df.cache()
     with _LOCK:
-        _LEDGER.append(df)
+        _LEDGER.append((_current_token(), df))
     return df
 
 
 def release_consistency_caches(blocking: bool = False) -> int:
     """Unpersist every ledgered internal cache; returns how many were
     released. Safe to call between actions; do NOT call while a query
-    built on one of these operators is mid-execution."""
+    built on one of these operators is mid-execution (in ANY thread)."""
     with _LOCK:
-        drained = list(_LEDGER)
+        drained = [df for _, df in _LEDGER]
         _LEDGER.clear()
     for df in drained:
         try:
@@ -75,21 +92,30 @@ def ledger_size() -> int:
 @contextmanager
 def consistency_cache_scope(blocking: bool = False) -> Iterator[None]:
     """Unpersist, on exit, every internal cache created inside the
-    block — scoped caller-owned caching for one logical query::
+    block BY THIS THREAD — scoped caller-owned caching for one logical
+    query::
 
         with consistency_cache_scope():
             out = global_rank(df, ["quality", "doc_id"]).collect()
         # rank's range-partition pin is released here
+
+    Ownership is token-based, not position-based: concurrent threads'
+    registrations interleaved into the ledger are left untouched, and
+    nested scopes release exactly their own entries.
     """
-    with _LOCK:
-        mark = len(_LEDGER)
+    token = object()
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    stack.append(token)
     try:
         yield
     finally:
+        stack.pop()
         with _LOCK:
-            tail = _LEDGER[mark:]
-            del _LEDGER[mark:]
-        for df in tail:
+            mine = [df for tok, df in _LEDGER if tok is token]
+            _LEDGER[:] = [e for e in _LEDGER if e[0] is not token]
+        for df in mine:
             try:
                 df.unpersist(blocking=blocking)
             except Exception:

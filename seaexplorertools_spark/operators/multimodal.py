@@ -582,11 +582,16 @@ def parse_wav_header(payload: bytes | None) -> dict | None:
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Real PCM sample decode, pure python/numpy: 16-bit integer PCM
-    (format tag 1) RIFF/WAVE → ``(sample_rate, channels, samples)`` with
-    ``samples`` shaped [n_frames, channels], int16. Raises ValueError for
-    non-WAV payloads or compressed/float formats — the loud boundary
-    where a real deployment brings soundfile/ffmpeg."""
+    """Real PCM sample decode, pure python/numpy, of the three formats
+    that dominate real audio corpora: 16-bit integer PCM (tag 1, int16
+    out), 24-bit integer PCM (tag 1, sign-extended int32 out, native
+    24-bit units), and IEEE float32 (tag 3, float32 out, nominal
+    [-1, 1]). Returns ``(sample_rate, channels, samples)`` with
+    ``samples`` shaped [n_frames, channels]. Raises ValueError for
+    non-WAV payloads, compressed codecs, or a fmt chunk whose
+    block_align is 0 / inconsistent with channels·bits — the loud
+    boundary where a real deployment brings soundfile/ffmpeg (and the
+    guard that keeps one corrupt payload from dividing by zero)."""
     import numpy as np
 
     if payload is None:
@@ -611,16 +616,36 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         i += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV without fmt/data chunks")
-    if fmt["tag"] != 1 or fmt["bits"] != 16 or fmt["channels"] < 1:
+    tag, bits, ch = fmt["tag"], fmt["bits"], fmt["channels"]
+    if (tag, bits) not in {(1, 16), (1, 24), (3, 32)} or ch < 1:
         raise ValueError(
-            f"unsupported WAV encoding (tag={fmt['tag']}, bits={fmt['bits']})"
-            " — integer PCM16 only; bring soundfile for the rest"
+            f"unsupported WAV encoding (tag={tag}, bits={bits})"
+            " — PCM16/PCM24/float32 only; bring soundfile for the rest"
+        )
+    # parse_wav_header's guard, mirrored: a crafted fmt chunk with
+    # block_align=0 (or mismatching channels·bytes-per-sample) must fail
+    # as a per-row ValueError, never a ZeroDivisionError that kills the job
+    if fmt["block_align"] != ch * (bits // 8):
+        raise ValueError(
+            f"corrupt WAV fmt: block_align={fmt['block_align']}"
+            f" != channels({ch}) * {bits // 8}"
         )
     n_frames = len(data) // fmt["block_align"]
-    samples = np.frombuffer(
-        data[: n_frames * fmt["block_align"]], dtype="<i2"
-    ).reshape(n_frames, fmt["channels"])
-    return fmt["sample_rate"], fmt["channels"], samples
+    data = data[: n_frames * fmt["block_align"]]
+    if (tag, bits) == (1, 16):
+        samples = np.frombuffer(data, dtype="<i2").reshape(n_frames, ch)
+    elif (tag, bits) == (3, 32):
+        samples = np.frombuffer(data, dtype="<f4").reshape(n_frames, ch)
+    else:  # 24-bit PCM: 3-byte little-endian frames, sign-extended to int32
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        vals = (vals << 8) >> 8  # sign-extend bit 23 through the int32
+        samples = vals.reshape(n_frames, ch)
+    return fmt["sample_rate"], ch, samples
 
 
 WAV_SIGNAL_SCHEMA = StructType(
@@ -637,9 +662,10 @@ WAV_SIGNAL_SCHEMA = StructType(
 
 
 def wav_signal_features(media: DataFrame) -> DataFrame:
-    """REAL signal features from decoded PCM16 samples (no codec libs):
-    per payload, RMS and peak of the channel-mean waveform (int16 units)
-    and the zero-crossing rate — the audio-quality trio a training-data
+    """REAL signal features from decoded PCM16/PCM24/float32 samples (no
+    codec libs): per payload, RMS and peak of the channel-mean waveform
+    (in the payload's native sample units — int16/int24 counts or float
+    [-1,1]) and the zero-crossing rate — the audio-quality trio a training-data
     gate filters on (silence ≈ rms→0, clipping ≈ peak→32767, noise ≈ high
     ZCR). Non-decodable payloads yield NULL features, never a failed job.
 
@@ -656,7 +682,7 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
                     rate, ch, s = decode_wav_samples(
                         bytes(payload) if payload is not None else None
                     )
-                except ValueError:
+                except (ValueError, ZeroDivisionError):
                     rows.append((mid, None, None, None, None, None, None))
                     continue
                 if len(s) == 0:

@@ -160,12 +160,31 @@ def bfill(v: Column | str, partition_by: list, order_by: list) -> Column:
     partition per row — O(n²) per partition, observed as a multi-minute
     hang at 50k rows/partition — while (unboundedPreceding, currentRow)
     is incremental O(n). first-non-null-at-or-after ascending ≡
-    last-non-null-at-or-before descending."""
+    last-non-null-at-or-before descending.
+
+    ``order_by`` must be plain ASCENDING keys (str or bare Column);
+    bfill owns the sort direction and reverses internally."""
     rev = Window.partitionBy(*partition_by).orderBy(
-        *[(F.col(c) if isinstance(c, str) else c).desc() for c in order_by]
+        *[_plain_ascending_key(c).desc() for c in order_by]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vc = F.col(v) if isinstance(v, str) else v
     return F.last(vc, ignorenulls=True).over(rev)
+
+
+def _plain_ascending_key(c: Column | str) -> Column:
+    """Reject SortOrder inputs loudly: ``.desc()`` on an already-ordered
+    Column (e.g. ``F.col('t').desc()``) nests a SortOrder inside a
+    SortOrder, which Spark only reports at runtime as INTERNAL_ERROR
+    'Cannot evaluate expression: ... DESC NULLS LAST'. bfill reverses the
+    order itself, so callers pass bare keys."""
+    col = F.col(c) if isinstance(c, str) else c
+    if repr(col).rstrip("> '\"").endswith(("NULLS FIRST", "NULLS LAST")):
+        raise TypeError(
+            "bfill(order_by=...) takes plain ascending sort keys; got a "
+            "SortOrder (.asc()/.desc()) — pass the bare column, bfill "
+            "applies the reversal internally"
+        )
+    return col
 
 
 def demean(v: Column | str, partition_by: list) -> Column:

@@ -60,3 +60,36 @@ def test_repeated_invocations_do_not_accumulate_with_scope(spark):
             assert _ranked(spark).count() == 1000
     assert ledger_size() == 0
     assert sc._jsc.sc().getPersistentRDDs().size() == base
+
+
+def test_scope_exit_spares_concurrent_thread_registrations(spark):
+    """Token ownership, not ledger position: a scope exiting in one thread
+    must not unpersist a cache that ANOTHER thread registered while the
+    scope was open (the multi-threaded-driver hazard — positional
+    mark/rollback would unpersist it mid-query)."""
+    import threading
+
+    from seaexplorertools_spark.caching import consistency_cache
+
+    release_consistency_caches()
+    in_scope = threading.Event()
+    other_done = threading.Event()
+    other = {}
+
+    def other_thread():
+        if in_scope.wait(30):
+            other["df"] = consistency_cache(spark.range(100))
+            other_done.set()
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    with consistency_cache_scope(blocking=True):
+        mine = consistency_cache(spark.range(50))
+        assert mine.count() == 50
+        in_scope.set()
+        assert other_done.wait(30)  # other thread registered AFTER my mark
+    t.join()
+    assert not mine.storageLevel.useMemory  # my scope's entry released
+    assert other["df"].storageLevel.useMemory  # theirs survived
+    assert ledger_size() == 1
+    release_consistency_caches(blocking=True)

@@ -368,3 +368,84 @@ def test_gif_frame_walk_and_real_sampling(spark):
 
     with pytest.raises(ValueError):
         parse_gif_frames(b"GIF89a\x00")  # truncated
+
+
+def _build_wav(tag, bits, channels, rate, data, block_align=None):
+    """Hand-assemble a RIFF/WAVE payload (stdlib wave only writes PCM
+    integers, so float32 / corrupt-fmt cases are built by hand)."""
+    ba = channels * bits // 8 if block_align is None else block_align
+    fmt = (
+        int(tag).to_bytes(2, "little")
+        + int(channels).to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + int(rate * ba).to_bytes(4, "little")
+        + int(ba).to_bytes(2, "little")
+        + int(bits).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_decode_float32_roundtrip(spark):
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_signal_features,
+    )
+
+    mono = np.linspace(-1.0, 1.0, 400, dtype=np.float32)
+    raw = _build_wav(3, 32, 1, 8000, mono.astype("<f4").tobytes())
+    rate, ch, s = decode_wav_samples(raw)
+    assert (rate, ch) == (8000, 1)
+    assert s.dtype == np.float32 and np.array_equal(s[:, 0], mono)
+
+    df = spark.createDataFrame([(1, bytearray(raw))], ["media_id", "payload"])
+    row = wav_signal_features(df).collect()[0]
+    m = mono.astype(np.float64)
+    assert row["n_frames"] == 400
+    assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(m**2))))
+    assert row["peak"] == pytest.approx(1.0)
+
+
+def test_wav_decode_pcm24_sign_extension():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import decode_wav_samples
+
+    vals = np.array([-(2**23), 2**23 - 1, 0, 12345, -1, -654321], dtype=np.int32)
+    data = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    raw = _build_wav(1, 24, 2, 44100, data)  # 2 channels -> 3 frames
+    rate, ch, s = decode_wav_samples(raw)
+    assert (rate, ch) == (44100, 2)
+    assert s.dtype == np.int32 and s.shape == (3, 2)
+    assert np.array_equal(s.ravel(), vals)
+
+
+def test_wav_corrupt_block_align_degrades_per_row(spark):
+    """A crafted WAV with valid magic, tag=1, bits=16 but block_align=0
+    must raise ValueError from the decoder (not ZeroDivisionError) and
+    yield NULL features in the Spark path — one dirty payload never
+    fails the job (ADVICE r5)."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_signal_features,
+    )
+
+    good = _build_wav(1, 16, 1, 8000, np.arange(50, dtype="<i2").tobytes())
+    bad = _build_wav(1, 16, 1, 8000, b"\x00\x01" * 10, block_align=0)
+    mismatched = _build_wav(1, 16, 2, 8000, b"\x00\x01" * 10, block_align=2)
+    for payload in (bad, mismatched):
+        with pytest.raises(ValueError, match="corrupt WAV fmt"):
+            decode_wav_samples(payload)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(mismatched))],
+        ["media_id", "payload"],
+    )
+    rows = {r["media_id"]: r for r in wav_signal_features(df).collect()}
+    assert rows[1]["n_frames"] == 50 and rows[1]["rms"] is not None
+    assert rows[2]["rms"] is None and rows[3]["rms"] is None

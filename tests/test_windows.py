@@ -97,3 +97,17 @@ def test_tail_flag(spark):
     deepest_nonnull = [i for i in range(11, -1, -1) if i % 3][:3]
     for i in range(12):
         assert got[i] == (i in deepest_nonnull), (i, got[i])
+
+
+def test_bfill_rejects_sortorder_keys(spark):
+    """bfill reverses the sort internally; a caller-supplied SortOrder
+    (.desc()/.asc()) would nest SortOrders and only explode at runtime as
+    Spark INTERNAL_ERROR — reject it loudly at build time instead."""
+    df = spark.createDataFrame([(0, 1.0)], "i long, v double")
+    with pytest.raises(TypeError, match="plain ascending"):
+        df.withColumn("b", W.bfill("v", [], [F.col("i").desc()]))
+    with pytest.raises(TypeError, match="plain ascending"):
+        df.withColumn("b", W.bfill("v", [], [F.col("i").asc()]))
+    # bare Column keys (the documented API) still work
+    got = df.withColumn("b", W.bfill("v", [], [F.col("i")])).collect()
+    assert got[0]["b"] == 1.0
