@@ -50,7 +50,17 @@ def canon_cell(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return repr(float(v))
+            # EXACT decimal canonicalization — never via float. The round-5
+            # red cell (q_table_checksum) was a >int64 DECIMAL(38,0) that
+            # this harness's old repr(float(v)) bridged while the driver's
+            # canonicalization did not: beyond 2^53 the float round-trip
+            # loses digits, so float-coercing here HIDES exactly the class
+            # of divergence the conformance gate exists to catch. Integral
+            # decimals canonicalize as plain int strings so an engine
+            # returning int64 for the same value still matches.
+            if v == v.to_integral_value():
+                return str(int(v))
+            return str(v.normalize())
     except Exception:
         pass
     return str(v)
