@@ -1522,3 +1522,39 @@ def j2_asof_nearest_bucketed(spark, sf_dir):
 
 
 ORACLES["j2_asof_nearest_bucketed"] = ORACLES["j2_asof_nearest"]
+
+
+@q(
+    "mm_image_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 256 AS a,
+             (37 + 11 * doc_id) % 256 AS b
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 4) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           (a + b) / 2.0 AS mean_px,
+           CAST(least(a, b) AS BIGINT) AS min_px,
+           CAST(greatest(a, b) AS BIGINT) AS max_px
+    FROM p
+    """,
+)
+def mm_image_features(spark, sf_dir):
+    """REAL JPEG encode → huffman+IDCT decode → pixel statistics, under an
+    EXACT SQL oracle: per document a genuine baseline JPEG is synthesized
+    (two flat grayscale tones, block-aligned halves, unit quantization —
+    documents_as_jpeg), decoded by the pure-python baseline decoder
+    (operators/jpegcodec.py), and reduced to width/height/channels/mean/
+    min/max. Flat 8×8 blocks survive DCT→quantize→IDCT bit-exactly, so
+    the decoded statistics are closed-form in doc_id and the oracle
+    replays them as integer/double arithmetic — the whole two-codec
+    mapInPandas path is driver-checkable, not rows-only. At 100 TB both
+    stages are Arrow-batched, partition-preserving, zero-shuffle."""
+    from ..operators.multimodal import documents_as_jpeg, image_signal_features
+
+    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    return image_signal_features(media)

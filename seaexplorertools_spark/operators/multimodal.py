@@ -9,10 +9,16 @@ and tested. Decode depth is layered:
   are parsed for width/height (``parse_image_header``) — genuine features
   from genuine files, no decode library needed. ``encode_png`` writes a
   spec-valid PNG (stdlib zlib) for tests.
-- **Pixel/audio/video decode (gated)**: ``decode_real`` raises
-  NotImplementedError beyond the header layer — PIL/soundfile/ffmpeg are
-  not in this container. ``decode_stub`` computes deterministic byte stats
-  so the pipeline shape is exercised end-to-end regardless.
+- **Real pixel/sample decode (pure python/numpy)**: 8-bit non-interlaced
+  PNG (``decode_png_pixels``, filters 0-4), baseline sequential JPEG
+  (``jpegcodec.decode_jpeg_pixels`` — huffman + IDCT + 4:2:0, the format
+  that dominates image corpora), PCM16/PCM24/float32 WAV samples
+  (``decode_wav_samples``), GIF frame boundaries (``parse_gif_frames``).
+- **Gated beyond that**: ``decode_real`` raises NotImplementedError for
+  progressive JPEG / palette PNG / compressed audio / video containers —
+  PIL/soundfile/ffmpeg are not in this container. ``decode_stub`` computes
+  deterministic byte stats so the pipeline shape is exercised end-to-end
+  regardless, and every real lane degrades PER ROW on dirty payloads.
 
 At 100 TB: payloads stay in the executor (never collected); mapInPandas
 streams Arrow record batches so peak memory is one batch of payloads;
@@ -193,10 +199,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
-def resize_png_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Real-pixel PNG resize: decode (decode_png_pixels), nearest-neighbor
-    resample, re-encode 8-bit RGB (gray triplicates, alpha drops)."""
-    w0, h0, ch, px = decode_png_pixels(payload)
+def _nearest_rgb_rows(px: bytes, w0: int, h0: int, ch: int, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a row-major raster to RGB bytes
+    (gray triplicates, alpha drops)."""
     rows = bytearray()
     for y in range(height):
         sy = y * h0 // height
@@ -207,30 +212,57 @@ def resize_png_payload(payload: bytes, width: int, height: int) -> bytes:
                 rows += px[o : o + 3]
             else:  # gray / gray+alpha → replicate luminance
                 rows += px[o : o + 1] * 3
-    return encode_png(width, height, bytes(rows))
+    return bytes(rows)
+
+
+def resize_png_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real-pixel PNG resize: decode (decode_png_pixels), nearest-neighbor
+    resample, re-encode 8-bit RGB (gray triplicates, alpha drops)."""
+    w0, h0, ch, px = decode_png_pixels(payload)
+    return encode_png(width, height, _nearest_rgb_rows(px, w0, h0, ch, width, height))
+
+
+def resize_jpeg_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real-pixel JPEG resize: baseline decode (jpegcodec), nearest-
+    neighbor resample, re-encode as 8-bit RGB PNG (lossless output
+    container — re-JPEG-ing a training thumbnail just adds generation
+    loss)."""
+    from .jpegcodec import decode_jpeg_pixels
+
+    w0, h0, ch, px = decode_jpeg_pixels(payload)
+    return encode_png(width, height, _nearest_rgb_rows(px, w0, h0, ch, width, height))
 
 
 def decode_real(payload: bytes, kind: str) -> dict:
-    """Real decode, as deep as pure python goes: image container headers →
-    {width, height}; full PIXELS for 8-bit non-interlaced PNG
-    (decode_png_pixels — stdlib-only). Other rasters / audio samples /
-    video frames need PIL / soundfile / ffmpeg (absent in this container)
-    and raise."""
+    """Real decode, as deep as pure python goes: full PIXELS for 8-bit
+    non-interlaced PNG (decode_png_pixels — stdlib-only) and baseline
+    sequential JPEG (jpegcodec — numpy); image container headers →
+    {width, height} for the rest. Progressive JPEG / palette PNG / audio
+    samples beyond PCM / video frames need PIL / soundfile / ffmpeg
+    (absent in this container) and raise."""
     if kind == "image":
         try:
             w, h, ch, px = decode_png_pixels(payload)
             return {"width": w, "height": h, "channels": ch, "pixels": px}
         except (ValueError, zlib.error, struct.error):
             # zlib.error: corrupt IDAT behind a valid magic; struct.error:
-            # truncated header — degrade to the header parse, never crash
+            # truncated header — degrade to the next codec, never crash
+            pass
+        try:
+            from .jpegcodec import decode_jpeg_pixels
+
+            w, h, ch, px = decode_jpeg_pixels(payload)
+            return {"width": w, "height": h, "channels": ch, "pixels": px}
+        except (ValueError, struct.error, IndexError):
+            # IndexError: truncated segment behind a valid SOI magic
             pass
         w, h = parse_image_header(payload)
         if w is not None:
             return {"width": w, "height": h}
     raise NotImplementedError(
-        "full pixel/audio/video decode beyond 8-bit PNG requires "
-        "PIL/soundfile/ffmpeg (absent in this container); header parse "
-        "covers PNG/GIF/BMP/JPEG dimensions"
+        "full pixel/audio/video decode beyond 8-bit PNG + baseline JPEG "
+        "requires PIL/soundfile/ffmpeg (absent in this container); header "
+        "parse covers PNG/GIF/BMP/JPEG dimensions"
     )
 
 
@@ -339,9 +371,10 @@ def resize_images(
     """Image resize over binary payloads (mapInPandas, Arrow-batched,
     partition-preserving — no shuffle).
 
-    ``mode="decode"`` does the REAL thing for 8-bit non-interlaced PNGs:
-    pure-python pixel decode (decode_png_pixels), nearest-neighbor
-    resample, RGB re-encode — payloads the decoder rejects fall back to
+    ``mode="decode"`` does the REAL thing for 8-bit non-interlaced PNGs
+    AND baseline sequential JPEGs: pure-python pixel decode
+    (decode_png_pixels / jpegcodec.decode_jpeg_pixels), nearest-neighbor
+    resample, RGB re-encode — payloads both decoders reject fall back to
     the stub so a mixed corpus never fails mid-job. ``mode="stub"``
     (default, and the oracle-checked contract semantics) deterministically
     truncates/pads the payload to width*height bytes so batch shapes,
@@ -377,8 +410,13 @@ def resize_images(
                         continue
                     except (ValueError, zlib.error, struct.error):
                         # non-PNG, unsupported layout, OR corrupt bytes
-                        # behind a valid magic → stub below (a mixed/dirty
-                        # corpus must never fail the job mid-scan)
+                        # behind a valid magic → try JPEG, then stub (a
+                        # mixed/dirty corpus must never fail the job)
+                        pass
+                    try:
+                        out.append((mid, kind, resize_jpeg_payload(b, w, h), w, h))
+                        continue
+                    except (ValueError, struct.error, IndexError):
                         pass
                 target = w * h
                 resized = (b * (target // max(len(b), 1) + 1))[:target]
@@ -816,3 +854,108 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
         rate.alias("sample_rate"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+IMAGE_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("mean_px", DoubleType(), True),
+        StructField("min_px", LongType(), True),
+        StructField("max_px", LongType(), True),
+    ]
+)
+
+
+def image_signal_features(media: DataFrame) -> DataFrame:
+    """REAL pixel statistics from decoded rasters (PNG via
+    decode_png_pixels, baseline JPEG via jpegcodec) — per payload the
+    decoded width/height/channels plus mean/min/max pixel value, the
+    exposure/blank-image trio an image-corpus gate filters on (all-black
+    scans ≈ mean→0, blown-out ≈ min→255, flat ≈ min==max). Payloads
+    neither codec accepts yield NULL features, never a failed job.
+
+    Deployment note: references the module-level codecs, so workers must
+    import this package (same contract as resize_images(mode="decode"))."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import decode_jpeg_pixels
+
+        rows_cols = ["media_id", "width", "height", "channels", "mean_px", "min_px", "max_px"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = None
+                if payload is not None:
+                    b = bytes(payload)
+                    for codec in (decode_png_pixels, decode_jpeg_pixels):
+                        try:
+                            decoded = codec(b)
+                            break
+                        except (ValueError, zlib.error, struct.error, IndexError):
+                            continue
+                if decoded is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                w, h, ch, px = decoded
+                arr = np.frombuffer(px, dtype=np.uint8)
+                rows.append(
+                    (
+                        mid, w, h, ch,
+                        float(arr.mean()) if arr.size else None,
+                        int(arr.min()) if arr.size else None,
+                        int(arr.max()) if arr.size else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=rows_cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, IMAGE_SIGNAL_SCHEMA
+    )
+
+
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL baseline JPEG per document — two-tone
+    grayscale, left half ``doc_id % 256``, right half
+    ``(37 + 11·doc_id) % 256``, dimensions deterministic functions of
+    doc_id with BLOCK-ALIGNED halves (width = 16·(1+id%3), height =
+    8·(1+id%4)). Every 8×8 block is flat and the encoder's quantization
+    table is all-ones, so the decode is EXACT (see jpegcodec docstring)
+    and the decoded pixel statistics are closed-form in doc_id — which is
+    what lets ``mm_image_features`` run the whole encode→decode→stats
+    path under an exact integer/double SQL oracle. Arrow-batched
+    mapInPandas; partition-preserving, no shuffle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 * (1 + did % 3)
+                h = 8 * (1 + did % 4)
+                a = did % 256
+                b = (37 + 11 * did) % 256
+                img = np.empty((h, w), dtype=np.uint8)
+                img[:, : w // 2] = a
+                img[:, w // 2 :] = b
+                rows.append((did, "image", encode_jpeg(w, h, img.tobytes()), w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)

@@ -449,3 +449,83 @@ def test_wav_corrupt_block_align_degrades_per_row(spark):
     rows = {r["media_id"]: r for r in wav_signal_features(df).collect()}
     assert rows[1]["n_frames"] == 50 and rows[1]["rms"] is not None
     assert rows[2]["rms"] is None and rows[3]["rms"] is None
+
+
+def test_resize_decode_mode_handles_jpeg_and_mixed_corpus(spark):
+    """mode='decode' resizes real JPEG pixels (via the baseline decoder)
+    alongside PNGs; garbage and truncated-JPEG payloads fall back to the
+    stub — one mixed batch, zero job failures."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    flat = np.full((16, 16), 200, np.uint8)
+    jp = encode_jpeg(16, 16, flat.tobytes(), channels=1)
+    png = encode_png(4, 4, bytes(range(48)))
+    rows = [
+        (1, "image", bytearray(jp), 8, 8),
+        (2, "image", bytearray(png), 8, 8),
+        (3, "image", bytearray(b"garbage-bytes"), 8, 8),
+        (4, "image", bytearray(jp[: len(jp) // 2]), 8, 8),  # truncated JPEG
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width long, height long"
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 8, 8, mode="decode").collect()}
+    # JPEG row: real decode — flat 200 grayscale → all-200 RGB PNG
+    w, h, ch, px = decode_png_pixels(bytes(out[1]["payload"]))
+    assert (w, h, ch) == (8, 8, 3) and set(px) == {200}
+    # PNG row: still the real PNG lane
+    w, h, ch, _ = decode_png_pixels(bytes(out[2]["payload"]))
+    assert (w, h, ch) == (8, 8, 3)
+    # garbage + truncated rows: stub payloads of width*height bytes
+    assert len(bytes(out[3]["payload"])) == 64
+    assert len(bytes(out[4]["payload"])) == 64
+
+
+def test_image_signal_features_mixed(spark):
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+    from seaexplorertools_spark.operators.multimodal import (
+        encode_png,
+        image_signal_features,
+    )
+
+    two = np.zeros((8, 16), np.uint8)
+    two[:, :8] = 10
+    two[:, 8:] = 250
+    jp = encode_jpeg(16, 8, two.tobytes(), channels=1)
+    png = encode_png(2, 2, bytes([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60]))
+    df = spark.createDataFrame(
+        [(1, bytearray(jp)), (2, bytearray(png)), (3, bytearray(b"nope"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_signal_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (16, 8, 1)
+    assert rows[1]["mean_px"] == 130.0  # (10+250)/2 — exact flat-block decode
+    assert (rows[1]["min_px"], rows[1]["max_px"]) == (10, 250)
+    assert (rows[2]["width"], rows[2]["channels"]) == (2, 3)
+    assert rows[2]["min_px"] == 0 and rows[2]["max_px"] == 255
+    assert rows[3]["width"] is None and rows[3]["mean_px"] is None
+
+
+def test_documents_as_jpeg_payloads_are_real_jpegs(spark, sf_dir):
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import decode_jpeg_pixels
+    from seaexplorertools_spark.operators.multimodal import documents_as_jpeg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    for r in documents_as_jpeg(docs).collect():
+        did = r["media_id"]
+        w, h, ch, px = decode_jpeg_pixels(bytes(r["payload"]))
+        assert (w, h, ch) == (16 * (1 + did % 3), 8 * (1 + did % 4), 1)
+        arr = np.frombuffer(px, np.uint8).reshape(h, w)
+        assert set(arr[:, : w // 2].ravel()) == {did % 256}
+        assert set(arr[:, w // 2 :].ravel()) == {(37 + 11 * did) % 256}
