@@ -493,39 +493,49 @@ def sample_frames(media: DataFrame, n_frames: int = 4, mode: str = "stub") -> Da
     the explode-shaped schema a training pipeline feeds to per-frame
     feature extraction.
 
-    ``mode="gif"`` does the REAL thing for animated GIFs: walk the block
-    structure (``parse_gif_frames``), evenly sample ``n_frames`` of the
-    ACTUAL frames, and emit each frame's descriptor+data byte span (still
-    LZW-encoded — pixel decode is a separate concern); payloads the walker
-    rejects fall back to the stub slicing so a mixed corpus never fails.
-    ``mode="stub"`` slices the payload into n_frames even chunks — the
-    codec-free plumbing default. Deployment note for "gif": module-level
-    parser, workers must import this package (same contract as
-    resize_images(mode="decode"))."""
-    if mode not in ("stub", "gif"):
-        raise ValueError(f"mode must be 'stub' or 'gif', got {mode!r}")
-    real = mode == "gif"
+    REAL container walks (each emitting the ACTUAL evenly-sampled frame
+    byte spans, still codec-encoded — pixel decode is a separate concern):
+    ``mode="gif"`` (block structure, ``parse_gif_frames``), ``mode="mp4"``
+    (ISO BMFF sample tables, ``videocontainers.parse_mp4_frames``),
+    ``mode="avi"`` (RIFF movi chunks, ``parse_avi_frames``), and
+    ``mode="auto"`` which tries all three — the mixed-corpus setting.
+    Payloads every walker rejects fall back to the stub slicing so a
+    dirty corpus never fails. ``mode="stub"`` slices the payload into
+    n_frames even chunks — the codec-free plumbing default. Deployment
+    note for the real modes: module-level parsers, workers must import
+    this package (same contract as resize_images(mode="decode"))."""
+    modes = ("stub", "gif", "mp4", "avi", "auto")
+    if mode not in modes:
+        raise ValueError(f"mode must be one of {modes}, got {mode!r}")
 
     def do_sample(batches):
+        from .videocontainers import parse_avi_frames, parse_mp4_frames
+
+        walkers = {
+            "gif": (parse_gif_frames,),
+            "mp4": (parse_mp4_frames,),
+            "avi": (parse_avi_frames,),
+            "auto": (parse_gif_frames, parse_mp4_frames, parse_avi_frames),
+        }.get(mode, ())
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
                 b = bytes(payload)
-                if real:
+                frames = None
+                for walk in walkers:
                     try:
-                        frames = parse_gif_frames(b)
-                        if frames:
-                            k = min(n_frames, len(frames))
-                            picks = [
-                                frames[(fi * len(frames)) // k] for fi in range(k)
-                            ]
-                            for fi, fr in enumerate(picks):
-                                out.append((mid, fi, b[fr["start"] : fr["end"]]))
-                            continue
-                    except ValueError:
-                        pass  # non-GIF / corrupt → stub slicing below
+                        frames = walk(b)
+                        break
+                    except (ValueError, IndexError):
+                        continue  # wrong/corrupt container → next walker
+                if frames:
+                    k = min(n_frames, len(frames))
+                    picks = [frames[(fi * len(frames)) // k] for fi in range(k)]
+                    for fi, fr in enumerate(picks):
+                        out.append((mid, fi, b[fr["start"] : fr["end"]]))
+                    continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     out.append((mid, i, b[i * step : (i + 1) * step]))

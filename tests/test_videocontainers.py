@@ -1,0 +1,113 @@
+"""MP4/AVI container walkers (operators/videocontainers.py) against
+hand-assembled fixtures from the module's own minimal writers — frame
+spans are verified by slicing the DISTINCT payload planted in each
+frame, so an off-by-one anywhere in the box/chunk walk fails loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from seaexplorertools_spark.operators.videocontainers import (
+    encode_avi,
+    encode_mp4,
+    parse_avi_frames,
+    parse_mp4_frames,
+)
+
+FRAMES = [bytes([i]) * (10 + 3 * i) for i in range(7)]  # distinct content+size
+
+
+def test_mp4_frame_spans_and_metadata():
+    mp4 = encode_mp4(FRAMES, timescale=1000, delta=40, width=64, height=48)
+    got = parse_mp4_frames(mp4)
+    assert len(got) == len(FRAMES)
+    for i, fr in enumerate(got):
+        assert mp4[fr["start"] : fr["end"]] == FRAMES[i], i
+        assert fr["size"] == len(FRAMES[i])
+        assert fr["time_ms"] == i * 40  # delta 40 @ timescale 1000
+        assert fr["keyframe"] is True  # no stss ⇒ all sync per spec
+        assert (fr["width"], fr["height"]) == (64, 48)
+
+
+def test_mp4_keyframe_table():
+    mp4 = encode_mp4(FRAMES, keyframes={1, 4})
+    got = parse_mp4_frames(mp4)
+    assert [fr["keyframe"] for fr in got] == [True, False, False, True, False, False, False]
+
+
+def test_mp4_odd_frame_count_exercises_stsc_runs():
+    frames = FRAMES[:5]  # 2+2+1 chunks → two stsc runs
+    got = parse_mp4_frames(encode_mp4(frames))
+    assert [encode_mp4(frames)[f["start"]:f["end"]] for f in got] == frames
+
+
+def test_mp4_rejections():
+    with pytest.raises(ValueError):
+        parse_mp4_frames(b"not an mp4 at all...")
+    with pytest.raises(ValueError):
+        parse_mp4_frames(None)
+    mp4 = encode_mp4(FRAMES)
+    with pytest.raises(ValueError):
+        parse_mp4_frames(mp4[: len(mp4) // 2])  # truncated box walk
+    # mdat shorter than the sample tables claim → span check fires
+    cut = mp4.replace(FRAMES[6], b"\x00", 1)
+    with pytest.raises(ValueError):
+        parse_mp4_frames(cut)
+
+
+def test_avi_frame_spans_and_metadata():
+    avi = encode_avi(FRAMES, us_per_frame=33333, width=32, height=24)
+    got = parse_avi_frames(avi)
+    assert len(got) == len(FRAMES)
+    for i, fr in enumerate(got):
+        assert avi[fr["start"] : fr["end"]] == FRAMES[i], i
+        assert fr["time_ms"] == (i * 33333) // 1000
+        assert (fr["width"], fr["height"]) == (32, 24)
+
+
+def test_avi_word_alignment():
+    # odd-sized frames force pad bytes between chunks; spans must skip them
+    frames = [b"x" * 3, b"y" * 5, b"z" * 4]
+    avi = encode_avi(frames)
+    got = parse_avi_frames(avi)
+    assert [avi[f["start"]:f["end"]] for f in got] == frames
+
+
+def test_avi_rejections():
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"RIFFxxxxWAVEnot-a-movie")
+    with pytest.raises(ValueError):
+        parse_avi_frames(None)
+    avi = encode_avi(FRAMES)
+    with pytest.raises(ValueError):
+        parse_avi_frames(avi[: len(avi) // 2])
+
+
+def test_sample_frames_auto_mixed_corpus(spark):
+    """mode='auto' walks GIF, MP4 and AVI payloads in ONE batch, emits the
+    real evenly-sampled spans for each, and stub-slices garbage — the
+    mixed-corpus contract."""
+    from seaexplorertools_spark.operators.multimodal import sample_frames
+    from tests.test_multimodal import _build_gif
+
+    mp4 = encode_mp4(FRAMES)
+    avi = encode_avi(FRAMES)
+    gif, _ = _build_gif()
+    rows = [
+        (1, bytearray(mp4)),
+        (2, bytearray(avi)),
+        (3, bytearray(gif)),
+        (4, bytearray(b"not-a-container-at-all-just-bytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames(df, n_frames=4, mode="auto").collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 7 real frames sampled to 4: indices 0,1,3,5 of FRAMES
+    picks = [FRAMES[(fi * 7) // 4] for fi in range(4)]
+    for mid in (1, 2):
+        got = [bytes(r["frame_payload"]) for r in sorted(by_id[mid], key=lambda r: r["frame_idx"])]
+        assert got == picks, mid
+    assert len(by_id[3]) == 4  # real GIF spans (content checked in test_multimodal)
+    assert len(by_id[4]) == 4  # stub slices
