@@ -1558,3 +1558,114 @@ def mm_image_features(spark, sf_dir):
 
     media = documents_as_jpeg(table(spark, sf_dir, "documents"))
     return image_signal_features(media)
+
+
+@q(
+    "txt_script_mix",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 5
+                       WHEN 1 THEN ' привет мир как дела'
+                       WHEN 2 THEN ' 你好世界早上好'
+                       WHEN 3 THEN ' γειά σου κόσμε'
+                       WHEN 4 THEN ' مرحبا بالعالم صباح الخير'
+                       ELSE '' END AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS n_cyrillic,
+             len(regexp_extract_all(t, '[\\x{0370}-\\x{03FF}]')) AS n_greek,
+             len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS n_cjk,
+             len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS n_arabic
+      FROM aug
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+           CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) = 0
+                  THEN 'other'
+                WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic)
+                  THEN 'latin'
+                WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic)
+                  THEN 'cyrillic'
+                WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic)
+                  THEN 'greek'
+                WHEN n_cjk = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic)
+                  THEN 'cjk'
+                ELSE 'arabic' END AS dominant_script
+    FROM c
+    """,
+)
+def txt_script_mix(spark, sf_dir):
+    """Writing-system composition per document (operators/text.py::
+    script_profile): per-script character counts over unicode-block
+    ranges — the same ``\\x{hhhh}`` class syntax parses in Java regex
+    and RE2, so the oracle is exact — plus the dominant script with a
+    fixed-order tiebreak. Complements the stopword-vote langid (script
+    routing catches ru/el/zh/ar with zero stopword coverage; mixed-script
+    docs are a corpus-poisoning signature). The fixture text is ASCII, so
+    deterministic non-Latin snippets are appended per doc_id (same
+    literals in the oracle) to make the check non-vacuous. Pure codegen
+    regexp_count — scan-speed, zero shuffle."""
+    from ..operators.text import script_profile
+
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 1, F.lit(" привет мир как дела"))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界早上好"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(" γειά σου κόσμε"))
+            .when(F.col("doc_id") % 5 == 4, F.lit(" مرحبا بالعالم صباح الخير"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(aug)
+
+
+@q(
+    "mm_image_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 256 AS a,
+             (37 + 11 * doc_id) % 256 AS b
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN a > b THEN 'f0f0f0f0f0f0f0f0'
+                  WHEN b > a THEN '0f0f0f0f0f0f0f0f'
+                  ELSE '0000000000000000' END AS ahash
+      FROM p
+    )
+    SELECT media_id, ahash,
+           count(*) OVER (PARTITION BY ahash) AS group_size,
+           min(media_id) OVER (PARTITION BY ahash) AS canonical_id
+    FROM h
+    """,
+)
+def mm_image_dedup(spark, sf_dir):
+    """Perceptual image dedup over REAL decoded JPEG pixels: synthesize a
+    genuine baseline JPEG per doc (documents_as_jpeg), average-hash the
+    decoded raster (ahash_images — nearest 8×8 downsample, mean
+    threshold, hex string), and attach each image's duplicate-group size
+    and canonical (min-id) representative — hash equality is one
+    groupBy-shaped window, no O(n²) pixel comparisons. The two-tone
+    fixture makes the hash CLOSED-FORM (left half > mean ⟺ a > b), so
+    the decode→hash→group path is driver-checked exactly, not rows-only.
+    At 100 TB: hashing is mapInPandas zero-shuffle; the dedup group is
+    one hash-keyed exchange — the image twin of dd_exact_dup."""
+    from ..operators.multimodal import ahash_images, documents_as_jpeg
+
+    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    hashed = ahash_images(media)
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "media_id",
+        "ahash",
+        F.count("*").over(w).alias("group_size"),
+        F.min("media_id").over(w).alias("canonical_id"),
+    )

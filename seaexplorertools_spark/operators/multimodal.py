@@ -969,3 +969,63 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id").mapInPandas(build, schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels (PNG or baseline
+    JPEG): nearest-downsample the channel-mean luma to hash_size², then
+    one bit per cell (luma > mean), emitted as a lowercase hex string
+    (strings group/join cleanly — no int64 sign traps at 64 bits).
+    Identical hashes ⇒ perceptually-near-identical images regardless of
+    container, re-encode, or resolution — the image twin of MinHash
+    dedup: hash equality is a plain groupBy/equi-join, no O(n²) pixel
+    comparisons. Non-decodable payloads yield a NULL hash (kept, never a
+    failed job). Arrow-batched mapInPandas, zero shuffle."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import decode_jpeg_pixels
+
+        hs = hash_size
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = None
+                if payload is not None:
+                    b = bytes(payload)
+                    for codec in (decode_png_pixels, decode_jpeg_pixels):
+                        try:
+                            decoded = codec(b)
+                            break
+                        except (ValueError, zlib.error, struct.error, IndexError):
+                            continue
+                if decoded is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                w, h, ch, px = decoded
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .mean(axis=2, dtype=np.float64)
+                )
+                ys = (np.arange(hs) * h) // hs
+                xs = (np.arange(hs) * w) // hs
+                small = arr[np.ix_(ys, xs)]
+                bits = (small > small.mean()).ravel()
+                val = 0
+                for bit in bits:  # row-major, MSB-first within the integer
+                    val = (val << 1) | int(bit)
+                rows.append((mid, format(val, f"0{hs * hs // 4}x"), w, h))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "width", "height"])
+
+    return media.select("media_id", "payload").mapInPandas(extract, AHASH_SCHEMA)

@@ -450,3 +450,42 @@ def readability_features(
         syllables.cast("long").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+# unicode-block character classes — the SAME \x{hhhh} range syntax parses
+# in Java regex (Spark) and RE2 (DuckDB), so the oracle is exact
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-z]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+}
+
+
+def script_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Writing-system composition per document: per-script character
+    counts (unicode-block ranges, SCRIPT_RANGES) and the dominant script
+    with a deterministic fixed-order tiebreak ('other' when no script
+    chars at all). Complements the stopword-vote ``langid``: script
+    routing catches ru/el/zh/ar text with zero stopword coverage and
+    flags mixed-script spam (a classic corpus-poisoning signature).
+    Pure codegen regexp_count expressions — scan-speed, zero shuffle."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    names = list(SCRIPT_RANGES)
+    top = F.greatest(*[counts[n] for n in names])
+    dominant = F.when(top == 0, F.lit("other"))
+    for n in names:  # fixed declaration order = deterministic tiebreak
+        dominant = dominant.when(counts[n] == top, F.lit(n))
+    return docs.select(
+        id_col,
+        *[counts[n].alias(f"n_{n}") for n in names],
+        dominant.alias("dominant_script"),
+    )

@@ -529,3 +529,43 @@ def test_documents_as_jpeg_payloads_are_real_jpegs(spark, sf_dir):
         arr = np.frombuffer(px, np.uint8).reshape(h, w)
         assert set(arr[:, : w // 2].ravel()) == {did % 256}
         assert set(arr[:, w // 2 :].ravel()) == {(37 + 11 * did) % 256}
+
+
+def test_ahash_images_groups_perceptual_duplicates(spark):
+    """Identical content hashed through DIFFERENT containers (PNG vs
+    JPEG) and DIFFERENT resolutions lands in one ahash bucket; distinct
+    content lands elsewhere; garbage hashes NULL."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+    from seaexplorertools_spark.operators.multimodal import ahash_images, encode_png
+
+    def two_tone(w, h, a, b):
+        img = np.zeros((h, w), np.uint8)
+        img[:, : w // 2] = a
+        img[:, w // 2 :] = b
+        return img
+
+    jp_small = encode_jpeg(16, 16, two_tone(16, 16, 30, 220).tobytes())
+    jp_large = encode_jpeg(64, 32, two_tone(64, 32, 30, 220).tobytes())  # same scene, other res
+    img = two_tone(16, 16, 30, 220)
+    png_rgb = encode_png(16, 16, np.repeat(img[:, :, None], 3, axis=2).tobytes())
+    jp_flip = encode_jpeg(16, 16, two_tone(16, 16, 220, 30).tobytes())  # mirrored tones
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(jp_small)),
+            (2, bytearray(jp_large)),
+            (3, bytearray(png_rgb)),
+            (4, bytearray(jp_flip)),
+            (5, bytearray(b"garbage")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in ahash_images(df).collect()}
+    assert out[1]["ahash"] == "0f" * 8  # dark left half → right bits set
+    assert out[1]["ahash"] == out[2]["ahash"] == out[3]["ahash"]
+    assert out[4]["ahash"] == "f0" * 8
+    assert out[4]["ahash"] != out[1]["ahash"]
+    assert out[5]["ahash"] is None
+    assert (out[2]["width"], out[2]["height"]) == (64, 32)

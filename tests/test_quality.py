@@ -140,3 +140,27 @@ def test_embedding_dq_detects_planted_defects(spark):
     assert got["n_zero_norm"] == 1
     assert got["avg_norm"] == round((5.0 + 2.0 + 0.0 + 4.0) / 4, 6)
     assert not math.isnan(got["avg_norm"])
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from seaexplorertools_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),                      # latin
+        (2, "привет мир hi"),                    # cyrillic-dominant, 2 latin
+        (3, "你好世界"),                          # cjk
+        (4, "γειά σου"),                          # greek
+        (5, "مرحبا بالعالم"),                     # arabic
+        (6, "12345 !!!"),                         # no script chars at all
+        (7, "abcd абвг"),                         # 4-4 tie → fixed order: latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 9 and out[2]["n_latin"] == 2
+    assert out[3]["dominant_script"] == "cjk" and out[3]["n_cjk"] == 4
+    assert out[4]["dominant_script"] == "greek"
+    assert out[5]["dominant_script"] == "arabic" and out[5]["n_arabic"] > 0
+    assert out[6]["dominant_script"] == "other"
+    assert out[7]["dominant_script"] == "latin"  # deterministic tiebreak
