@@ -756,8 +756,12 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """mapInPandas audio-metadata extraction — Arrow-batched, zero
-    shuffle; the parser is a nested worker-side copy (cloudpickle ships
-    it by value, same reason as extract_features)."""
+    shuffle. WAV (RIFF chunk walk, nested worker-side copy), then FLAC
+    STREAMINFO, then MPEG Layer III frame headers (module-level parsers
+    — workers must import this package, same contract as
+    resize_images(mode="decode")); unrecognized payloads yield NULL
+    metadata. ``bits`` is NULL for MP3 (lossy); MP3 frame counts are the
+    CBR estimate."""
 
     def parse(payload):
         if payload is None or len(payload) < 12:
@@ -793,6 +797,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 n = len(payload) if payload is not None else 0
                 p = parse(payload)
+                if p is None:
+                    p = parse_flac_header(payload)
+                if p is None:
+                    p = parse_mp3_header(payload)
                 if p is None:
                     rows.append((mid, n, None, None, None, None, None))
                 else:
@@ -1029,3 +1037,81 @@ def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "ahash", "width", "height"])
 
     return media.select("media_id", "payload").mapInPandas(extract, AHASH_SCHEMA)
+
+
+def parse_flac_header(payload: bytes | None) -> tuple | None:
+    """FLAC STREAMINFO parse (pure python, public format spec): returns
+    ``(sample_rate, channels, bits, total_samples, duration_ms)`` or None
+    for non-FLAC / truncated payloads. STREAMINFO is the mandatory first
+    metadata block: 20-bit sample rate, 3-bit channels-1, 5-bit bits-1,
+    36-bit total samples, bit-packed at byte 10 of the block."""
+    if payload is None or len(payload) < 4:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"fLaC":
+        return None
+    i = 4
+    while i + 4 <= len(b):
+        hdr = b[i]
+        length = int.from_bytes(b[i + 1 : i + 4], "big")
+        block = b[i + 4 : i + 4 + length]
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if len(block) < 18:
+                return None
+            sr = (block[10] << 12) | (block[11] << 4) | (block[12] >> 4)
+            ch = ((block[12] >> 1) & 0x07) + 1
+            bits = (((block[12] & 1) << 4) | (block[13] >> 4)) + 1
+            total = ((block[13] & 0x0F) << 32) | int.from_bytes(
+                block[14:18], "big"
+            )
+            if sr == 0:
+                return None
+            return sr, ch, bits, total, (total * 1000) // sr
+        if hdr & 0x80:  # last-metadata-block flag, STREAMINFO never seen
+            return None
+        i += 4 + length
+    return None
+
+
+_MP3_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_SAMPLERATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_header(payload: bytes | None) -> tuple | None:
+    """MPEG Layer III frame-header parse (pure python, ISO 11172-3 /
+    13818-3 tables): returns ``(sample_rate, channels, None,
+    total_samples, duration_ms)`` — bits is None (lossy codec), sample
+    count is the CBR estimate payload_bytes // frame_length × samples-
+    per-frame. Skips a leading ID3v2 tag (syncsafe size), scans to the
+    first 11-bit frame sync. None for non-MP3 / reserved headers."""
+    if payload is None or len(payload) < 4:
+        return None
+    b = bytes(payload)
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        i = 10 + (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+    while i + 4 <= len(b) and not (b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0):
+        i += 1
+    if i + 4 > len(b):
+        return None
+    h1, h2, h3 = b[i + 1], b[i + 2], b[i + 3]
+    version = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (h1 >> 1) & 3  # 1 = Layer III
+    if layer != 1 or version == 1:
+        return None
+    br_idx, sr_idx, padding = h2 >> 4, (h2 >> 2) & 3, (h2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / reserved
+    v1 = version == 3
+    bitrate = (_MP3_BITRATE_V1_L3 if v1 else _MP3_BITRATE_V2_L3)[br_idx] * 1000
+    sr = _MP3_SAMPLERATE[version][sr_idx]
+    spf = 1152 if v1 else 576
+    frame_len = (spf // 8) * bitrate // sr + padding
+    channels = 1 if ((h3 >> 6) & 3) == 3 else 2
+    n_mp3_frames = (len(b) - i) // max(frame_len, 1)
+    total = n_mp3_frames * spf
+    return sr, channels, None, total, (total * 1000) // sr

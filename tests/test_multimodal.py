@@ -569,3 +569,49 @@ def test_ahash_images_groups_perceptual_duplicates(spark):
     assert out[4]["ahash"] != out[1]["ahash"]
     assert out[5]["ahash"] is None
     assert (out[2]["width"], out[2]["height"]) == (64, 32)
+
+
+def test_flac_and_mp3_header_parse(spark):
+    """Hand-assembled FLAC STREAMINFO and CBR MP3 (with ID3v2 prefix)
+    through the same audio-feature lane as WAV; garbage stays NULL."""
+    from seaexplorertools_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_flac_header,
+        parse_mp3_header,
+    )
+
+    # FLAC: 44100 Hz, 2ch, 16-bit, 88200 samples (2 s)
+    sr, ch, bits, total = 44100, 2, 16, 88200
+    packed = bytes(
+        [
+            (sr >> 12) & 0xFF,
+            (sr >> 4) & 0xFF,
+            ((sr & 0x0F) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4),
+            (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F),
+        ]
+    ) + (total & 0xFFFFFFFF).to_bytes(4, "big")
+    streaminfo = bytes(10) + packed + bytes(16)  # md5 tail
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    assert parse_flac_header(flac) == (44100, 2, 16, 88200, 2000)
+
+    # MP3: MPEG1 Layer III, 128 kbps, 44100 Hz, stereo, 10 CBR frames
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # sync|V1|L3|nocrc, 128k|44100|nopad
+    frame_len = 144 * 128000 // 44100  # 417
+    frames = (hdr + bytes(frame_len - 4)) * 10
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 20]) + bytes(20)
+    mp3 = id3 + frames
+    got = parse_mp3_header(mp3)
+    assert got[0] == 44100 and got[1] == 2 and got[2] is None
+    assert got[3] == 10 * 1152 and got[4] == (10 * 1152 * 1000) // 44100
+
+    assert parse_flac_header(b"junk") is None and parse_mp3_header(b"junk") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(flac)), (2, bytearray(mp3)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["sample_rate"] == 44100 and rows[1]["bits"] == 16
+    assert rows[1]["n_frames"] == 88200 and rows[1]["duration_ms"] == 2000
+    assert rows[2]["sample_rate"] == 44100 and rows[2]["bits"] is None
+    assert rows[3]["sample_rate"] is None
