@@ -1565,7 +1565,7 @@ def mm_image_features(spark, sf_dir):
     """
     WITH aug AS (
       SELECT doc_id,
-             text || CASE doc_id % 5
+             coalesce(text, '') || CASE doc_id % 5
                        WHEN 1 THEN ' привет мир как дела'
                        WHEN 2 THEN ' 你好世界早上好'
                        WHEN 3 THEN ' γειά σου κόσμε'
@@ -1614,7 +1614,7 @@ def txt_script_mix(spark, sf_dir):
     aug = d.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(F.col("doc_id") % 5 == 1, F.lit(" привет мир как дела"))
             .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界早上好"))
             .when(F.col("doc_id") % 5 == 3, F.lit(" γειά σου κόσμε"))

@@ -238,10 +238,32 @@ def _decode_scan(frame, scan, segs, qt, huff_dc, huff_ac, restart_interval):
     w, h, comps = frame
     if len(scan) != len(comps):
         raise ValueError("non-interleaved JPEG scans unsupported")
+    if w == 0 or h == 0:
+        raise ValueError("JPEG with zero dimension")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG with zero sampling factor")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # size guards BEFORE any allocation — the per-row degradation contract
+    # means a corrupt SOF claiming 30000×30000 in a 400-byte payload must
+    # be a ValueError, never a MemoryError that kills the whole job.
+    # (a) every 8×8 block consumes ≥2 entropy bits (1-bit DC code + 1-bit
+    # EOB), so blocks > 4·entropy-bytes is structurally impossible;
+    # (b) an absolute plane-cell cap bounds peak memory (~1 GiB float64)
+    # far above any plausible photo — beyond it, bring a streaming decoder.
+    n_blocks = mcux * mcuy * sum(hi * vi for _, hi, vi, _tq in comps)
+    entropy_bytes = sum(len(s) for s in segs)
+    if n_blocks > 4 * entropy_bytes + 64:
+        raise ValueError(
+            f"JPEG dimensions inconsistent with entropy data "
+            f"({n_blocks} blocks vs {entropy_bytes} coded bytes)"
+        )
+    if n_blocks * 64 > (1 << 27):
+        raise ValueError(
+            f"JPEG raster too large for in-memory decode ({n_blocks * 64} cells)"
+        )
     planes = []
     for _, hi, vi, _tq in comps:
         planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8)))

@@ -160,9 +160,16 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype} (palette needs PIL)")
-    raw = zlib.decompress(bytes(idat))
+    if w == 0 or h == 0 or w * h * channels > (1 << 27):
+        # per-row degrade contract: a corrupt IHDR claiming a huge raster
+        # (or a decompression bomb behind it) must be a ValueError, never
+        # a MemoryError that kills the job
+        raise ValueError(f"PNG raster too large or empty ({w}x{h}x{channels})")
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)  # bounded inflate
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG raster size mismatch")
     out = bytearray()
     prev = bytearray(stride)
@@ -197,6 +204,27 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         out += line
         prev = line
     return w, h, channels, bytes(out)
+
+
+# one hardened per-row degrade tuple for EVERY image-decode lane —
+# MemoryError/OverflowError included so a crafted payload that slips past
+# the size guards still fails its row, not the job
+_IMAGE_DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError, MemoryError, OverflowError)
+
+
+def _decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Try PNG, then baseline JPEG; None when neither codec accepts the
+    payload. The SINGLE place the codec chain and its exception tuple
+    live — decode_real / resize_images / image_signal_features /
+    ahash_images all degrade through here."""
+    from .jpegcodec import decode_jpeg_pixels
+
+    for codec in (decode_png_pixels, decode_jpeg_pixels):
+        try:
+            return codec(payload)
+        except _IMAGE_DECODE_ERRORS:
+            continue
+    return None
 
 
 def _nearest_rgb_rows(px: bytes, w0: int, h0: int, ch: int, width: int, height: int) -> bytes:
@@ -241,21 +269,10 @@ def decode_real(payload: bytes, kind: str) -> dict:
     samples beyond PCM / video frames need PIL / soundfile / ffmpeg
     (absent in this container) and raise."""
     if kind == "image":
-        try:
-            w, h, ch, px = decode_png_pixels(payload)
+        decoded = _decode_image_pixels(payload)
+        if decoded is not None:
+            w, h, ch, px = decoded
             return {"width": w, "height": h, "channels": ch, "pixels": px}
-        except (ValueError, zlib.error, struct.error):
-            # zlib.error: corrupt IDAT behind a valid magic; struct.error:
-            # truncated header — degrade to the next codec, never crash
-            pass
-        try:
-            from .jpegcodec import decode_jpeg_pixels
-
-            w, h, ch, px = decode_jpeg_pixels(payload)
-            return {"width": w, "height": h, "channels": ch, "pixels": px}
-        except (ValueError, struct.error, IndexError):
-            # IndexError: truncated segment behind a valid SOI magic
-            pass
         w, h = parse_image_header(payload)
         if w is not None:
             return {"width": w, "height": h}
@@ -405,19 +422,14 @@ def resize_images(
                 h = int(h0) if per_row_dims and pd.notna(h0) else height
                 b = bytes(payload)
                 if real:
-                    try:
-                        out.append((mid, kind, resize_png_payload(b, w, h), w, h))
+                    decoded = _decode_image_pixels(b)
+                    if decoded is not None:
+                        w0, h0, ch, px = decoded
+                        resized = encode_png(w, h, _nearest_rgb_rows(px, w0, h0, ch, w, h))
+                        out.append((mid, kind, resized, w, h))
                         continue
-                    except (ValueError, zlib.error, struct.error):
-                        # non-PNG, unsupported layout, OR corrupt bytes
-                        # behind a valid magic → try JPEG, then stub (a
-                        # mixed/dirty corpus must never fail the job)
-                        pass
-                    try:
-                        out.append((mid, kind, resize_jpeg_payload(b, w, h), w, h))
-                        continue
-                    except (ValueError, struct.error, IndexError):
-                        pass
+                    # neither codec accepts it → stub below (a mixed/dirty
+                    # corpus must never fail the job mid-scan)
                 target = w * h
                 resized = (b * (target // max(len(b), 1) + 1))[:target]
                 out.append((mid, kind, resized, w, h))
@@ -900,21 +912,13 @@ def image_signal_features(media: DataFrame) -> DataFrame:
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpegcodec import decode_jpeg_pixels
-
         rows_cols = ["media_id", "width", "height", "channels", "mean_px", "min_px", "max_px"]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = None
-                if payload is not None:
-                    b = bytes(payload)
-                    for codec in (decode_png_pixels, decode_jpeg_pixels):
-                        try:
-                            decoded = codec(b)
-                            break
-                        except (ValueError, zlib.error, struct.error, IndexError):
-                            continue
+                decoded = (
+                    _decode_image_pixels(bytes(payload)) if payload is not None else None
+                )
                 if decoded is None:
                     rows.append((mid, None, None, None, None, None, None))
                     continue
@@ -1002,21 +1006,13 @@ def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpegcodec import decode_jpeg_pixels
-
         hs = hash_size
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = None
-                if payload is not None:
-                    b = bytes(payload)
-                    for codec in (decode_png_pixels, decode_jpeg_pixels):
-                        try:
-                            decoded = codec(b)
-                            break
-                        except (ValueError, zlib.error, struct.error, IndexError):
-                            continue
+                decoded = (
+                    _decode_image_pixels(bytes(payload)) if payload is not None else None
+                )
                 if decoded is None:
                     rows.append((mid, None, None, None))
                     continue

@@ -474,9 +474,13 @@ def script_profile(
     chars at all). Complements the stopword-vote ``langid``: script
     routing catches ru/el/zh/ar text with zero stopword coverage and
     flags mixed-script spam (a classic corpus-poisoning signature).
-    Pure codegen regexp_count expressions — scan-speed, zero shuffle."""
+    NULL text counts as empty (all-zero counts, dominant 'other') — the
+    deterministic convention the exact oracle mirrors with
+    coalesce(text, ''). Pure codegen regexp_count expressions —
+    scan-speed, zero shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
-        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
         for name, pat in SCRIPT_RANGES.items()
     }
     names = list(SCRIPT_RANGES)

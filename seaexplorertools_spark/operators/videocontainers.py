@@ -126,41 +126,63 @@ def _frames_from_stbl(b, stbl, timescale, width, height):
     if b"stco" not in tables and b"co64" not in tables:
         raise ValueError("MP4 stbl missing chunk offsets (stco/co64)")
 
+    # Every declared count is validated against the bytes that would have
+    # to carry it BEFORE any list is materialized: a tiny payload with a
+    # corrupted 32-bit count (e.g. stsz sample_count = 0xFFFFFFFF in a
+    # 300-byte file) must be a cheap per-row ValueError, not a multi-GB
+    # allocation or a minutes-long loop that stalls the executor.
+    def _counted(table_name: bytes, entry_bytes: int, extra: int = 0) -> tuple[int, int]:
+        s = _full_box(b, tables[table_name])
+        e = tables[table_name][1]
+        cnt = _be32(b, s + extra)
+        if s + extra + 4 + entry_bytes * cnt > e:
+            raise ValueError(
+                f"MP4 {table_name.decode()} count {cnt} exceeds its box size"
+            )
+        return s, cnt
+
     # stsz: sizes
     s = _full_box(b, tables[b"stsz"])
     fixed = _be32(b, s)
     n = _be32(b, s + 4)
-    sizes = [fixed] * n if fixed else [_be32(b, s + 8 + 4 * k) for k in range(n)]
+    if fixed:
+        # fixed-size samples must fit in the file they claim to index
+        if fixed * n > len(b):
+            raise ValueError("MP4 stsz fixed-size total exceeds file size")
+        sizes = [fixed] * n
+    else:
+        s, n = _counted(b"stsz", 4, extra=4)
+        sizes = [_be32(b, s + 8 + 4 * k) for k in range(n)]
 
     # chunk offsets
     if b"stco" in tables:
-        s = _full_box(b, tables[b"stco"])
-        nch = _be32(b, s)
+        s, nch = _counted(b"stco", 4)
         offsets = [_be32(b, s + 4 + 4 * k) for k in range(nch)]
     else:
-        s = _full_box(b, tables[b"co64"])
-        nch = _be32(b, s)
+        s, nch = _counted(b"co64", 8)
         offsets = [int.from_bytes(b[s + 4 + 8 * k : s + 12 + 8 * k], "big") for k in range(nch)]
 
     # stsc: (first_chunk, samples_per_chunk) runs → per-chunk sample counts
-    s = _full_box(b, tables[b"stsc"])
-    nsc = _be32(b, s)
+    s, nsc = _counted(b"stsc", 12)
     runs = [
         (_be32(b, s + 4 + 12 * k), _be32(b, s + 8 + 12 * k)) for k in range(nsc)
     ]
     per_chunk = []
     for k, (first, spc) in enumerate(runs):
-        last = runs[k + 1][0] - 1 if k + 1 < len(runs) else nch
+        last = min(runs[k + 1][0] - 1 if k + 1 < len(runs) else nch, nch)
+        if spc > n or len(per_chunk) > nch:
+            raise ValueError("MP4 stsc run exceeds sample/chunk counts")
         per_chunk += [spc] * (last - first + 1)
     if len(per_chunk) != nch or sum(per_chunk) != n:
         raise ValueError("MP4 stsc/stco/stsz tables inconsistent")
 
     # stts: decode timestamps
-    s = _full_box(b, tables[b"stts"])
-    ntt = _be32(b, s)
+    s, ntt = _counted(b"stts", 8)
     times, t = [], 0
     for k in range(ntt):
         cnt, delta = _be32(b, s + 4 + 8 * k), _be32(b, s + 8 + 8 * k)
+        if len(times) + cnt > n:
+            raise ValueError("MP4 stts declares more samples than stsz")
         for _ in range(cnt):
             times.append(t)
             t += delta
@@ -170,8 +192,7 @@ def _frames_from_stbl(b, stbl, timescale, width, height):
     # stss: keyframes (absent ⇒ all sync, per spec)
     keys = None
     if b"stss" in tables:
-        s = _full_box(b, tables[b"stss"])
-        nk = _be32(b, s)
+        s, nk = _counted(b"stss", 4)
         keys = {_be32(b, s + 4 + 4 * k) for k in range(nk)}
 
     frames = []

@@ -120,3 +120,18 @@ def test_dimensions_match_header_parse():
     img = np.zeros((40, 56), np.uint8)
     jp = encode_jpeg(56, 40, img.tobytes())
     assert parse_image_header(jp) == (56, 40)
+
+
+def test_corrupt_sof_dimensions_fail_cheaply():
+    """A 400-byte payload claiming 30000x30000 must raise ValueError from
+    the size guards BEFORE any plane allocation (per-row degrade contract
+    — previously a job-killing MemoryError)."""
+    import numpy as np
+
+    img = np.full((8, 8), 70, np.uint8)
+    jp = bytearray(encode_jpeg(8, 8, img.tobytes()))
+    i = jp.index(bytes([0xFF, 0xC0]))  # SOF0 marker
+    jp[i + 5 : i + 7] = (30000).to_bytes(2, "big")  # height
+    jp[i + 7 : i + 9] = (30000).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="inconsistent with entropy|too large"):
+        decode_jpeg_pixels(bytes(jp))

@@ -615,3 +615,39 @@ def test_flac_and_mp3_header_parse(spark):
     assert rows[1]["n_frames"] == 88200 and rows[1]["duration_ms"] == 2000
     assert rows[2]["sample_rate"] == 44100 and rows[2]["bits"] is None
     assert rows[3]["sample_rate"] is None
+
+
+def test_png_bomb_and_huge_ihdr_degrade():
+    """A crafted IHDR claiming a giant raster, or a small IDAT inflating
+    past the declared raster, must ValueError — bounded inflate, no
+    MemoryError."""
+    import struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from seaexplorertools_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", _zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="too large"):
+        decode_png_pixels(huge)
+
+    # 2x2 declared, IDAT inflates to far more than the raster
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_png_pixels(bomb)

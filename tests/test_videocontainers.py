@@ -111,3 +111,27 @@ def test_sample_frames_auto_mixed_corpus(spark):
         assert got == picks, mid
     assert len(by_id[3]) == 4  # real GIF spans (content checked in test_multimodal)
     assert len(by_id[4]) == 4  # stub slices
+
+
+def test_corrupt_sample_counts_fail_cheaply():
+    """A tiny MP4 whose stsz/stts counts are corrupted to huge values
+    must raise ValueError from the per-box bounds BEFORE materializing
+    count-sized lists (previously ~GBs and minutes on a 300-byte file)."""
+    import time
+
+    mp4 = bytearray(encode_mp4(FRAMES))
+    i = mp4.index(b"stsz")
+    good = bytes(mp4)
+    mp4[i + 12 : i + 16] = (0xFFFFFFF0).to_bytes(4, "big")  # sample_count
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds its box size"):
+        parse_mp4_frames(bytes(mp4))
+    assert time.time() - t0 < 0.5
+
+    mp4 = bytearray(good)
+    i = mp4.index(b"stts")
+    mp4[i + 8 : i + 12] = (0x0FFFFFFF).to_bytes(4, "big")  # entry_count
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds its box size"):
+        parse_mp4_frames(bytes(mp4))
+    assert time.time() - t0 < 0.5
