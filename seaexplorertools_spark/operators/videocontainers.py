@@ -169,9 +169,11 @@ def _frames_from_stbl(b, stbl, timescale, width, height):
     ]
     per_chunk = []
     for k, (first, spc) in enumerate(runs):
+        # cap the run end at nch so a corrupt first_chunk can never expand
+        # more than nch entries; a run covering zero chunks is legal
         last = min(runs[k + 1][0] - 1 if k + 1 < len(runs) else nch, nch)
-        if spc > n or len(per_chunk) > nch:
-            raise ValueError("MP4 stsc run exceeds sample/chunk counts")
+        if len(per_chunk) > nch:
+            raise ValueError("MP4 stsc runs exceed chunk count")
         per_chunk += [spc] * (last - first + 1)
     if len(per_chunk) != nch or sum(per_chunk) != n:
         raise ValueError("MP4 stsc/stco/stsz tables inconsistent")
