@@ -128,54 +128,14 @@ def encode_png(width: int, height: int, rgb: bytes | None = None) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Full pure-python PNG pixel decode (stdlib zlib): 8-bit,
-    non-interlaced gray / gray+alpha / RGB / RGBA. Returns
-    ``(width, height, channels, raster)`` with the raster row-major,
-    unfiltered per the PNG spec (filters 0-4 incl. Paeth). Raises
-    ValueError for other bit depths, palette images, or Adam7 — the
-    loud boundary where a real deployment brings PIL."""
-    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos = 8
-    idat = bytearray()
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(payload):
-        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG without IHDR")
-    if depth != 8 or interlace:
-        raise ValueError(f"unsupported PNG layout (depth={depth}, interlace={interlace})")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype} (palette needs PIL)")
-    if w == 0 or h == 0 or w * h * channels > (1 << 27):
-        # per-row degrade contract: a corrupt IHDR claiming a huge raster
-        # (or a decompression bomb behind it) must be a ValueError, never
-        # a MemoryError that kills the job
-        raise ValueError(f"PNG raster too large or empty ({w}x{h}x{channels})")
-    stride = w * channels
-    expected = h * (stride + 1)
-    d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), expected + 1)  # bounded inflate
-    if len(raw) != expected or d.decompress(b"", 1):
-        raise ValueError("PNG raster size mismatch")
+def _png_unfilter(raw: bytes, n_rows: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG scanline filters 0-4 (incl. Paeth) over ``n_rows`` rows of
+    ``stride`` bytes each, ``bpp`` = filter-unit bytes per pixel (1 for
+    sub-byte depths, per spec)."""
     out = bytearray()
     prev = bytearray(stride)
     i = 0
-    bpp = channels
-    for _y in range(h):
+    for _y in range(n_rows):
         f = raw[i]
         i += 1
         line = bytearray(raw[i : i + stride])
@@ -203,7 +163,129 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter {f}")
         out += line
         prev = line
-    return w, h, channels, bytes(out)
+    return bytes(out)
+
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full pure-python PNG pixel decode (stdlib zlib + numpy): gray /
+    gray+alpha / RGB / RGBA at depth 8 and 16 (16-bit downscaled to the
+    high byte), palette (PLTE, depths 1/2/4/8, tRNS → RGBA), sub-byte
+    grayscale (1/2/4-bit, scaled to full 8-bit range), and Adam7
+    interlacing for all of them. Returns ``(width, height, channels,
+    raster)`` with the raster row-major 8-bit, unfiltered per the PNG
+    spec (filters 0-4 incl. Paeth). Raises ValueError for anything else
+    — the loud boundary where a real deployment brings PIL."""
+    import numpy as np
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte = trns = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = bytes(data)
+        elif typ == b"tRNS":
+            trns = bytes(data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if ctype not in valid or depth not in valid[ctype]:
+        raise ValueError(f"unsupported PNG layout (ctype={ctype}, depth={depth})")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace {interlace}")
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+    nch_raw = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    out_ch = {0: 1, 2: 3, 3: (4 if trns else 3), 4: 2, 6: 4}[ctype]
+    if w == 0 or h == 0 or w * h * out_ch > (1 << 27):
+        # per-row degrade contract: a corrupt IHDR claiming a huge raster
+        # (or a decompression bomb behind it) must be a ValueError, never
+        # a MemoryError that kills the job
+        raise ValueError(f"PNG raster too large or empty ({w}x{h}x{out_ch})")
+
+    bits_pp = depth * nch_raw
+    bpp_bytes = max(1, bits_pp // 8)
+
+    def row_bytes(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    dims = []
+    expected = 0
+    for xs, ys, xst, yst in passes:
+        pw = len(range(xs, w, xst))
+        ph = len(range(ys, h, yst))
+        dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (1 + row_bytes(pw))
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)  # bounded inflate
+    if len(raw) != expected or d.decompress(b"", 1):
+        raise ValueError("PNG raster size mismatch")
+
+    image = np.zeros((h, w, nch_raw), dtype=np.uint8)
+    offset = 0
+    for (xs, ys, xst, yst), (pw, ph) in zip(passes, dims):
+        if not pw or not ph:
+            continue
+        rb = row_bytes(pw)
+        lines = _png_unfilter(raw[offset : offset + ph * (1 + rb)], ph, rb, bpp_bytes)
+        offset += ph * (1 + rb)
+        arr = np.frombuffer(lines, np.uint8).reshape(ph, rb)
+        if depth == 8:
+            samples = arr[:, : pw * nch_raw].reshape(ph, pw, nch_raw)
+        elif depth == 16:
+            samples = arr[:, : pw * nch_raw * 2].reshape(ph, pw, nch_raw, 2)[..., 0]
+        else:  # sub-byte: single-channel (gray or palette index), MSB-first
+            bits = np.unpackbits(arr, axis=1)
+            vals = (
+                bits.reshape(ph, -1, depth)
+                * (1 << np.arange(depth - 1, -1, -1))
+            ).sum(axis=2)[:, :pw]
+            samples = vals[:, :, None].astype(np.uint8)
+        image[ys::yst, xs::xst, :] = samples
+
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = image[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], np.uint8
+            )
+            out = np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        else:
+            out = rgb
+    elif ctype == 0 and depth < 8:
+        out = image * np.uint8({1: 255, 2: 85, 4: 17}[depth])
+    else:
+        out = image
+    return w, h, out_ch, out.tobytes()
 
 
 # one hardened per-row degrade tuple for EVERY image-decode lane —

@@ -651,3 +651,118 @@ def test_png_bomb_and_huge_ihdr_degrade():
     )
     with _pytest.raises(ValueError, match="size mismatch"):
         decode_png_pixels(bomb)
+
+
+def _raw_png(w, h, depth, ctype, raw, plte=None, trns=None, interlace=0):
+    """Assemble a PNG from a pre-filtered raw scanline stream."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return _struct.pack(">I", len(data)) + typ + data + _struct.pack(
+            ">I", _zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_depths_and_trns():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import decode_png_pixels
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])  # 4 entries
+
+    # 8-bit palette, 4x2, filter 0 rows
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    w, h, ch, px = decode_png_pixels(_raw_png(4, 2, 8, 3, raw, plte=pal))
+    assert (w, h, ch) == (4, 2, 3)
+    got = np.frombuffer(px, np.uint8).reshape(2, 4, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0) and tuple(got[1, 0]) == (7, 7, 7)
+
+    # same with tRNS: entry 0 transparent -> RGBA
+    w, h, ch, px = decode_png_pixels(
+        _raw_png(4, 2, 8, 3, raw, plte=pal, trns=bytes([0]))
+    )
+    assert ch == 4
+    got = np.frombuffer(px, np.uint8).reshape(2, 4, 4)
+    assert got[0, 0, 3] == 0 and got[0, 1, 3] == 255
+
+    # 4-bit palette: 5 pixels/row -> 3 packed bytes, MSB-first nibbles
+    nib_rows = [[0, 1, 2, 3, 1], [3, 3, 0, 1, 2]]
+    raw4 = b""
+    for r in nib_rows:
+        packed = bytearray()
+        for i in range(0, 6, 2):
+            hi = r[i] if i < 5 else 0
+            lo = r[i + 1] if i + 1 < 5 else 0
+            packed.append((hi << 4) | lo)
+        raw4 += b"\x00" + bytes(packed)
+    w, h, ch, px = decode_png_pixels(_raw_png(5, 2, 4, 3, raw4, plte=pal))
+    got = np.frombuffer(px, np.uint8).reshape(2, 5, 3)
+    pal3 = np.frombuffer(pal, np.uint8).reshape(4, 3)
+    for y in range(2):
+        for x in range(5):
+            assert tuple(got[y, x]) == tuple(pal3[nib_rows[y][x]]), (y, x)
+
+    # out-of-range index must ValueError, not IndexError
+    bad = b"\x00" + bytes([9, 0, 0, 0]) + b"\x00" + bytes([0, 0, 0, 0])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(_raw_png(4, 2, 8, 3, bad, plte=pal))
+
+
+def test_png_1bit_gray_and_16bit_rgb():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import decode_png_pixels
+
+    # 1-bit gray, 10 px/row (2 packed bytes), pattern scaled to 0/255
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    packed = bytes([0b10110010, 0b11000000])
+    raw = b"\x00" + packed
+    w, h, ch, px = decode_png_pixels(_raw_png(10, 1, 1, 0, raw))
+    assert (w, h, ch) == (10, 1, 1)
+    assert list(px) == [255 * b for b in bits]
+
+    # 16-bit RGB downscales to the high byte
+    pix16 = [(0x1234, 0xFF00, 0x0001), (0xABCD, 0x0000, 0x8081)]
+    row = b"".join(v.to_bytes(2, "big") for p in pix16 for v in p)
+    w, h, ch, px = decode_png_pixels(_raw_png(2, 1, 16, 2, b"\x00" + row))
+    assert (w, h, ch) == (2, 1, 3)
+    assert list(px) == [0x12, 0xFF, 0x00, 0xAB, 0x00, 0x80]
+
+
+def test_png_adam7_interlace_roundtrip():
+    """An Adam7-interlaced image decodes pixel-identically to its
+    non-interlaced twin (8-bit RGB, filter-0 rows, pass layout from the
+    public spec)."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    w0, h0 = 11, 9  # odd dims exercise empty/partial passes
+    img = rng.integers(0, 256, (h0, w0, 3), dtype=np.uint8)
+
+    plain_raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h0))
+    _, _, _, want = decode_png_pixels(_raw_png(w0, h0, 8, 2, plain_raw))
+
+    inter_raw = b""
+    for xs, ys, xst, yst in _ADAM7:
+        sub = img[ys::yst, xs::xst]
+        if sub.size == 0:
+            continue
+        inter_raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+    _, _, _, got = decode_png_pixels(_raw_png(w0, h0, 8, 2, inter_raw, interlace=1))
+    assert got == want == img.tobytes()
