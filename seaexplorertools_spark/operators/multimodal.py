@@ -9,14 +9,17 @@ and tested. Decode depth is layered:
   are parsed for width/height (``parse_image_header``) — genuine features
   from genuine files, no decode library needed. ``encode_png`` writes a
   spec-valid PNG (stdlib zlib) for tests.
-- **Real pixel/sample decode (pure python/numpy)**: 8-bit non-interlaced
-  PNG (``decode_png_pixels``, filters 0-4), baseline sequential JPEG
-  (``jpegcodec.decode_jpeg_pixels`` — huffman + IDCT + 4:2:0, the format
-  that dominates image corpora), PCM16/PCM24/float32 WAV samples
-  (``decode_wav_samples``), GIF frame boundaries (``parse_gif_frames``).
+- **Real pixel/sample decode (pure python/numpy)**: PNG
+  (``decode_png_pixels`` — filters 0-4, palette/tRNS, sub-byte and
+  16-bit depths, Adam7), baseline-sequential AND progressive JPEG
+  (``jpegcodec.decode_jpeg_pixels`` — huffman + IDCT + 4:2:0 + SOF2
+  successive approximation, the formats that dominate image corpora),
+  PCM16/PCM24/float32 WAV samples (``decode_wav_samples``), FLAC/MP3
+  metadata, GIF/MP4/AVI frame spans (``parse_gif_frames``,
+  ``videocontainers``).
 - **Gated beyond that**: ``decode_real`` raises NotImplementedError for
-  progressive JPEG / palette PNG / compressed audio / video containers —
-  PIL/soundfile/ffmpeg are not in this container. ``decode_stub`` computes
+  lossless/arithmetic JPEG / compressed audio samples / video frame
+  pixels — PIL/soundfile/ffmpeg are not in this container. ``decode_stub`` computes
   deterministic byte stats so the pipeline shape is exercised end-to-end
   regardless, and every real lane degrades PER ROW on dirty payloads.
 
@@ -344,11 +347,11 @@ def resize_jpeg_payload(payload: bytes, width: int, height: int) -> bytes:
 
 
 def decode_real(payload: bytes, kind: str) -> dict:
-    """Real decode, as deep as pure python goes: full PIXELS for 8-bit
-    non-interlaced PNG (decode_png_pixels — stdlib-only) and baseline
-    sequential JPEG (jpegcodec — numpy); image container headers →
-    {width, height} for the rest. Progressive JPEG / palette PNG / audio
-    samples beyond PCM / video frames need PIL / soundfile / ffmpeg
+    """Real decode, as deep as pure python goes: full PIXELS for PNG
+    (incl. palette, sub-byte/16-bit depths, Adam7) and JPEG (baseline
+    sequential AND progressive); image container headers →
+    {width, height} for the rest. Lossless/arithmetic JPEG, compressed
+    audio samples, and video frame pixels need PIL / soundfile / ffmpeg
     (absent in this container) and raise."""
     if kind == "image":
         decoded = _decode_image_pixels(payload)

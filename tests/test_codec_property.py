@@ -90,3 +90,27 @@ def test_avi_walker_roundtrips_any_frame_list(frames, us):
     got = parse_avi_frames(avi)
     assert [avi[f["start"] : f["end"]] for f in got] == frames
     assert [f["time_ms"] for f in got] == [(i * us) // 1000 for i in range(len(frames))]
+
+
+@settings(**COMMON)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    coarse=st.booleans(),
+)
+def test_progressive_equals_sequential_property(w, h, seed, coarse):
+    """For ANY dims/pixels/quant, the progressive decode equals the
+    sequential decode bit-for-bit (lossless coefficient reorganization)."""
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    q = None
+    if coarse:
+        q = np.full((8, 8), 20.0)
+        q[0, 0] = 8
+    seq = decode_jpeg_pixels(encode_jpeg(w, h, img.tobytes(), channels=1, quant=q))
+    pro = decode_jpeg_pixels(
+        encode_jpeg_progressive(w, h, img.tobytes(), channels=1, quant=q)
+    )
+    assert pro == seq

@@ -97,8 +97,8 @@ def test_coarse_quantization_still_decodes():
 
 
 def test_rejects_unsupported_and_garbage():
-    with pytest.raises(ValueError, match="progressive|baseline"):
-        decode_jpeg_pixels(b"\xff\xd8\xff\xc2\x00\x05aaa")  # SOF2
+    with pytest.raises(ValueError, match="lossless|baseline"):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xc3\x00\x05aaa")  # SOF3 lossless
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"not a jpeg")
     with pytest.raises(ValueError):
@@ -133,5 +133,64 @@ def test_corrupt_sof_dimensions_fail_cheaply():
     i = jp.index(bytes([0xFF, 0xC0]))  # SOF0 marker
     jp[i + 5 : i + 7] = (30000).to_bytes(2, "big")  # height
     jp[i + 7 : i + 9] = (30000).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="inconsistent with entropy|too large"):
+        decode_jpeg_pixels(bytes(jp))
+
+
+def test_progressive_decodes_identically_to_sequential():
+    """Progressive transmission is a LOSSLESS reorganization of the same
+    quantized coefficients, so the progressive decode must equal the
+    sequential decode bit-for-bit — across gray / 4:4:4 / 4:2:0, odd
+    dims, and a coarse quant table (zero-heavy bands drive multi-block
+    EOB runs and ZRLs through the AC-first and AC-refine paths)."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    coarse = np.full((8, 8), 24.0)
+    coarse[0, 0] = 8
+    cases = [
+        (rng.integers(0, 256, (24, 40), dtype=np.uint8), dict(channels=1)),
+        (rng.integers(0, 256, (13, 21), dtype=np.uint8), dict(channels=1)),
+        (np.full((16, 16), 77, np.uint8), dict(channels=1)),  # flat = exact
+        (rng.integers(0, 256, (16, 24, 3), dtype=np.uint8), dict(channels=3)),
+        (rng.integers(0, 256, (18, 26, 3), dtype=np.uint8), dict(channels=3, subsample="420")),
+        (rng.integers(0, 256, (32, 48), dtype=np.uint8), dict(channels=1, quant=coarse)),
+        ((rng.integers(0, 2, (40, 64)) * 255).astype(np.uint8), dict(channels=1, quant=coarse)),
+    ]
+    for img, kw in cases:
+        h, w = img.shape[:2]
+        seq = decode_jpeg_pixels(encode_jpeg(w, h, img.tobytes(), **kw))
+        pro = decode_jpeg_pixels(encode_jpeg_progressive(w, h, img.tobytes(), **kw))
+        assert pro == seq, (img.shape, kw)
+
+
+def test_progressive_flat_is_exact():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = np.zeros((16, 32), np.uint8)
+    img[:, :16] = 50
+    img[:, 16:] = 180
+    w, h, ch, px = decode_jpeg_pixels(encode_jpeg_progressive(32, 16, img.tobytes()))
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 32), img)
+
+
+def test_progressive_rejections():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = np.full((16, 16), 90, np.uint8)
+    jp = encode_jpeg_progressive(16, 16, img.tobytes())
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(jp[: len(jp) // 2])  # truncated mid-scan
+    # corrupt SOF dims under progressive: same cheap structural guard
+    jp = bytearray(jp)
+    i = jp.index(bytes([0xFF, 0xC2]))
+    jp[i + 5 : i + 7] = (30000).to_bytes(2, "big")
+    jp[i + 7 : i + 9] = (30000).to_bytes(2, "big")
     with pytest.raises(ValueError, match="inconsistent with entropy|too large"):
         decode_jpeg_pixels(bytes(jp))
