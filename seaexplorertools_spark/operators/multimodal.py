@@ -14,9 +14,10 @@ and tested. Decode depth is layered:
   16-bit depths, Adam7), baseline-sequential AND progressive JPEG
   (``jpegcodec.decode_jpeg_pixels`` — huffman + IDCT + 4:2:0 + SOF2
   successive approximation, the formats that dominate image corpora),
-  PCM16/PCM24/float32 WAV samples (``decode_wav_samples``), FLAC/MP3
-  metadata, GIF/MP4/AVI frame spans (``parse_gif_frames``,
-  ``videocontainers``).
+  GIF frames (``decode_gif_pixels`` — real LZW, interlacing, local/global
+  palettes), uncompressed BMP, PCM16/PCM24/float32 WAV samples
+  (``decode_wav_samples``), FLAC/MP3 metadata, GIF/MP4/AVI frame spans
+  (``parse_gif_frames``, ``videocontainers``).
 - **Gated beyond that**: ``decode_real`` raises NotImplementedError for
   lossless/arithmetic JPEG / compressed audio samples / video frame
   pixels — PIL/soundfile/ffmpeg are not in this container. ``decode_stub`` computes
@@ -298,13 +299,18 @@ _IMAGE_DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError, Memory
 
 
 def _decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
-    """Try PNG, then baseline JPEG; None when neither codec accepts the
-    payload. The SINGLE place the codec chain and its exception tuple
-    live — decode_real / resize_images / image_signal_features /
-    ahash_images all degrade through here."""
+    """Try PNG, JPEG (baseline + progressive), GIF (frame 0), then BMP;
+    None when no codec accepts the payload. The SINGLE place the codec
+    chain and its exception tuple live — decode_real / resize_images /
+    image_signal_features / ahash_images all degrade through here."""
     from .jpegcodec import decode_jpeg_pixels
 
-    for codec in (decode_png_pixels, decode_jpeg_pixels):
+    for codec in (
+        decode_png_pixels,
+        decode_jpeg_pixels,
+        decode_gif_pixels,
+        decode_bmp_pixels,
+    ):
         try:
             return codec(payload)
         except _IMAGE_DECODE_ERRORS:
@@ -525,6 +531,71 @@ def resize_images(
     )
 
 
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24/32-bit BI_RGB BMP → ``(width, height, channels,
+    raster)``, row-major top-down RGB (BMP stores BGR bottom-up with
+    4-byte row padding; negative height = already top-down). Raises
+    ValueError for palettized/compressed/16-bit BMPs — rare in corpora;
+    bring PIL."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    b = bytes(payload)
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bits = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0 or bits not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (bits={bits}, compression={compression}) — "
+            "uncompressed 24/32-bit BI_RGB only"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w * h * 3 > (1 << 27):
+        raise ValueError(f"BMP raster too large or empty ({w}x{h})")
+    bypp = bits // 8
+    stride = (w * bypp + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + stride * h
+    if need > len(b):
+        raise ValueError("BMP pixel data truncated")
+    arr = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+    rows = arr.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal spec-valid 24-bit BI_RGB BMP (bottom-up, padded rows) —
+    fixture generator, mirroring encode_png's role."""
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            o = (y * width + x) * 3
+            line += bytes([rgb[o + 2], rgb[o + 1], rgb[o]])  # RGB -> BGR
+        line += b"\x00" * (stride - len(line))
+        rows += line
+    data_off = 54
+    size = data_off + len(rows)
+    hdr = b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + data_off.to_bytes(4, "little")
+    info = (40).to_bytes(4, "little")
+    info += width.to_bytes(4, "little", signed=True)
+    info += height.to_bytes(4, "little", signed=True)
+    info += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    info += (0).to_bytes(4, "little")  # BI_RGB
+    info += len(rows).to_bytes(4, "little") + b"\x00" * 16
+    return hdr + info + bytes(rows)
+
+
 def parse_gif_frames(payload: bytes) -> list[dict]:
     """Real GIF block-structure walk (pure python, GIF87a/89a): locate
     every frame's image descriptor and encoded data sub-blocks without
@@ -583,6 +654,206 @@ def parse_gif_frames(payload: bytes) -> list[dict]:
         else:
             raise ValueError(f"corrupt GIF block marker 0x{marker:02x} at {i}")
     raise ValueError("truncated GIF block stream (no trailer)")
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR/END,
+    max 12-bit): returns exactly ``expected`` palette indices. Output is
+    CAPPED at ``expected`` so a crafted stream can never balloon."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = i = 0
+
+    def read_code(sz: int) -> int:
+        nonlocal acc, nbits, i
+        while nbits < sz:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << nbits
+            i += 1
+            nbits += 8
+        code = acc & ((1 << sz) - 1)
+        acc >>= sz
+        nbits -= sz
+        return code
+
+    table: list[bytes] = []
+    code_size = mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([k]) for k in range(clear)] + [b"", b""]
+        code_size = mcs + 1
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = read_code(code_size)
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF LZW output short of raster size")
+    return bytes(out[:expected])
+
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """Mini GIF LZW encoder (fixture generator): real dictionary growth,
+    code-width bumps mirroring the decoder's schedule, CLEAR on a full
+    table."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, sz: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += sz
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(k,): k for k in range(clear)}, end + 1, mcs + 1
+
+    table, nxt, code_size = fresh()
+    emit(clear, code_size)
+    buf: tuple = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        table[cand] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if nxt == 4096:
+            emit(clear, code_size)
+            table, nxt, code_size = fresh()
+        buf = (idx,)
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes, frame_index: int = 0) -> tuple[int, int, int, bytes]:
+    """Real GIF pixel decode for ONE frame: locate the frame span
+    (parse_gif_frames), LZW-decode its indices (incl. interlaced row
+    reordering), map through the local-or-global color table → RGB.
+    Returns ``(frame_width, frame_height, 3, raster)``. Frame COMPOSITION
+    (disposal methods, transparency overlay onto the canvas) is out of
+    scope — this is the still-image / per-frame-feature lane. Raises
+    ValueError for non-GIF payloads, a missing color table, or a
+    truncated/corrupt LZW stream."""
+    import numpy as np
+
+    frames = parse_gif_frames(payload)
+    if not 0 <= frame_index < len(frames):
+        raise ValueError(f"GIF has {len(frames)} frames, wanted {frame_index}")
+    b = bytes(payload)
+    gct = None
+    if b[10] & 0x80:
+        n = 2 << (b[10] & 0x07)
+        gct = b[13 : 13 + 3 * n]
+    fr = frames[frame_index]
+    i = fr["start"]
+    w, h = fr["width"], fr["height"]
+    if w == 0 or h == 0 or w * h * 3 > (1 << 27):
+        raise ValueError(f"GIF frame raster too large or empty ({w}x{h})")
+    flags = b[i + 9]
+    interlaced = bool(flags & 0x40)
+    j = i + 10
+    ct = gct
+    if flags & 0x80:  # local color table
+        n = 2 << (flags & 0x07)
+        ct = b[j : j + 3 * n]
+        j += 3 * n
+    if ct is None:
+        raise ValueError("GIF frame without a color table")
+    mcs = b[j]
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"corrupt GIF LZW minimum code size {mcs}")
+    j += 1
+    data = bytearray()
+    while j < fr["end"] and b[j]:
+        data += b[j + 1 : j + 1 + b[j]]
+        j += 1 + b[j]
+    idx = np.frombuffer(_gif_lzw_decode(mcs, bytes(data), w * h), np.uint8)
+    rows = idx.reshape(h, w)
+    if interlaced:
+        deinter = np.empty_like(rows)
+        src_row = 0
+        for start, step in _GIF_INTERLACE_PASSES:
+            n = len(range(start, h, step))
+            deinter[start::step] = rows[src_row : src_row + n]
+            src_row += n
+        rows = deinter
+    pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+    if int(rows.max()) >= len(pal):
+        raise ValueError("GIF palette index out of range")
+    return w, h, 3, np.ascontiguousarray(pal[rows]).tobytes()
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlaced: bool = False,
+) -> bytes:
+    """Minimal spec-valid single-frame GIF89a (fixture generator): global
+    color table, one image descriptor, REAL LZW-compressed data in
+    255-byte sub-blocks; optional interlacing."""
+    import numpy as np
+
+    n_colors = len(palette) // 3
+    bits = max(2, (n_colors - 1).bit_length())
+    gct = palette + b"\x00" * (3 * ((1 << bits) - n_colors))
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0]) + gct
+    out += b"\x2c" + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    idx = indices
+    if interlaced:
+        rows = np.frombuffer(indices, np.uint8).reshape(height, width)
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)
+        ]
+        idx = np.ascontiguousarray(rows[order]).tobytes()
+    mcs = max(2, bits)
+    out += bytes([mcs])
+    data = _gif_lzw_encode(mcs, idx)
+    for k in range(0, len(data), 255):
+        blockb = data[k : k + 255]
+        out += bytes([len(blockb)]) + blockb
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4, mode: str = "stub") -> DataFrame:

@@ -766,3 +766,83 @@ def test_png_adam7_interlace_roundtrip():
         inter_raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
     _, _, _, got = decode_png_pixels(_raw_png(w0, h0, 8, 2, inter_raw, interlace=1))
     assert got == want == img.tobytes()
+
+
+def test_gif_pixel_decode_lzw_palette_interlace():
+    """Real LZW decode: indices round-trip through the mini encoder's
+    genuine dictionary growth; interlaced frames deinterlace to the same
+    pixels; corrupt streams and out-of-range indices ValueError."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = bytes(rng.integers(0, 256, (16, 3), dtype=np.uint8).ravel())
+    pal_arr = np.frombuffer(pal, np.uint8).reshape(16, 3)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    want = pal_arr[idx].tobytes()
+    for inter in (False, True):
+        gif = encode_gif(13, 9, idx.tobytes(), pal, interlaced=inter)
+        w, h, ch, px = decode_gif_pixels(gif)
+        assert (w, h, ch) == (13, 9, 3) and px == want, inter
+
+    # dictionary growth past several width bumps (20k symbols, 4 colors)
+    big = ((np.arange(20000) * 7919) % 4).astype(np.uint8)
+    gif = encode_gif(200, 100, big.tobytes(), bytes(range(12)))
+    _, _, _, px = decode_gif_pixels(gif)
+    assert px == np.frombuffer(bytes(range(12)), np.uint8).reshape(4, 3)[
+        big.reshape(100, 200)
+    ].tobytes()
+
+    gif = encode_gif(13, 9, idx.tobytes(), pal)
+    with pytest.raises(ValueError):
+        decode_gif_pixels(gif[: len(gif) - 30])  # truncated LZW/trailer
+    with pytest.raises(ValueError):
+        decode_gif_pixels(gif, frame_index=5)
+
+
+def test_bmp_pixel_decode_roundtrip_and_rejects():
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)  # stride padding hits
+    w, h, ch, px = decode_bmp_pixels(encode_bmp(5, 7, img.tobytes()))
+    assert (w, h, ch) == (5, 7, 3) and px == img.tobytes()
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(b"BM" + bytes(60))  # zero dims/bits
+    bmp = bytearray(encode_bmp(5, 7, img.tobytes()))
+    bmp[30] = 1  # RLE8 compression flag
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp_pixels(bytes(bmp))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(bytes(encode_bmp(5, 7, img.tobytes())[:-10]))
+
+
+def test_image_chain_covers_gif_and_bmp(spark):
+    """image_signal_features + ahash now see GIF and BMP payloads through
+    the shared codec chain."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        image_signal_features,
+    )
+
+    flat_idx = np.zeros((8, 8), np.uint8)
+    gif = encode_gif(8, 8, flat_idx.tobytes(), bytes([40, 40, 40]))
+    bmp = encode_bmp(4, 4, bytes([200] * 48))
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(bmp))], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in image_signal_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["channels"], rows[1]["mean_px"]) == (8, 3, 40.0)
+    assert (rows[2]["width"], rows[2]["mean_px"]) == (4, 200.0)
