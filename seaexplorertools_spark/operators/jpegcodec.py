@@ -426,13 +426,25 @@ class _ProgressiveState:
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be single-component")
             units = self._true_blocks(scan[0][0])
-        # every coded unit consumes ≥1 bit (a DC-refine block is exactly
-        # one) — same cheap structural bound as the sequential path
-        if units > 8 * entropy_bytes + 64:
-            raise ValueError(
-                f"JPEG scan units inconsistent with entropy data "
-                f"({units} units vs {entropy_bytes} coded bytes)"
-            )
+        # DC scans: every coded unit consumes ≥1 bit (a DC-refine block is
+        # exactly one) — same cheap structural bound as the sequential path.
+        # AC scans CANNOT be bounded per-bit: one EOB-run symbol (~2 bytes)
+        # legally covers up to 32767 blocks (T.81 G.1.2.2), so a flat image
+        # codes thousands of units from a handful of bytes. There the bound
+        # is 32767 units per coded symbol (≥1 bit each); allocation was
+        # already capped at SOF by the 1<<27 cell limit.
+        if ss == 0:
+            if units > 8 * entropy_bytes + 64:
+                raise ValueError(
+                    f"JPEG scan units inconsistent with entropy data "
+                    f"({units} units vs {entropy_bytes} coded bytes)"
+                )
+        else:
+            if units > 32767 * (8 * entropy_bytes + 64):
+                raise ValueError(
+                    f"JPEG scan units inconsistent with entropy data "
+                    f"({units} units vs {entropy_bytes} coded bytes)"
+                )
         self.eobrun = 0
         seg_idx = 0
         reader = _BitReader(segs[0])

@@ -1435,8 +1435,10 @@ def parse_mp3_header(payload: bytes | None) -> tuple | None:
     13818-3 tables): returns ``(sample_rate, channels, None,
     total_samples, duration_ms)`` — bits is None (lossy codec), sample
     count is the CBR estimate payload_bytes // frame_length × samples-
-    per-frame. Skips a leading ID3v2 tag (syncsafe size), scans to the
-    first 11-bit frame sync. None for non-MP3 / reserved headers."""
+    per-frame. Skips a leading ID3v2 tag (syncsafe size), scans (capped
+    at 64 KiB) for an 11-bit frame sync VALIDATED by a second
+    consecutive frame header — a stray 0xFF Ex in non-audio binary
+    stays None. None for non-MP3 / reserved headers."""
     if payload is None or len(payload) < 4:
         return None
     b = bytes(payload)
@@ -1446,24 +1448,48 @@ def parse_mp3_header(payload: bytes | None) -> tuple | None:
             ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
             | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         )
-    while i + 4 <= len(b) and not (b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0):
-        i += 1
-    if i + 4 > len(b):
-        return None
-    h1, h2, h3 = b[i + 1], b[i + 2], b[i + 3]
-    version = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
-    layer = (h1 >> 1) & 3  # 1 = Layer III
-    if layer != 1 or version == 1:
-        return None
-    br_idx, sr_idx, padding = h2 >> 4, (h2 >> 2) & 3, (h2 >> 1) & 1
-    if br_idx in (0, 15) or sr_idx == 3:
-        return None  # free-format / reserved
-    v1 = version == 3
-    bitrate = (_MP3_BITRATE_V1_L3 if v1 else _MP3_BITRATE_V2_L3)[br_idx] * 1000
-    sr = _MP3_SAMPLERATE[version][sr_idx]
-    spf = 1152 if v1 else 576
-    frame_len = (spf // 8) * bitrate // sr + padding
-    channels = 1 if ((h3 >> 6) & 3) == 3 else 2
-    n_mp3_frames = (len(b) - i) // max(frame_len, 1)
-    total = n_mp3_frames * spf
-    return sr, channels, None, total, (total * 1000) // sr
+    # scan for a frame sync, but only accept a candidate whose frame is
+    # followed by a second consecutive header with the same version /
+    # layer / sample-rate (the standard MP3 sniff) — a lone 0xFF Ex in
+    # arbitrary binary (images, video, random bytes) must stay None.
+    # Sync scan is capped: real MP3s put frame 0 right after the tag.
+    scan_end = min(len(b) - 4, i + 65536)
+    while i <= scan_end:
+        if not (b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0):
+            i += 1
+            continue
+        h1, h2, h3 = b[i + 1], b[i + 2], b[i + 3]
+        version = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (h1 >> 1) & 3  # 1 = Layer III
+        br_idx, sr_idx, padding = h2 >> 4, (h2 >> 2) & 3, (h2 >> 1) & 1
+        if layer != 1 or version == 1 or br_idx in (0, 15) or sr_idx == 3:
+            i += 1
+            continue  # free-format / reserved — keep scanning
+        v1 = version == 3
+        bitrate = (_MP3_BITRATE_V1_L3 if v1 else _MP3_BITRATE_V2_L3)[br_idx] * 1000
+        sr = _MP3_SAMPLERATE[version][sr_idx]
+        spf = 1152 if v1 else 576
+        frame_len = (spf // 8) * bitrate // sr + padding
+        if frame_len < 4:
+            i += 1
+            continue
+        j = i + frame_len
+        if j + 4 <= len(b):
+            # second header must sync and agree on version/layer/sr
+            if not (
+                b[j] == 0xFF
+                and (b[j + 1] & 0xE0) == 0xE0
+                and ((b[j + 1] >> 3) & 3) == version
+                and ((b[j + 1] >> 1) & 3) == layer
+                and ((b[j + 2] >> 2) & 3) == sr_idx
+            ):
+                i += 1
+                continue
+        elif j != len(b):
+            i += 1
+            continue  # single frame must exactly fill the payload
+        channels = 1 if ((h3 >> 6) & 3) == 3 else 2
+        n_mp3_frames = (len(b) - i) // max(frame_len, 1)
+        total = n_mp3_frames * spf
+        return sr, channels, None, total, (total * 1000) // sr
+    return None

@@ -238,6 +238,7 @@ def parse_avi_frames(payload: bytes) -> list[dict]:
     us_per_frame = 0
     width = height = None
     frames = []
+    fi = 0  # accumulates across movi LISTs (RIFF/AVIX files have several)
     i = 12
     end = min(8 + int.from_bytes(b[4:8], "little"), len(b))
     while i + 8 <= end:
@@ -261,7 +262,6 @@ def parse_avi_frames(payload: bytes) -> list[dict]:
             elif ltype == b"movi":
                 j = i + 12
                 lend = i + 8 + size
-                fi = 0
                 while j + 8 <= lend:
                     c2 = b[j : j + 4]
                     s2 = int.from_bytes(b[j + 4 : j + 8], "little")

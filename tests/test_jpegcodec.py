@@ -178,6 +178,31 @@ def test_progressive_flat_is_exact():
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(16, 32), img)
 
 
+def test_progressive_flat_large_images_decode():
+    """T.81 G.1.2.2: one AC EOB-run symbol (~2 bytes) legally covers up
+    to 32767 blocks, so a big flat image codes far more units than
+    8*entropy_bytes. The per-bit structural bound only holds for DC
+    scans; AC scans must accept these (round-6 ADVICE regression)."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    for n in (96, 256):
+        img = np.full((n, n), 128, np.uint8)
+        w, h, ch, px = decode_jpeg_pixels(
+            encode_jpeg_progressive(n, n, img.tobytes())
+        )
+        assert (w, h, ch) == (n, n, 1)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(n, n), img)
+    # flat color 4:2:0 too — interleaved DC + 6 AC scans, all EOB-run heavy
+    img = np.full((120, 120, 3), 200, np.uint8)
+    seq = decode_jpeg_pixels(encode_jpeg(120, 120, img.tobytes(), channels=3, subsample="420"))
+    pro = decode_jpeg_pixels(
+        encode_jpeg_progressive(120, 120, img.tobytes(), channels=3, subsample="420")
+    )
+    assert pro == seq
+
+
 def test_progressive_rejections():
     import numpy as np
 

@@ -606,6 +606,21 @@ def test_flac_and_mp3_header_parse(spark):
 
     assert parse_flac_header(b"junk") is None and parse_mp3_header(b"junk") is None
 
+    # a lone valid-looking frame header buried in non-audio binary must
+    # NOT be accepted — the sniff requires a second consecutive header
+    # (round-6 ADVICE: images/video/random bytes were yielding garbage
+    # sample_rate/duration through the last-resort MP3 fallback)
+    stray = bytes(100) + hdr + bytes(300)  # frame_len=417 > remaining
+    assert parse_mp3_header(stray) is None
+    rng_junk = bytes([(i * 197 + 13) % 256 for i in range(4096)])
+    assert parse_mp3_header(b"\x00" * 7 + hdr + rng_junk) is None
+    # but a single frame that exactly fills the payload is legitimate
+    assert parse_mp3_header(hdr + bytes(frame_len - 4))[0] == 44100
+    # and VBR-style frames (different bitrate, same version/layer/sr) pass
+    hdr2 = bytes([0xFF, 0xFB, 0x70, 0x00])  # 112 kbps
+    fl2 = 144 * 112000 // 44100
+    assert parse_mp3_header(hdr2 + bytes(fl2 - 4) + hdr + bytes(frame_len - 4))[0] == 44100
+
     df = spark.createDataFrame(
         [(1, bytearray(flac)), (2, bytearray(mp3)), (3, bytearray(b"junk"))],
         "media_id long, payload binary",

@@ -73,6 +73,27 @@ def test_avi_word_alignment():
     assert [avi[f["start"]:f["end"]] for f in got] == frames
 
 
+def test_avi_multiple_movi_lists_monotonic_time():
+    """RIFF/AVIX extended files legally carry several movi LISTs; frame
+    indices (and so time_ms) must accumulate across them, not restart
+    at 0 per LIST (round-6 ADVICE regression)."""
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    one = encode_avi(FRAMES, us_per_frame=40000)
+    movi2 = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in FRAMES))
+    # splice a second movi LIST onto the RIFF body, then fix the RIFF size
+    body = one[8:] + movi2  # "AVI " + hdrl + movi + movi2
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got = parse_avi_frames(avi)
+    assert len(got) == 2 * len(FRAMES)
+    times = [f["time_ms"] for f in got]
+    assert times == sorted(times) and len(set(times)) == len(times)
+    assert times[len(FRAMES)] == (len(FRAMES) * 40000) // 1000
+    for i, fr in enumerate(got):
+        assert avi[fr["start"]:fr["end"]] == FRAMES[i % len(FRAMES)]
+
+
 def test_avi_rejections():
     with pytest.raises(ValueError):
         parse_avi_frames(b"RIFFxxxxWAVEnot-a-movie")
