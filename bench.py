@@ -1,21 +1,26 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Stdout layout (round-7 fix — the round-6 official record was lost because
+the driver keeps only the LAST 2,000 characters of bench stdout and the
+full-detail JSON outgrew that window):
+
+  1. the FULL detail JSON (queries, spreads, extras, per-stage e2e) —
+     also written to BENCH_DETAIL.json at the repo root;
+  2. the LAST line is ONE compact JSON (~700 chars) with the headline
+     metric, per-headline-query times, extra_total and pipeline_e2e —
+     guaranteed to fit the driver's tail window.
 
 Each query is materialized with the noop sink (full compute, no I/O cost
 in the measurement). Per query: one warmup run (codegen/JIT — a fixed
 cost irrelevant at scale), then MEDIAN OF 3 timed runs, with the
-run-to-run spread (max-min) recorded alongside — three rounds of official
-records needed box-load-variance adjudication (r3/r4/r5); the median
-kills that noise at the source. "value" stays the sum of headline
-medians, comparable with the round-1 floor in BASELINE.md.
+run-to-run spread (max-min) recorded alongside. "value" stays the sum of
+headline medians, comparable with the round-1 floor in BASELINE.md.
 
 Also times the end-to-end 20-dive mission pipeline (shear -> grid ->
-velocity on the deterministic synthetic mission) under "pipeline_e2e",
-so regressions in the pipeline COMPOSITION — not just individual
-operators — surface in the round record.
+velocity on the deterministic synthetic mission) under "pipeline_e2e" —
+median of FIVE runs (e2e is noisier than any single query), with
+per-stage medians so a composition regression localizes.
 """
 
 from __future__ import annotations
@@ -120,12 +125,17 @@ def _timed(fn, runs: int = 3) -> tuple[float, float]:
     return round(samples[len(samples) // 2], 3), round(samples[-1] - samples[0], 3)
 
 
-def _mission_e2e(spark) -> tuple[float, float]:
+def _mission_e2e(spark) -> dict:
     """End-to-end mission pipeline (shear_from_adcp -> grid_shear +
     velocity_from_shear) on the deterministic 20-dive synthetic mission —
     the SCALING.md warm figure, promoted to a tracked bench number.
     Fixture generation is outside the timed section (it is driver-side
-    pandas, not engine work)."""
+    pandas, not engine work).
+
+    e2e is noisier than any single query (r6 idle-box spread was 1.6 s),
+    so this leg is MEDIAN OF 5, and each of the three stages (shear
+    materialization, gridding, velocity integration) is timed inside
+    every run so a composition regression localizes to a stage."""
     from seaexplorertools_spark.pipeline import (
         default_options,
         grid_shear,
@@ -140,18 +150,50 @@ def _mission_e2e(spark) -> tuple[float, float]:
     cells = spark.createDataFrame(cells_pd)
     bt = spark.createDataFrame(bt_pd)
 
-    def run() -> None:
+    runs = 5
+    stage_samples: dict[str, list[float]] = {"shear": [], "grid": [], "velocity": []}
+    totals: list[float] = []
+
+    def run(record: bool) -> None:
         options = default_options()
         options["correctADCPHeading"] = False
+        t0 = time.time()
         gridded, ping_aug, opts = shear_from_adcp(cells, ping, glider, attrs, options)
         gridded = gridded.cache()
         try:
+            _noop(gridded)  # materialize the cache = the shear stage
+            t1 = time.time()
             _noop(grid_shear(gridded, ping_aug, glider, opts))
+            t2 = time.time()
             _noop(velocity_from_shear(gridded, ping_aug, glider, bt, opts))
+            t3 = time.time()
         finally:
             gridded.unpersist()
+        if record:
+            stage_samples["shear"].append(t1 - t0)
+            stage_samples["grid"].append(t2 - t1)
+            stage_samples["velocity"].append(t3 - t2)
+            totals.append(t3 - t0)
 
-    return _timed(run)
+    run(record=False)  # warmup
+    for _ in range(runs):
+        run(record=True)
+
+    def med_spread(xs: list[float]) -> tuple[float, float]:
+        xs = sorted(xs)
+        return round(xs[len(xs) // 2], 3), round(xs[-1] - xs[0], 3)
+
+    total_med, total_spread = med_spread(totals)
+    stages = {}
+    for name, xs in stage_samples.items():
+        m, s = med_spread(xs)
+        stages[name] = {"median": m, "spread": s}
+    return {
+        "mission_20dive_sec": total_med,
+        "spread": total_spread,
+        "runs": runs,
+        "stages": stages,
+    }
 
 
 def main() -> None:
@@ -181,29 +223,47 @@ def main() -> None:
             lambda: _noop(contract.QUERIES[name](spark, sf_dir))
         )
 
-    e2e_med, e2e_spread = _mission_e2e(spark)
+    e2e = _mission_e2e(spark)
+    extra_total = round(sum(extra.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spreads,
-                "extra_queries": extra,
-                "extra_spread": extra_spreads,
-                "extra_total": round(sum(extra.values()), 3),
-                "pipeline_e2e": {
-                    "mission_20dive_sec": e2e_med,
-                    "spread": e2e_spread,
-                },
-                "sf": sf,
-                "mode": "warm (per-query warmup run, median of 3 timed runs;"
-                " spread = max-min)",
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "spread": spreads,
+        "extra_queries": extra,
+        "extra_spread": extra_spreads,
+        "extra_total": extra_total,
+        "pipeline_e2e": e2e,
+        "sf": sf,
+        "mode": "warm (per-query warmup run, median of 3 timed runs;"
+        " e2e median of 5 with per-stage medians; spread = max-min)",
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+
+    # The driver records only the LAST ~2,000 chars of stdout: end with ONE
+    # compact line (~700 chars) carrying the headline record. Full detail
+    # is above and in BENCH_DETAIL.json.
+    compact = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extra_total": extra_total,
+        "pipeline_e2e": e2e["mission_20dive_sec"],
+        "sf": sf,
+        "per_query_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # belt-and-braces: drop per-query before the record
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
