@@ -483,35 +483,142 @@ def q_kmeans_iterate(spark, sf_dir):
     )
 
 
-@q("txt_bpe_train")  # iterative (driver-looped) — no single SQL oracle; rows-only
+def _bpe_train_oracle_chain(n_merges: int = 16) -> tuple[str, str]:
+    """DuckDB replay of classic sequential BPE training (merges_per_round
+    = 1): the trainer loop UNROLLED as one CTE group per merge round —
+    count weighted adjacent pairs over the symbolized distinct-word
+    table, pick the argmax under the engine's total order (count DESC,
+    left ASC, right ASC; all-ASCII corpus ⇒ UTF-8 byte order == Java
+    UTF-16 order), apply ONE greedy left-to-right merge pass, repeat.
+
+    The apply pass must be exact for self-pairs (left == right): in a
+    run of k identical candidates greedy merges positions 1-2, 3-4, …
+    so a plain lag(hit) consumption chain over-consumes. Gaps-and-
+    islands fixes it: candidate positions are grouped into maximal
+    consecutive runs (pos - row_number()), and only ODD in-island ranks
+    start a merge; the row after any merge-start is consumed. For
+    left != right candidates can never be adjacent, so islands have
+    length 1 and the parity rule degenerates to "merge every match" —
+    one uniform pass covers both cases (same precedent as the unrolled
+    k-means/IVF/PQ oracles, r5).
+
+    Returns (chain, last_state): the WITH-body CTE chain and the name of
+    the final symbolization state CTE, shared by the train and encode
+    oracles."""
+    parts = [f"""toks AS MATERIALIZED (
+      SELECT unnest({_TOK_SQL}) AS word FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT word, count(*) AS wcount FROM toks GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, wcount, p + 1 AS pos,
+             CASE WHEN p < length(word) THEN substr(word, CAST(p + 1 AS INT), 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT word, wcount, unnest(range(length(word) + 1)) AS p FROM wc)
+    )"""]
+    prev = "s0"
+    for t in range(1, n_merges + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+      SELECT l, r, cnt FROM (
+        SELECT l, r, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+          SELECT wcount, sym AS l,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+          FROM {prev}
+        ) WHERE r IS NOT NULL GROUP BY l, r HAVING sum(wcount) >= 2
+      ) ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    c{t} AS (
+      SELECT s.word, s.wcount, s.pos, s.sym, w.l AS wl, w.r AS wr,
+             coalesce(s.sym = w.l AND lead(s.sym)
+                 OVER (PARTITION BY s.word ORDER BY s.pos) = w.r, FALSE) AS cand
+      FROM {prev} s LEFT JOIN w{t} w ON TRUE
+    ),
+    i{t} AS (
+      SELECT *, CASE WHEN cand THEN pos - row_number()
+                 OVER (PARTITION BY word, cand ORDER BY pos) END AS isl
+      FROM c{t}
+    ),
+    m{t} AS (
+      SELECT *, cand AND (row_number()
+                 OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1) AS mstart
+      FROM i{t}
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT word, wcount,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN mstart THEN wl || wr ELSE sym END AS sym
+      FROM (SELECT *, coalesce(lag(mstart)
+                 OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+            FROM m{t})
+      WHERE NOT consumed
+    )""")
+        prev = f"s{t}"
+    return ",\n    ".join(parts), prev
+
+
+def _bpe_train_oracle_sql(n_merges: int = 16) -> str:
+    chain, _ = _bpe_train_oracle_chain(n_merges)
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {t - 1} AS step, l, r, cnt FROM w{t}" for t in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {chain}\n    "
+        f"SELECT CAST(step AS INTEGER) AS step, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, cnt AS pair_count FROM ({rows})"
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 16) -> str:
+    """Encode = the trainer's final per-distinct-word symbolization,
+    joined back to the corpus word stream: n_tokens(doc) = Σ over the
+    doc's words of that word's final symbol count."""
+    chain, last = _bpe_train_oracle_chain(n_merges)
+    return f"""WITH {chain},
+    wordlen AS MATERIALIZED (
+      SELECT word, count(*) AS ntok FROM {last} GROUP BY word
+    ),
+    dw AS (SELECT doc_id, unnest({_TOK_SQL}) AS word FROM documents)
+    SELECT doc_id, CAST(sum(ntok) AS INTEGER) AS n_tokens
+    FROM dw JOIN wordlen USING (word) GROUP BY doc_id"""
+
+
+@q("txt_bpe_train", _bpe_train_oracle_sql())
 def txt_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training over the documents corpus
     (operators/bpe.py::train_bpe): 16 merge rules learned on the weighted
     distinct-word table (corpus-size-independent inner loop), pair counts
-    and greedy scan-merges all in JVM codegen, 4 symbol-disjoint merges
-    batched per round. Iterative driver-coordinated algorithm ⇒ rows-only
-    driver check; tests/test_bpe.py pins the merge sequence EXACTLY
-    against a pure-python classic-BPE reference (merges_per_round=1) plus
-    encode-path equivalence. LLM-pipeline surface (SURVEY §6) — the
-    trainer behind bpe_ish_token_count's fixed tokenizer."""
+    and greedy scan-merges all in JVM codegen, classic sequential BPE
+    (one merge per round, counts recomputed after every merge). The
+    fixed merge count, total-order tie-break (count DESC, pair lexico-
+    graphic) and deterministic greedy scan make the whole loop engine-
+    portable, so the oracle UNROLLS the identical 16 rounds as DuckDB
+    CTE groups (count-pairs → pick-max → island-parity greedy apply) —
+    the driver check is exact, upgraded from rows-only in round 7;
+    tests/test_bpe.py additionally pins the merge sequence against a
+    pure-python classic-BPE reference. LLM-pipeline surface (SURVEY §6)
+    — the trainer behind bpe_ish_token_count's fixed tokenizer."""
     from ..operators.bpe import merge_table, train_bpe
 
     docs = table(spark, sf_dir, "documents")
-    return merge_table(spark, train_bpe(docs, n_merges=16, merges_per_round=4))
+    return merge_table(spark, train_bpe(docs, n_merges=16, merges_per_round=1))
 
 
-@q("txt_bpe_encode")
+@q("txt_bpe_encode", _bpe_encode_oracle_sql())
 def txt_bpe_encode(spark, sf_dir):
     """Train-then-apply tokenizer loop: the 16 rules learned by
     txt_bpe_train replayed over every document as chained JVM scan-merges
     (operators/bpe.py::bpe_encode), emitting per-doc token counts.
-    Iterative trainer ⇒ rows-only driver check; tests/test_bpe.py pins
-    the encode path EXACTLY against a pure-python replay and pins the
+    Exact-oracled in round 7: the oracle reuses the unrolled trainer
+    chain and joins the final per-distinct-word symbol counts back to
+    the corpus word stream (encode is word-major, so Σ per-word final
+    symbol counts IS the document token count); tests/test_bpe.py pins
+    the encode path against a pure-python replay and pins the
     JVM-expression path ≡ the mapInPandas path."""
     from ..operators.bpe import bpe_encode, train_bpe
 
     docs = table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, n_merges=16, merges_per_round=4)
+    merges = train_bpe(docs, n_merges=16, merges_per_round=1)
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
