@@ -162,25 +162,57 @@ def band_table(
     )
 
 
+def _sub_bucket(bands: DataFrame, max_bucket: int, id_field: str) -> DataFrame:
+    """Split over-full LSH buckets: buckets with n > ``max_bucket`` docs
+    are salted into ceil(n / max_bucket) sub-buckets on a secondary hash
+    of the doc id, so the bucket self/cross-join stays O(n · max_bucket)
+    instead of O(n²). The sub assignment is a deterministic function of
+    the doc id and the bucket's sub count, so both join sides agree.
+    Recall: pairs landing in different sub-buckets of a mega-bucket are
+    dropped — the standard production trade for template-heavy corpora,
+    where one (band, bsig) bucket can hold millions of boilerplate docs
+    and exact enumeration of its pairs is inherently quadratic. Adds a
+    ``sub`` column (0 for normal buckets)."""
+    nsub = F.expr(f"cast(ceil(count(1) over (partition by band, bsig) / {max_bucket}) as bigint)")
+    return bands.withColumn(
+        "sub",
+        F.when(nsub <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_field)), nsub)
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     k: int = 8,
     band_rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the K signatures into K/band_rows
     bands, bucket-join docs sharing any band signature. Returns distinct
     (doc1, doc2), doc1 < doc2.
-    """
+
+    ``max_bucket`` (default off, preserving exact semantics): bound the
+    hot-bucket blowup — a template-heavy corpus can put millions of docs
+    in one (band, bsig) bucket, making the self-join quadratic in that
+    bucket. Over-full buckets are salted into ceil(n / max_bucket)
+    sub-buckets (see ``_sub_bucket``); pair volume per bucket drops from
+    C(n, 2) to ~n·max_bucket/2 at the cost of cross-sub-bucket recall
+    inside mega-buckets only."""
     bands = band_table(docs, k, band_rows, id_col, text_col)
     # tiny table (n_bands rows per doc) self-joined below — cache so the
     # shingle→md5→signature lineage isn't recomputed for both join sides
+    join_key = ["band", "bsig"]
+    if max_bucket is not None:
+        bands = _sub_bucket(bands, max_bucket, id_col)
+        join_key = ["band", "bsig", "sub"]
     bands = consistency_cache(bands)
-    a = bands.select(F.col(id_col).alias("doc1"), "band", "bsig")
-    b = bands.select(F.col(id_col).alias("doc2"), "band", "bsig")
+    a = bands.select(F.col(id_col).alias("doc1"), *join_key)
+    b = bands.select(F.col(id_col).alias("doc2"), *join_key)
     return (
-        a.join(b, ["band", "bsig"])
+        a.join(b, join_key)
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
@@ -432,6 +464,7 @@ def lsh_cross_pairs(
     text_col: str = "text",
     new_token_df: DataFrame | None = None,
     corpus_token_df: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental-dedup candidates: band-bucket join of a NEW batch
     against the EXISTING corpus (distinct (new_id, corpus_id) sharing
@@ -443,14 +476,45 @@ def lsh_cross_pairs(
     collisions, never ``|batch| x |corpus|``. Recomputed per call here
     so the oracle can replay it. ``new_token_df``/``corpus_token_df``
     forward to ``band_table`` so an already-shingled split is not
-    re-shingled per side."""
+    re-shingled per side.
+
+    ``max_bucket`` (default off): bound the hot-bucket cross-volume
+    |new∩bucket| × |corpus∩bucket|. Both sides are salted into the SAME
+    ceil(max(n_new, n_corpus) / max_bucket) sub-buckets per (band, bsig)
+    — nsub comes from one shared size table so the deterministic
+    sub assignment agrees across sides; volume per bucket drops by ~nsub
+    at the cost of cross-sub recall inside mega-buckets only."""
     nb = band_table(
         new_docs, k, band_rows, id_col, text_col, token_df=new_token_df
     ).select(F.col(id_col).alias("new_id"), "band", "bsig")
     cb = band_table(
         corpus_docs, k, band_rows, id_col, text_col, token_df=corpus_token_df
     ).select(F.col(id_col).alias("corpus_id"), "band", "bsig")
-    return nb.join(cb, ["band", "bsig"]).select("new_id", "corpus_id").distinct()
+    join_key = ["band", "bsig"]
+    if max_bucket is not None:
+        nsz = nb.groupBy("band", "bsig").agg(F.count("*").alias("_nn"))
+        csz = cb.groupBy("band", "bsig").agg(F.count("*").alias("_nc"))
+        nsub_t = (
+            nsz.join(csz, ["band", "bsig"], "full_outer")
+            .select(
+                "band",
+                "bsig",
+                F.ceil(
+                    F.greatest(
+                        F.coalesce(F.col("_nn"), F.lit(0)),
+                        F.coalesce(F.col("_nc"), F.lit(0)),
+                    )
+                    / F.lit(max_bucket)
+                ).alias("_nsub"),
+            )
+        )
+        sub = lambda c: F.when(  # noqa: E731
+            F.col("_nsub") <= 1, F.lit(0)
+        ).otherwise(F.pmod(F.xxhash64(F.col(c)), F.col("_nsub")))
+        nb = nb.join(nsub_t, ["band", "bsig"]).withColumn("sub", sub("new_id"))
+        cb = cb.join(nsub_t, ["band", "bsig"]).withColumn("sub", sub("corpus_id"))
+        join_key = ["band", "bsig", "sub"]
+    return nb.join(cb, join_key).select("new_id", "corpus_id").distinct()
 
 
 def duplicate_substring_spans(

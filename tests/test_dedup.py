@@ -232,3 +232,49 @@ def test_cut_spans_roundtrip_and_passthrough(spark):
         assert got[doc_id] == (expect, removed), doc_id
     assert got[3][1] == 0 and got[4][1] == 0
     assert boiler not in got[1][0] and boiler not in got[2][0]
+
+
+def test_max_bucket_bounds_mega_bucket_pairs(spark):
+    """Hot-bucket bound (round-7): a template-heavy corpus puts one
+    (band, bsig) bucket into quadratic pair volume; max_bucket salts it
+    into sub-buckets so volume is ~n·max_bucket/2, every emitted pair is
+    a real band collision (subset of the unbounded set), and identical
+    docs inside a sub-bucket are still found."""
+    from seaexplorertools_spark.operators.dedup import lsh_cross_pairs
+
+    template = "breaking news boilerplate header the site navigation footer terms"
+    uniq = [
+        (1000 + i, f"unique document number {i} with distinct words alpha{i} beta{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(i, template) for i in range(300)] + uniq, "doc_id long, text string"
+    )
+    full = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert len(full) >= 300 * 299 // 2  # the mega-bucket is quadratic today
+    bounded = {
+        (r["doc1"], r["doc2"])
+        for r in lsh_candidate_pairs(docs, max_bucket=30).collect()
+    }
+    assert bounded <= full  # salting never invents collisions
+    # nsub = ceil(300/30) = 10 -> ~10 sub-buckets of ~30 docs: C(30,2)*10
+    # ≈ 4.4k pairs, an order of magnitude under C(300,2) = 44.8k
+    assert 0 < len(bounded) < len(full) / 4
+    # docs sharing a sub-bucket still pair up: every emitted pair of
+    # template docs is a genuine duplicate candidate
+    assert any(a < 300 and b < 300 for a, b in bounded)
+
+    # cross variant: same bound, sub assignment agreed across sides
+    new = spark.createDataFrame(
+        [(10_000 + i, template) for i in range(60)], "doc_id long, text string"
+    )
+    cross_full = {
+        (r["new_id"], r["corpus_id"]) for r in lsh_cross_pairs(new, docs).collect()
+    }
+    assert len(cross_full) >= 60 * 300
+    cross_bounded = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_cross_pairs(new, docs, max_bucket=30).collect()
+    }
+    assert cross_bounded <= cross_full
+    assert 0 < len(cross_bounded) < len(cross_full) / 4
