@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Synthetic N× scale step for the image-decode lanes (SCALING.md).
+
+Builds an N× copy of sf0.1 documents (doc_id offset per copy — the image
+lanes derive payloads deterministically from doc_id, so offsetting ids is
+the whole story), written as ~10 parts per 1× so splits scale with data,
+then times mm_image_features / mm_image_dedup warm (min of 2, noop sink).
+
+Usage: python scripts/scale_step.py [factor] [base_sf_dir]
+Prints one JSON line per lane: {"query", "factor", "rows", "parts",
+"baseline_sec", "scaled_sec", "slope"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seaexplorertools_spark import contract  # noqa: E402
+from seaexplorertools_spark.session import get_spark  # noqa: E402
+
+LANES = ["mm_image_features", "mm_image_dedup"]
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _timed(fn) -> float:
+    fn()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    work = f"/tmp/scale_step_{factor}x"
+    spark = get_spark("scale-step")
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_base = docs.count()
+
+    # 1× baseline rewritten as 10 parts (the single-split fixture ceiling
+    # is a measured artifact — equal-splits baselines or the slope lies)
+    base_dir = f"{work}/base"
+    scaled_dir = f"{work}/scaled"
+    shutil.rmtree(work, ignore_errors=True)
+    docs.repartition(10).write.parquet(f"{base_dir}/documents.parquet")
+
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    scaled = (
+        docs.select("*", copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * 10_000_000)
+        .drop("k")
+    )
+    scaled.repartition(10 * factor).write.parquet(f"{scaled_dir}/documents.parquet")
+
+    for lane in LANES:
+        q = contract.QUERIES[lane]
+        t1 = _timed(lambda: _noop(q(spark, base_dir)))
+        tn = _timed(lambda: _noop(q(spark, scaled_dir)))
+        print(
+            json.dumps(
+                {
+                    "query": lane,
+                    "factor": factor,
+                    "rows": n_base * factor,
+                    "parts": 10 * factor,
+                    "baseline_sec": t1,
+                    "scaled_sec": tn,
+                    "slope": round(tn / t1, 2) if t1 else None,
+                }
+            ),
+            flush=True,
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1557,7 +1557,9 @@ def mm_image_features(spark, sf_dir):
     from ..operators.multimodal import documents_as_jpeg, image_signal_features
 
     media = documents_as_jpeg(table(spark, sf_dir, "documents"))
-    return image_signal_features(media)
+    # native=False: the pure-python chain is the oracle authority — the
+    # exact-hash gate must not depend on whether PIL is installed
+    return image_signal_features(media, native=False)
 
 
 @q(
@@ -1661,7 +1663,7 @@ def mm_image_dedup(spark, sf_dir):
     from ..operators.multimodal import ahash_images, documents_as_jpeg
 
     media = documents_as_jpeg(table(spark, sf_dir, "documents"))
-    hashed = ahash_images(media)
+    hashed = ahash_images(media, native=False)  # oracle authority: pure python
     w = Window.partitionBy("ahash")
     return hashed.select(
         "media_id",

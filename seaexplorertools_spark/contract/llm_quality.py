@@ -260,6 +260,53 @@ def mm_wav_features(spark, sf_dir):
     return extract_audio_features(media)
 
 
+@q(
+    "mm_flac_signal",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             doc_id % 1000 - 500 AS a, doc_id % 7 - 3 AS b,
+             8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, rate, unnest(range(n)) AS i,
+             a + b * unnest(range(n)) AS v
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n, rate, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels, CAST(max(n) AS BIGINT) AS n_frames,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) AS rms,
+           CAST(max(abs(v)) AS DOUBLE) AS peak,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / (max(n) - 1) AS zero_cross_rate
+    FROM c GROUP BY doc_id
+    """,
+)
+def mm_flac_signal(spark, sf_dir):
+    """REAL compressed-audio signal features: per document a spec-valid
+    FLAC stream (documents_as_flac — mono 16-bit ramps, CONSTANT/FIXED
+    subframes, CRC-8/16-correct frames) is frame-decoded by the
+    pure-python FLAC codec (operators/flaccodec.py) and reduced to
+    rms/peak/zero-cross-rate by the shared audio lane
+    (wav_signal_features, WAV → FLAC sniff order). FLAC is lossless and
+    the samples are small integers, so every statistic is an exact
+    double (integer sums < 2^53 are summation-order-independent) and
+    the whole encode→decode→stats path is driver-checked, not
+    rows-only. At 100 TB both stages are Arrow-batched mapInPandas,
+    zero shuffle — the audio twin of mm_image_features."""
+    from ..operators.multimodal import documents_as_flac, wav_signal_features
+
+    media = documents_as_flac(table(spark, sf_dir, "documents"))
+    return wav_signal_features(media)
+
+
 def _lpa_oracle_sql(n_iter: int = 3) -> str:
     """DuckDB replay of operators/graph.py::label_propagation — the same
     deterministic synchronous rounds unrolled as CTEs (mode of neighbor

@@ -297,14 +297,104 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 # the size guards still fails its row, not the job
 _IMAGE_DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError, MemoryError, OverflowError)
 
+_PIL_IMAGE: object = "unset"  # lazy import cache: PIL.Image module or None
 
-def _decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+
+def _pil_image():
+    """``PIL.Image`` if importable, else None (probed once per process)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE == "unset":
+        try:
+            from PIL import Image  # optional dep — absent in this container
+
+            _PIL_IMAGE = Image
+        except Exception:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _native_codecs_enabled() -> bool:
+    """Dispatch policy for the image-decode hot path. The pure-python
+    codec chain is exact but ~100× slower per byte than libjpeg; on a
+    real image-heavy corpus the decode lane dominates executor CPU, so
+    when PIL is importable we use it by default and keep the pure-python
+    chain as fallback + oracle authority.
+
+    ``SPARK_GRAFT_NATIVE_CODECS``: ``auto`` (default — PIL when
+    importable), ``0``/``off`` (always pure-python), ``1``/``on`` (PIL
+    when importable; still degrades per-payload to pure-python)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_NATIVE_CODECS", "auto").lower()
+    if mode in ("0", "off", "false", "never"):
+        return False
+    return _pil_image() is not None
+
+
+def _decode_image_pixels_native(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """PIL-backed decode normalized to the pure-python chain's channel
+    conventions: (width, height, channels∈{1,2,3,4}, row-major 8-bit
+    raster). Palette → RGB (RGBA with transparency), 1-bit → L, 16-bit
+    gray → high byte (matching decode_png_pixels), CMYK → RGB, GIF →
+    frame 0. None when PIL rejects the payload (the caller then tries
+    the pure-python chain). Identity with the pure-python codecs is
+    pinned in tests/test_multimodal.py::test_pil_identity_* — exact for
+    the lossless formats, ±1/px for JPEG (T.81 only bounds IDCT
+    accuracy; libjpeg's integer IDCT may differ from our exact float
+    IDCT by one level)."""
+    import io
+
+    Image = _pil_image()
+    if Image is None:
+        return None
+    try:
+        im = Image.open(io.BytesIO(bytes(payload)))
+        if getattr(im, "is_animated", False):
+            im.seek(0)
+        im.load()
+        mode = im.mode
+        if mode == "P":
+            im = im.convert("RGBA" if "transparency" in im.info else "RGB")
+        elif mode == "1":
+            im = im.convert("L")
+        elif mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+            import numpy as np
+
+            arr = np.asarray(im)
+            if arr.dtype.itemsize > 1:  # 16/32-bit gray → high byte
+                arr = (arr.astype(np.uint32) >> (8 * (arr.dtype.itemsize - 1))).astype(np.uint8)
+            return im.width, im.height, 1, arr.astype(np.uint8).tobytes()
+        elif mode == "CMYK":
+            im = im.convert("RGB")
+        ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}.get(im.mode)
+        if ch is None:
+            return None
+        return im.width, im.height, ch, im.tobytes()
+    except Exception:
+        return None  # per-payload degrade — pure-python chain decides
+
+
+def _decode_image_pixels(
+    payload: bytes, native: bool | None = None
+) -> tuple[int, int, int, bytes] | None:
     """Try PNG, JPEG (baseline + progressive), GIF (frame 0), then BMP;
     None when no codec accepts the payload. The SINGLE place the codec
     chain and its exception tuple live — decode_real / resize_images /
-    image_signal_features / ahash_images all degrade through here."""
+    image_signal_features / ahash_images all degrade through here.
+
+    ``native`` — True: try PIL first (the fast path; ~10-100× on JPEG),
+    falling back per-payload to the pure-python chain; False: pure
+    python only (the oracle authority — contract queries pin this);
+    None: the ``SPARK_GRAFT_NATIVE_CODECS`` policy (auto-dispatch when
+    PIL is importable)."""
     from .jpegcodec import decode_jpeg_pixels
 
+    if native is None:
+        native = _native_codecs_enabled()
+    if native:
+        out = _decode_image_pixels_native(payload)
+        if out is not None:
+            return out
     for codec in (
         decode_png_pixels,
         decode_jpeg_pixels,
@@ -475,6 +565,7 @@ def resize_images(
     height: int = 64,
     per_row_dims: bool = False,
     mode: str = "stub",
+    native: bool | None = None,
 ) -> DataFrame:
     """Image resize over binary payloads (mapInPandas, Arrow-batched,
     partition-preserving — no shuffle).
@@ -513,7 +604,7 @@ def resize_images(
                 h = int(h0) if per_row_dims and pd.notna(h0) else height
                 b = bytes(payload)
                 if real:
-                    decoded = _decode_image_pixels(b)
+                    decoded = _decode_image_pixels(b, native=native)
                     if decoded is not None:
                         w0, h0, ch, px = decoded
                         resized = encode_png(w, h, _nearest_rgb_rows(px, w0, h0, ch, w, h))
@@ -1078,24 +1169,38 @@ WAV_SIGNAL_SCHEMA = StructType(
 
 
 def wav_signal_features(media: DataFrame) -> DataFrame:
-    """REAL signal features from decoded PCM16/PCM24/float32 samples (no
-    codec libs): per payload, RMS and peak of the channel-mean waveform
-    (in the payload's native sample units — int16/int24 counts or float
-    [-1,1]) and the zero-crossing rate — the audio-quality trio a training-data
-    gate filters on (silence ≈ rms→0, clipping ≈ peak→32767, noise ≈ high
+    """REAL signal features from decoded samples (no codec libs): WAV
+    PCM16/PCM24/float32 first, then FLAC (CONSTANT/VERBATIM/FIXED
+    subframes — flaccodec.decode_flac_samples; LPC streams degrade to
+    NULL, the loud boundary where a deployment brings soundfile) — the
+    same WAV → FLAC → MP3 sniff order as extract_audio_features, except
+    MP3 stays metadata-only (lossy entropy decode is out of scope). Per
+    payload: RMS and peak of the channel-mean waveform (in the payload's
+    native sample units — int16/int24 counts or float [-1,1]) and the
+    zero-crossing rate — the audio-quality trio a training-data gate
+    filters on (silence ≈ rms→0, clipping ≈ peak→32767, noise ≈ high
     ZCR). Non-decodable payloads yield NULL features, never a failed job.
 
-    Deployment note: references the module-level decoder, so workers must
+    Deployment note: references the module-level decoders, so workers must
     import this package (local mode / --py-files — same contract as
     resize_images(mode="decode"))."""
     import numpy as np
+
+    from .flaccodec import decode_flac_samples
+
+    def decode_any(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+        try:
+            return decode_wav_samples(payload)
+        except (ValueError, ZeroDivisionError):
+            pass
+        return decode_flac_samples(payload)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    rate, ch, s = decode_wav_samples(
+                    rate, ch, s = decode_any(
                         bytes(payload) if payload is not None else None
                     )
                 except (ValueError, ZeroDivisionError):
@@ -1242,6 +1347,49 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_flac(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL FLAC stream per document — mono 16-bit
+    ramp samples ``a + b·i`` with ``n = 64 + doc_id % 64``, ``a = doc_id
+    % 1000 - 500``, ``b = doc_id % 7 - 3``, rate ``8000 + (doc_id % 8) ·
+    1000`` — all deterministic functions of doc_id. FLAC is lossless and
+    the samples are small integers, so the decoded rms/peak/ZCR are
+    EXACT doubles computable in closed form (integer sums below 2^53
+    are order-independent), which is what lets ``mm_flac_signal`` run
+    the whole encode→frame-decode→stats path under an exact SQL oracle.
+    Ramps exercise the FIXED-predictor path; b = 0 rows the CONSTANT
+    path. Arrow-batched mapInPandas; partition-preserving, no shuffle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flaccodec import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                a = did % 1000 - 500
+                b = did % 7 - 3
+                samples = a + b * np.arange(n, dtype=np.int64)
+                rate = 8000 + (did % 8) * 1000
+                rows.append(
+                    (did, "audio", encode_flac(rate, samples[:, None]), rate)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "sample_rate"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("sample_rate", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
 IMAGE_SIGNAL_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1255,7 +1403,7 @@ IMAGE_SIGNAL_SCHEMA = StructType(
 )
 
 
-def image_signal_features(media: DataFrame) -> DataFrame:
+def image_signal_features(media: DataFrame, native: bool | None = None) -> DataFrame:
     """REAL pixel statistics from decoded rasters (PNG via
     decode_png_pixels, baseline JPEG via jpegcodec) — per payload the
     decoded width/height/channels plus mean/min/max pixel value, the
@@ -1264,7 +1412,10 @@ def image_signal_features(media: DataFrame) -> DataFrame:
     neither codec accepts yield NULL features, never a failed job.
 
     Deployment note: references the module-level codecs, so workers must
-    import this package (same contract as resize_images(mode="decode"))."""
+    import this package (same contract as resize_images(mode="decode")).
+
+    ``native`` forwards to ``_decode_image_pixels`` (None = auto-dispatch
+    to PIL when importable; False = pure-python oracle authority)."""
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1273,7 +1424,8 @@ def image_signal_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 decoded = (
-                    _decode_image_pixels(bytes(payload)) if payload is not None else None
+                    _decode_image_pixels(bytes(payload), native=native)
+                    if payload is not None else None
                 )
                 if decoded is None:
                     rows.append((mid, None, None, None, None, None, None))
@@ -1349,7 +1501,9 @@ AHASH_SCHEMA = StructType(
 )
 
 
-def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
+def ahash_images(
+    media: DataFrame, hash_size: int = 8, native: bool | None = None
+) -> DataFrame:
     """Perceptual average-hash over REAL decoded pixels (PNG or baseline
     JPEG): nearest-downsample the channel-mean luma to hash_size², then
     one bit per cell (luma > mean), emitted as a lowercase hex string
@@ -1358,7 +1512,8 @@ def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
     container, re-encode, or resolution — the image twin of MinHash
     dedup: hash equality is a plain groupBy/equi-join, no O(n²) pixel
     comparisons. Non-decodable payloads yield a NULL hash (kept, never a
-    failed job). Arrow-batched mapInPandas, zero shuffle."""
+    failed job). Arrow-batched mapInPandas, zero shuffle. ``native``
+    forwards to ``_decode_image_pixels``."""
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1367,7 +1522,8 @@ def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 decoded = (
-                    _decode_image_pixels(bytes(payload)) if payload is not None else None
+                    _decode_image_pixels(bytes(payload), native=native)
+                    if payload is not None else None
                 )
                 if decoded is None:
                     rows.append((mid, None, None, None))

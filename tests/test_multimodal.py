@@ -861,3 +861,64 @@ def test_image_chain_covers_gif_and_bmp(spark):
     rows = {r["media_id"]: r for r in image_signal_features(df).collect()}
     assert (rows[1]["width"], rows[1]["channels"], rows[1]["mean_px"]) == (8, 3, 40.0)
     assert (rows[2]["width"], rows[2]["mean_px"]) == (4, 200.0)
+
+
+def test_native_dispatch_plumbing_without_pil(monkeypatch):
+    """The PIL auto-dispatch must be a pure no-op in this container (PIL
+    absent): policy resolves to pure-python, native=True degrades to the
+    pure-python chain per payload, and the env kill-switch wins."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators import multimodal as mm
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+
+    assert mm._pil_image() is None  # container contract: no PIL here
+    assert mm._native_codecs_enabled() is False
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_CODECS", "off")
+    assert mm._native_codecs_enabled() is False
+
+    img = np.full((16, 16), 90, np.uint8)
+    jp = encode_jpeg(16, 16, img.tobytes())
+    for native in (None, True, False):
+        assert mm._decode_image_pixels(jp, native=native) == (
+            16, 16, 1, img.tobytes()
+        )
+
+
+def test_pil_identity_against_pure_python_chain():
+    """When PIL IS importable (real deployments), its normalized decode
+    must equal the pure-python oracle authority: byte-exact for the
+    lossless formats (PNG gray/RGB/RGBA/palette, GIF frame 0, BMP), and
+    within ±1/px for JPEG (T.81 only bounds IDCT accuracy — libjpeg's
+    integer IDCT may differ from the exact float IDCT by one level)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from seaexplorertools_spark.operators import multimodal as mm
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+
+    if mm._pil_image() is None:
+        _pytest.skip("PIL not installed in this container")
+
+    rng = np.random.default_rng(31)
+    fixtures = []
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (12, 20, 4), dtype=np.uint8)
+    fixtures.append(("png-gray", mm.encode_png(40, 24, gray.tobytes(), channels=1), 0))
+    fixtures.append(("png-rgb", mm.encode_png(24, 16, rgb.tobytes()), 0))
+    fixtures.append(("png-rgba", mm.encode_png(20, 12, rgba.tobytes(), channels=4), 0))
+    gif, _ = _build_gif()
+    fixtures.append(("gif", gif, 0))
+    fixtures.append(("jpeg-gray", encode_jpeg(40, 24, gray.tobytes()), 1))
+    fixtures.append(("jpeg-rgb", encode_jpeg(24, 16, rgb.tobytes(), channels=3), 1))
+
+    for name, payload, tol in fixtures:
+        pure = mm._decode_image_pixels(payload, native=False)
+        nat = mm._decode_image_pixels_native(payload)
+        assert nat is not None, name
+        assert nat[:3] == pure[:3], name  # dims + channel convention
+        a = np.frombuffer(nat[3], np.uint8).astype(np.int16)
+        b = np.frombuffer(pure[3], np.uint8).astype(np.int16)
+        assert a.shape == b.shape, name
+        assert int(np.abs(a - b).max(initial=0)) <= tol, name
