@@ -4,21 +4,23 @@ format, not just WAV.
 
 Scope (public FLAC format spec, https://xiph.org/flac/format.html):
 
-- ``decode_flac_samples``: CONSTANT, VERBATIM and FIXED-predictor
-  subframes (orders 0-4) with Rice/Rice2 residual coding (incl. the
-  escape-to-raw partition form), wasted-bits shifts, all four channel
-  assignments (independent, left/side, right/side, mid/side — side
-  channels carry bps+1), CRC-8-validated frame headers and
-  CRC-16-validated frames. LPC subframes raise ValueError — the loud
-  boundary where a real deployment brings soundfile/ffmpeg; in the
+- ``decode_flac_samples``: CONSTANT, VERBATIM, FIXED-predictor
+  (orders 0-4) AND LPC subframes (orders 1-32, quantized coefficients +
+  arithmetic shift — the form nearly all real-world FLAC uses) with
+  Rice/Rice2 residual coding (incl. the escape-to-raw partition form),
+  wasted-bits shifts, all four channel assignments (independent,
+  left/side, right/side, mid/side — side channels carry bps+1),
+  CRC-8-validated frame headers and CRC-16-validated frames. Reserved
+  subframe types / negative qlp shifts raise ValueError; in the
   signal-feature lane that degrades the ROW to NULL features, never the
   job (same contract as every other media decoder here).
 - ``encode_flac``: the matching fixture generator (same role as
   encode_png / encode_jpeg): frame-split input, CONSTANT / VERBATIM /
-  FIXED subframes with order picked by residual cost, single-partition
-  Rice residuals, independent or mid/side stereo, spec-correct CRCs.
-  Every decoder path is exercised by round-tripping encoder output and
-  by bit-level rejection tests (tests/test_flaccodec.py).
+  FIXED (order picked by residual cost) / quantized-LPC subframes,
+  single-partition Rice residuals, independent or mid/side stereo,
+  spec-correct CRCs. Every decoder path is exercised by round-tripping
+  encoder output and by bit-level rejection tests
+  (tests/test_flaccodec.py).
 
 Reference scope: the reference engine (process_adcp.py) has no audio
 surface; this belongs to the LLM-pipeline multimodal lane (SURVEY §6).
@@ -285,11 +287,27 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> list[int]:
             for k, c in enumerate(coeffs):
                 pred += c * out[-1 - k]
             out.append(r + pred)
-    elif ftype >= 32:
-        raise ValueError(
-            "FLAC LPC subframe — fixture-grade decoder covers CONSTANT/"
-            "VERBATIM/FIXED; bring soundfile/ffmpeg for LPC streams"
-        )
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        if order > block_size:
+            raise ValueError("FLAC LPC order exceeds block size")
+        out = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC qlp precision")
+        prec += 1
+        shift = br.read(5)
+        if shift >> 4:  # 5-bit signed; negative shifts are spec-dead
+            raise ValueError("negative FLAC qlp shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, block_size, order)
+        for r in res:
+            pred = 0
+            for k, c in enumerate(coefs):
+                pred += c * out[-1 - k]
+            # arithmetic shift (python >> floors negatives = the spec's
+            # arithmetic-shift-right on the accumulated prediction)
+            out.append(r + (pred >> shift))
     else:
         raise ValueError(f"reserved FLAC subframe type {ftype}")
     if wasted:
@@ -428,9 +446,60 @@ def _rice_param(residuals: list[int]) -> int:
     return k
 
 
-def _encode_subframe(bw: _BitWriter, chan: list[int], bps: int, subframe: str) -> None:
+def _quantize_lpc(coefs: list[float], precision: int = 12) -> tuple[list[int], int]:
+    """Quantize float predictor coefficients to ``precision``-bit signed
+    ints with a common right-shift (any quantization is spec-valid —
+    prediction quality only affects ratio, never correctness)."""
+    cmax = max(abs(c) for c in coefs) or 1.0
+    shift = 14
+    lim = (1 << (precision - 1)) - 1
+    while shift > 0 and cmax * (1 << shift) > lim:
+        shift -= 1
+    q = [max(-lim - 1, min(lim, round(c * (1 << shift)))) for c in coefs]
+    return q, shift
+
+
+def _encode_subframe(
+    bw: _BitWriter,
+    chan: list[int],
+    bps: int,
+    subframe: str,
+    lpc_coefs: list[float] | None = None,
+) -> None:
     if subframe == "auto" and len(set(chan)) == 1:
         subframe = "constant"
+    if subframe == "lpc":
+        coefs = lpc_coefs or [1.6, -0.6]  # gentle 2-tap default
+        order = len(coefs)
+        if len(chan) <= order:
+            subframe = "verbatim"  # too short for warmup — still valid
+        else:
+            qc, shift = _quantize_lpc(coefs)
+            prec = 12
+            res = [
+                chan[i]
+                - (sum(c * chan[i - 1 - k] for k, c in enumerate(qc)) >> shift)
+                for i in range(order, len(chan))
+            ]
+            bw.write(0, 1)
+            bw.write(31 + order, 6)
+            bw.write(0, 1)
+            for v in chan[:order]:
+                bw.write(v, bps)
+            bw.write(prec - 1, 4)
+            bw.write(shift, 5)
+            for c in qc:
+                bw.write(c, prec)
+            bw.write(0, 2)  # residual method 0
+            bw.write(0, 4)  # partition order 0
+            param = _rice_param(res)
+            bw.write(param, 4)
+            for r in res:
+                z = (-r << 1) - 1 if r < 0 else r << 1
+                bw.write_unary(z >> param)
+                if param:
+                    bw.write(z, param)
+            return
     if subframe == "constant":
         bw.write(0, 1)
         bw.write(0, 6)
@@ -474,12 +543,15 @@ def encode_flac(
     block_size: int = 1024,
     subframe: str = "auto",
     stereo: str = "independent",
+    lpc_coefs: list[float] | None = None,
 ) -> bytes:
     """Fixture-grade FLAC encoder (see module docstring). ``samples`` is
     an int array-like shaped [n, channels]; ``subframe`` one of ``auto``
     (constant where flat, else fixed), ``verbatim``, ``fixed``,
-    ``constant``; ``stereo`` ``independent`` or ``mid_side`` (2ch only).
-    Emits STREAMINFO + fixed-blocksize frames; spec-correct CRC-8/16."""
+    ``constant``, ``lpc`` (quantized-coefficient predictor —
+    ``lpc_coefs`` floats, default a gentle 2-tap); ``stereo``
+    ``independent`` or ``mid_side`` (2ch only). Emits STREAMINFO +
+    fixed-blocksize frames; spec-correct CRC-8/16."""
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
@@ -534,11 +606,11 @@ def encode_flac(
             right = blk[:, 1].tolist()
             mid = [(l + r) >> 1 for l, r in zip(left, right)]
             side = [l - r for l, r in zip(left, right)]
-            _encode_subframe(body, mid, bits, subframe)
-            _encode_subframe(body, side, bits + 1, subframe)
+            _encode_subframe(body, mid, bits, subframe, lpc_coefs)
+            _encode_subframe(body, side, bits + 1, subframe, lpc_coefs)
         else:
             for c in range(ch):
-                _encode_subframe(body, blk[:, c].tolist(), bits, subframe)
+                _encode_subframe(body, blk[:, c].tolist(), bits, subframe, lpc_coefs)
         body.align()
         frame = hdr + bytes([_crc8(hdr)]) + body.bytes()
         frame += _crc16(frame).to_bytes(2, "big")

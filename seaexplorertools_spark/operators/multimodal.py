@@ -1170,9 +1170,9 @@ WAV_SIGNAL_SCHEMA = StructType(
 
 def wav_signal_features(media: DataFrame) -> DataFrame:
     """REAL signal features from decoded samples (no codec libs): WAV
-    PCM16/PCM24/float32 first, then FLAC (CONSTANT/VERBATIM/FIXED
-    subframes — flaccodec.decode_flac_samples; LPC streams degrade to
-    NULL, the loud boundary where a deployment brings soundfile) — the
+    PCM16/PCM24/float32 first, then FLAC (CONSTANT/VERBATIM/FIXED/LPC
+    subframes — flaccodec.decode_flac_samples; reserved/corrupt streams
+    degrade the row to NULL features) — the
     same WAV → FLAC → MP3 sniff order as extract_audio_features, except
     MP3 stays metadata-only (lossy entropy decode is out of scope). Per
     payload: RMS and peak of the channel-mean waveform (in the payload's

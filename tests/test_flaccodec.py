@@ -177,14 +177,51 @@ def test_rejections_and_bomb_guards():
     with pytest.raises(ValueError, match="too large"):
         decode_flac_samples(bytes(bomb))
 
-    # LPC subframe type (0b100000 = order 1) is the documented boundary
-    def lpc(bw):
+    # reserved subframe type (2) and spec-dead negative qlp shift
+    def reserved(bw):
         bw.write(0, 1)
-        bw.write(32, 6)
+        bw.write(2, 6)
         bw.write(0, 1)
 
-    with pytest.raises(ValueError, match="LPC"):
-        decode_flac_samples(_hand_frame(lpc, bs=4))
+    with pytest.raises(ValueError, match="reserved"):
+        decode_flac_samples(_hand_frame(reserved, bs=4))
+
+    def neg_shift(bw):
+        bw.write(0, 1)
+        bw.write(32, 6)  # LPC order 1
+        bw.write(0, 1)
+        bw.write(0, 8)  # warmup
+        bw.write(11, 4)  # precision 12
+        bw.write(0x1F, 5)  # shift = -1
+        bw.write(1, 12)
+
+    with pytest.raises(ValueError, match="negative"):
+        decode_flac_samples(_hand_frame(neg_shift, bs=4))
+
+
+def test_lpc_roundtrip_and_escape():
+    """LPC subframes (the form nearly all real FLAC uses): quantized
+    coefficients + arithmetic shift invert exactly for any coefficient
+    set — smooth signals, high orders, mid/side stereo."""
+    rng = np.random.default_rng(45)
+    t = np.arange(5000)
+    sig = (2500 * np.sin(t / 40) + rng.integers(-60, 60, 5000)).astype(np.int64)
+    mono = sig[:, None]
+    for coefs in (None, [0.5], [2.2, -1.6, 0.35], [1.0] * 8):
+        payload = encode_flac(48000, mono, subframe="lpc", lpc_coefs=coefs)
+        sr, ch, out = decode_flac_samples(payload)
+        assert np.array_equal(out, mono), coefs
+    stereo = np.stack([sig, (sig * 0.7).astype(np.int64)], axis=1)
+    payload = encode_flac(48000, stereo, subframe="lpc", stereo="mid_side")
+    assert np.array_equal(decode_flac_samples(payload)[2], stereo)
+    # LPC compresses the smooth signal better than verbatim
+    assert len(encode_flac(48000, mono, subframe="lpc")) < len(
+        encode_flac(48000, mono, subframe="verbatim")
+    )
+    # channel shorter than the order falls back to a valid verbatim
+    short = mono[:3]
+    payload = encode_flac(8000, short, subframe="lpc", lpc_coefs=[1.0] * 8)
+    assert np.array_equal(decode_flac_samples(payload)[2], short)
 
 
 def test_signal_feature_lane_wav_flac_mp3_chain(spark):
