@@ -307,6 +307,51 @@ def mm_flac_signal(spark, sf_dir):
     return wav_signal_features(media)
 
 
+@q(
+    "mm_video_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             16 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 4) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k, w, h, fi, (fi * k) // 2 AS idx
+      FROM d, (VALUES (0), (1)) f(fi)
+    ),
+    v AS (
+      SELECT doc_id, fi, idx, w, h,
+             (doc_id + 31 * idx) % 256 AS a,
+             (37 + 11 * doc_id + 17 * idx) % 256 AS b
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+           idx * 40 AS time_ms, w AS width, h AS height,
+           CAST(1 AS BIGINT) AS channels,
+           (a + b) / 2.0 AS mean_px,
+           least(a, b) AS min_px, greatest(a, b) AS max_px
+    FROM v
+    """,
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video-frame pixel statistics: per document a spec-valid
+    MJPEG AVI (documents_as_mjpeg — 2-4 two-tone JPEG frames, 40 ms
+    apart), container-walked (RIFF movi chunks), evenly frame-sampled,
+    and each sampled frame JPEG-decoded by the pure-python codec chain
+    (operators/multimodal.py::video_frame_features). Flat block-aligned
+    halves at unit quant decode exactly, so per-(doc, frame) stats are
+    closed-form in (doc_id, sampled index) and the whole
+    container→codec→stats path is driver-checked, not rows-only —
+    real frame pixels for the MJPEG class without any new codec;
+    H.264 payloads degrade per-frame to NULL stats by construction.
+    At 100 TB: two chained mapInPandas stages, zero shuffle — the video
+    twin of mm_image_features."""
+    from ..operators.multimodal import documents_as_mjpeg, video_frame_features
+
+    media = documents_as_mjpeg(table(spark, sf_dir, "documents"))
+    return video_frame_features(media, n_frames=2, native=False)
+
+
 def _lpa_oracle_sql(n_iter: int = 3) -> str:
     """DuckDB replay of operators/graph.py::label_propagation — the same
     deterministic synchronous rounds unrolled as CTEs (mode of neighbor

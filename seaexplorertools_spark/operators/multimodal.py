@@ -1003,6 +1003,141 @@ def sample_frames(media: DataFrame, n_frames: int = 4, mode: str = "stub") -> Da
     return media.select("media_id", "payload").mapInPandas(do_sample, FRAME_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("time_ms", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("mean_px", DoubleType(), True),
+        StructField("min_px", LongType(), True),
+        StructField("max_px", LongType(), True),
+    ]
+)
+
+
+def video_frame_features(
+    media: DataFrame, n_frames: int = 4, native: bool | None = None
+) -> DataFrame:
+    """REAL per-frame pixel statistics from video containers: walk the
+    container (GIF block structure / ISO-BMFF sample tables / RIFF movi
+    chunks — the same auto chain as ``sample_frames``), evenly sample
+    ``n_frames`` frame byte spans WITH their timestamps, and decode each
+    sampled frame through the shared image codec chain — which makes
+    MJPEG (JPEG-in-AVI/MP4, the dominant pre-H.264 capture format) and
+    PNG/GIF/BMP-framed containers yield real pixels with no new codec.
+    H.264/H.265 frame payloads are exactly what the chain rejects: those
+    rows keep their container metadata (frame_idx, time_ms) with NULL
+    pixel stats — per-frame degrade, never a failed job. Payloads no
+    walker accepts emit no rows (a video lane on a non-video payload is
+    vacuous; the caller anti-joins for coverage). Arrow-batched
+    mapInPandas, zero shuffle — the video twin of image_signal_features.
+    ``native`` forwards to ``_decode_image_pixels``."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .videocontainers import parse_avi_frames, parse_mp4_frames
+
+        walkers = (parse_gif_frames, parse_mp4_frames, parse_avi_frames)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = bytes(payload)
+                frames = None
+                for walk in walkers:
+                    try:
+                        frames = walk(b)
+                        break
+                    except (ValueError, IndexError):
+                        continue
+                if not frames:
+                    continue
+                k = min(n_frames, len(frames))
+                for fi in range(k):
+                    fr = frames[(fi * len(frames)) // k]
+                    decoded = _decode_image_pixels(
+                        b[fr["start"] : fr["end"]], native=native
+                    )
+                    if decoded is None:
+                        rows.append(
+                            (mid, fi, fr.get("time_ms"), None, None, None,
+                             None, None, None)
+                        )
+                        continue
+                    w, h, ch, px = decoded
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        (
+                            mid, fi, fr.get("time_ms"), w, h, ch,
+                            float(arr.mean()) if arr.size else None,
+                            int(arr.min()) if arr.size else None,
+                            int(arr.max()) if arr.size else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "time_ms", "width", "height",
+                    "channels", "mean_px", "min_px", "max_px",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, VIDEO_FRAME_SCHEMA
+    )
+
+
+def documents_as_mjpeg(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL MJPEG AVI per document — ``2 + doc_id
+    % 3`` two-tone grayscale JPEG frames (frame ``f`` halves ``(doc_id +
+    31f) % 256`` / ``(37 + 11·doc_id + 17f) % 256``, dims block-aligned
+    as in documents_as_jpeg), 40 ms per frame, assembled by encode_avi.
+    Every frame decodes EXACTLY (flat 8×8 blocks, unit quant), so the
+    sampled per-frame statistics are closed-form in (doc_id, frame_idx)
+    — which is what lets ``mm_video_frames`` run the whole
+    container-walk→JPEG-decode→stats path under an exact SQL oracle.
+    Arrow-batched mapInPandas; partition-preserving, no shuffle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import encode_jpeg
+        from .videocontainers import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 * (1 + did % 3)
+                h = 8 * (1 + did % 4)
+                k = 2 + did % 3
+                frames = []
+                for f in range(k):
+                    a = (did + 31 * f) % 256
+                    b = (37 + 11 * did + 17 * f) % 256
+                    img = np.empty((h, w), dtype=np.uint8)
+                    img[:, : w // 2] = a
+                    img[:, w // 2 :] = b
+                    frames.append(encode_jpeg(w, h, img.tobytes()))
+                rows.append(
+                    (did, "video",
+                     encode_avi(frames, us_per_frame=40000, width=w, height=h))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: wrap document text bytes in a PNG-shaped container (real
     signature + IHDR with doc-derived dimensions, text as body) so the

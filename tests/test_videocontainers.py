@@ -156,3 +156,47 @@ def test_corrupt_sample_counts_fail_cheaply():
     with pytest.raises(ValueError, match="exceeds its box size"):
         parse_mp4_frames(bytes(mp4))
     assert time.time() - t0 < 0.5
+
+
+def test_video_frame_features_mjpeg_and_degrade(spark):
+    """video_frame_features: MJPEG AVI and MP4 frames decode to real
+    pixel stats; an H.264-like (undecodable) frame keeps its container
+    metadata with NULL stats; non-containers emit no rows."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+    from seaexplorertools_spark.operators.multimodal import video_frame_features
+
+    def jpeg(val, w=16, h=8):
+        img = np.full((h, w), val, np.uint8)
+        return encode_jpeg(w, h, img.tobytes())
+
+    mj_avi = encode_avi([jpeg(10), jpeg(20), jpeg(30), jpeg(40)], us_per_frame=40000)
+    mj_mp4 = encode_mp4([jpeg(50), jpeg(60)])
+    mixed = encode_avi([jpeg(70), b"\x00\x00\x00\x01\x67deadbeef" * 4])  # frame 2 ~ H.264 NAL
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mj_avi)),
+            (2, bytearray(mj_mp4)),
+            (3, bytearray(mixed)),
+            (4, bytearray(b"not a video container")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = video_frame_features(df, n_frames=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r)
+    # AVI: 4 frames sampled at idx 0 and 2 -> values 10 and 30, 40 ms apart ×2
+    a = sorted(by[1], key=lambda r: r["frame_idx"])
+    assert [r["mean_px"] for r in a] == [10.0, 30.0]
+    assert [r["time_ms"] for r in a] == [0, 80]
+    assert all((r["width"], r["height"], r["channels"]) == (16, 8, 1) for r in a)
+    # MP4: both frames
+    m = sorted(by[2], key=lambda r: r["frame_idx"])
+    assert [r["mean_px"] for r in m] == [50.0, 60.0]
+    # mixed: JPEG frame real, NAL-ish frame NULL stats but metadata kept
+    x = sorted(by[3], key=lambda r: r["frame_idx"])
+    assert x[0]["mean_px"] == 70.0
+    assert x[1]["mean_px"] is None and x[1]["time_ms"] == 40
+    assert 4 not in by  # non-container: vacuous, no rows
