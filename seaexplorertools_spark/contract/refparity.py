@@ -1269,3 +1269,46 @@ def r1_regrid_ladder(spark, sf_dir):
     return out.select("user_id", "x_target", r6(F.col("value")).alias("value"))
 
 
+
+
+@q(
+    "j3_positional_join",
+    """
+    WITH l AS (
+      SELECT row_number() OVER (ORDER BY c_custkey) AS pos, c_custkey, c_name
+      FROM customer
+    ),
+    r AS (
+      SELECT row_number() OVER (ORDER BY c_acctbal, c_custkey) AS pos,
+             c_acctbal AS graft_bal, c_mktsegment AS graft_segment,
+             c_custkey AS graft_key
+      FROM customer
+    )
+    SELECT pos, c_custkey, c_name, graft_bal, graft_segment, graft_key
+    FROM l JOIN r USING (pos)
+    """,
+)
+def j3_positional_join(spark, sf_dir):
+    """J3 — positional/index-alignment join (reference
+    process_adcp.py:2068-2074 grafts re-read Parquet columns by pandas
+    row position; SURVEY §2 J3). The engine's preferred answer stays
+    "project at first read" (SURVEY §7 risk 8), but the operator now
+    exists for genuinely position-aligned inputs: exact global rank per
+    side via rank.py::global_rank (range shuffle + per-partition window
+    — NO single-partition window; row_number() OVER (ORDER BY) in the
+    oracle is the semantics, not the plan), one equi-join on position.
+    Here the i-th customer by key is grafted with the i-th account
+    balance in (balance, key) order — a deterministic permutation
+    alignment, driver-checked exactly."""
+    from ..operators.joins import positional_join
+
+    cust = table(spark, sf_dir, "customer")
+    left = cust.select("c_custkey", "c_name")
+    right = cust.select(
+        F.col("c_acctbal").alias("graft_bal"),
+        F.col("c_mktsegment").alias("graft_segment"),
+        F.col("c_custkey").alias("graft_key"),
+    )
+    return positional_join(
+        left, right, ["c_custkey"], ["graft_bal", "graft_key"]
+    ).select("pos", "c_custkey", "c_name", "graft_bal", "graft_segment", "graft_key")

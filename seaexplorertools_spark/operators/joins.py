@@ -300,3 +300,40 @@ def interval_join(
         F.abs(F.col(time_col) - F.col(f"{time_col}_right")) <= F.lit(tol)
     )
     return out.drop("__b", "__b0")
+
+
+def positional_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: list,
+    right_order: list,
+    how: str = "inner",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """J3: positional/index-alignment join — graft the i-th row of
+    ``right`` (under ``right_order``) onto the i-th row of ``left``
+    (under ``left_order``). The reference grafts extra columns by pandas
+    row position after re-reading the same Parquet
+    (process_adcp.py:2068-2074; SURVEY §2 J3); the engine's PREFERRED
+    answer remains "project every column at the first read" (SURVEY §7
+    risk 8 — this operator is never the cheap path), but when an
+    upstream genuinely hands over two position-aligned tables this is
+    the scale-correct form: exact global rank per side
+    (rank.py::global_rank — one range shuffle + per-partition window
+    each, NO single-partition window anywhere), then one equi-join on
+    position. Each order list must be a total order (include a unique
+    tiebreaker) or alignment is nondeterministic by definition.
+    Output carries ``pos_col`` plus both sides' columns; overlapping
+    column names raise (alias before joining — the same rule pandas'
+    index-graft silently violates)."""
+    from .rank import global_rank
+
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"positional_join column collision {sorted(overlap)}: alias "
+            "one side before aligning"
+        )
+    lr = global_rank(left, left_order, rank_col=pos_col)
+    rr = global_rank(right, right_order, rank_col=pos_col)
+    return lr.join(rr, pos_col, how)

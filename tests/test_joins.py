@@ -165,3 +165,33 @@ def test_asof_backward_string_values_native(spark):
     assert got == {100: "bronze", 101: "bronze", 102: "silver", 103: "gold", 104: "x"}
     # dtype survives: attr is still a string column, not a double
     assert dict(out.dtypes)["attr"] == "string"
+
+
+def test_positional_join_alignment_and_collision(spark):
+    """positional_join grafts the i-th right row (under right_order)
+    onto the i-th left row (under left_order) — verified against a
+    pandas-style zip of the two sorted frames — across partition counts
+    (global_rank is layout-independent); shared column names raise."""
+    import pytest as _pytest
+
+    from seaexplorertools_spark.operators.joins import positional_join
+
+    left_rows = [(k, f"L{k}") for k in (5, 1, 9, 3, 7, 2, 8)]
+    right_rows = [(40, "a"), (10, "b"), (30, "c"), (20, "d"),
+                  (70, "e"), (60, "f"), (50, "g")]
+    left = spark.createDataFrame(left_rows, "k long, lval string")
+    right = spark.createDataFrame(right_rows, "w long, rval string")
+
+    expect = list(zip(
+        sorted(left_rows), sorted(right_rows)
+    ))  # i-th by k with i-th by w
+    for parts in (1, 4, 32):
+        out = positional_join(
+            left.repartition(parts), right.repartition(parts), ["k"], ["w"]
+        ).orderBy("pos").collect()
+        got = [((r["k"], r["lval"]), (r["w"], r["rval"])) for r in out]
+        assert got == expect, parts
+        assert [r["pos"] for r in out] == list(range(1, 8))
+
+    with _pytest.raises(ValueError, match="collision"):
+        positional_join(left, left, ["k"], ["k"])
