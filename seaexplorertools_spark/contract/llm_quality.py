@@ -1493,3 +1493,33 @@ def dd_substring_dedup_apply(spark, sf_dir):
     return cut_spans(docs, spans)
 
 
+
+
+@q(
+    "mm_exif_meta",
+    """
+    SELECT doc_id AS media_id,
+           1 + doc_id % 8 AS orientation,
+           'Maker-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'M-' || CAST(doc_id % 3 AS VARCHAR) AS model,
+           '2020:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS datetime,
+           '2019:12:31 23:59:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS datetime_original,
+           16 * (1 + doc_id % 3) AS pixel_x,
+           8 * (1 + doc_id % 4) AS pixel_y
+    FROM documents
+    """,
+)
+def mm_exif_meta(spark, sf_dir):
+    """EXIF metadata extraction over REAL JPEG APP1 segments
+    (operators/exif.py): per document a real JPEG with a spliced
+    spec-correct TIFF Exif block — orientation/make/model/timestamps and
+    Exif-IFD pixel dims all closed-form in doc_id, byte order
+    ALTERNATING little/big-endian per row so both TIFF endiannesses are
+    driver-checked exactly. The fields an image-corpus gate filters on
+    before any pixel decode (orientation normalization, camera dedup
+    families, temporal splits). mapInPandas, zero shuffle; hostile
+    offsets/counts are bounded by the container per row."""
+    from ..operators.exif import documents_as_exif_jpeg, extract_exif
+
+    media = documents_as_exif_jpeg(table(spark, sf_dir, "documents"))
+    return extract_exif(media)
