@@ -73,9 +73,9 @@ FEATURE_SCHEMA = StructType(
 
 
 def parse_image_header(payload: bytes | None) -> tuple[int | None, int | None]:
-    """(width, height) from PNG / GIF / BMP / JPEG container headers —
-    pure-python byte parsing of the public formats, (None, None) when the
-    payload is not a recognized image."""
+    """(width, height) from PNG / GIF / BMP / WebP / JPEG container
+    headers — pure-python byte parsing of the public formats,
+    (None, None) when the payload is not a recognized image."""
     if payload is None or len(payload) < 10:
         return None, None
     b = bytes(payload)
@@ -87,6 +87,23 @@ def parse_image_header(payload: bytes | None) -> tuple[int | None, int | None]:
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = int.from_bytes(b[22:26], "little", signed=True)
         return w, abs(h)  # negative BMP height = top-down rows
+    if b[:4] == b"RIFF" and len(b) >= 25 and b[8:12] == b"WEBP":
+        # WebP: VP8X extended header, VP8 lossy frame tag, or VP8L
+        # lossless signature — dims only, the payload itself needs libwebp
+        tag = b[12:16]
+        if tag == b"VP8X" and len(b) >= 30:
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return w, h
+        if tag == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            return (
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+        if tag == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        return None, None
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the SOF frame header
         i = 2
         while i + 9 < len(b):

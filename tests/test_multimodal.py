@@ -58,6 +58,27 @@ def test_parse_image_header_formats():
     assert parse_image_header(jpeg) == (9, 7)
     assert parse_image_header(b"plain text payload") == (None, None)
     assert parse_image_header(None) == (None, None)
+    # WebP: VP8X (extended), VP8 (lossy frame tag), VP8L (lossless)
+    vp8x = (
+        b"RIFF" + bytes(4) + b"WEBP" + b"VP8X" + (10).to_bytes(4, "little")
+        + bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert parse_image_header(vp8x) == (640, 480)
+    vp8 = (
+        b"RIFF" + bytes(4) + b"WEBP" + b"VP8 " + (12).to_bytes(4, "little")
+        + bytes(3) + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(2)
+    )
+    assert parse_image_header(vp8) == (320, 200)
+    bits = (99) | (49 << 14)  # w-1=99, h-1=49
+    vp8l = (
+        b"RIFF" + bytes(4) + b"WEBP" + b"VP8L" + (9).to_bytes(4, "little")
+        + b"\x2f" + bits.to_bytes(4, "little") + bytes(4)
+    )
+    assert parse_image_header(vp8l) == (100, 50)
+    # WebP with an unknown first chunk stays unrecognized, not misparsed
+    junk = b"RIFF" + bytes(4) + b"WEBP" + b"XXXX" + bytes(20)
+    assert parse_image_header(junk) == (None, None)
 
 
 def test_resize_produces_fixed_payload(spark, sf_dir):
