@@ -1523,3 +1523,31 @@ def mm_exif_meta(spark, sf_dir):
 
     media = documents_as_exif_jpeg(table(spark, sf_dir, "documents"))
     return extract_exif(media)
+
+
+@q(
+    "mm_id3_meta",
+    """
+    SELECT doc_id AS media_id,
+           'Track-' || CAST(doc_id % 97 AS VARCHAR) AS title,
+           'Artist-' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+           'Album-' || CAST(doc_id % 7 AS VARCHAR) AS album,
+           CAST(1970 + doc_id % 50 AS VARCHAR) AS year,
+           CAST(1 + doc_id % 20 AS VARCHAR) AS track
+    FROM documents
+    """,
+)
+def mm_id3_meta(spark, sf_dir):
+    """ID3v2 tag extraction over REAL tagged MP3s (operators/id3.py):
+    per document a spec-valid two-frame CBR MP3 with an ID3v2 tag whose
+    version (2.3/2.4, alternating per row) and text encoding (all four
+    — ISO-8859-1, UTF-16 w/ BOM, UTF-16BE, UTF-8 — cycling per row) are
+    doc_id-derived, so every version x encoding combination is
+    driver-checked exactly. The audio twin of mm_exif_meta: the tag
+    fields an audio-corpus gate dedups/filters on without touching the
+    stream. mapInPandas, zero shuffle; frame sizes bounded by the tag,
+    the tag by the payload."""
+    from ..operators.id3 import documents_as_tagged_mp3, extract_id3
+
+    media = documents_as_tagged_mp3(table(spark, sf_dir, "documents"))
+    return extract_id3(media)
