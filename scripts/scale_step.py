@@ -6,9 +6,13 @@ lanes derive payloads deterministically from doc_id, so offsetting ids is
 the whole story), written as ~10 parts per 1× so splits scale with data,
 then times mm_image_features / mm_image_dedup warm (min of 2, noop sink).
 
-Usage: python scripts/scale_step.py [factor] [base_sf_dir]
+Usage: python scripts/scale_step.py [factor] [base_sf_dir] [lane,lane,...]
 Prints one JSON line per lane: {"query", "factor", "rows", "parts",
 "baseline_sec", "scaled_sec", "slope"}.
+
+Lanes reading `documents` scale by doc_id offset; `j3_positional_join`
+(reads `customer`) scales by c_custkey offset — both preserve the
+deterministic payload/order derivations the lanes depend on.
 """
 
 from __future__ import annotations
@@ -46,28 +50,30 @@ def _timed(fn) -> float:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    lanes = sys.argv[3].split(",") if len(sys.argv) > 3 else LANES
     work = f"/tmp/scale_step_{factor}x"
     spark = get_spark("scale-step")
-
-    docs = spark.read.parquet(f"{base}/documents.parquet")
-    n_base = docs.count()
 
     # 1× baseline rewritten as 10 parts (the single-split fixture ceiling
     # is a measured artifact — equal-splits baselines or the slope lies)
     base_dir = f"{work}/base"
     scaled_dir = f"{work}/scaled"
     shutil.rmtree(work, ignore_errors=True)
-    docs.repartition(10).write.parquet(f"{base_dir}/documents.parquet")
-
     copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
-    scaled = (
-        docs.select("*", copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * 10_000_000)
-        .drop("k")
-    )
-    scaled.repartition(10 * factor).write.parquet(f"{scaled_dir}/documents.parquet")
+    n_base = None
+    for tbl, key in (("documents", "doc_id"), ("customer", "c_custkey")):
+        df = spark.read.parquet(f"{base}/{tbl}.parquet")
+        if tbl == "documents":
+            n_base = df.count()
+        df.repartition(10).write.parquet(f"{base_dir}/{tbl}.parquet")
+        scaled = (
+            df.select("*", copies)
+            .withColumn(key, F.col(key) + F.col("k").cast("long") * 10_000_000)
+            .drop("k")
+        )
+        scaled.repartition(10 * factor).write.parquet(f"{scaled_dir}/{tbl}.parquet")
 
-    for lane in LANES:
+    for lane in lanes:
         q = contract.QUERIES[lane]
         t1 = _timed(lambda: _noop(q(spark, base_dir)))
         tn = _timed(lambda: _noop(q(spark, scaled_dir)))
