@@ -1392,3 +1392,133 @@ def q_profile_table_approx(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "q_nb_langid",
+    f"""
+    WITH dt AS (
+      SELECT doc_id, lang, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    tc AS (SELECT lang AS label, tok, count(*) AS cnt FROM dt GROUP BY 1, 2),
+    ct AS (
+      SELECT lang AS label, count(*) AS n_docs,
+             CAST(sum(len({_TOK_SQL})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY 1
+    ),
+    v AS (SELECT count(DISTINCT tok) AS vocab FROM dt),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM ct),
+    base AS (
+      SELECT label, ln(n_docs / total) AS prior_ln,
+             ln(n_tok + vocab) AS denom_ln
+      FROM ct, v, tot
+    ),
+    nd AS (SELECT doc_id, len({_TOK_SQL}) AS n_d FROM documents),
+    hits AS (
+      SELECT dt.doc_id, tc.label, sum(ln(tc.cnt + 1.0)) AS hit_sum
+      FROM dt JOIN tc ON dt.tok = tc.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT nd.doc_id, base.label,
+             base.prior_ln + coalesce(hits.hit_sum, 0.0)
+               - nd.n_d * base.denom_ln AS score
+      FROM nd CROSS JOIN base
+      LEFT JOIN hits ON hits.doc_id = nd.doc_id AND hits.label = base.label
+    )
+    SELECT doc_id, label AS pred_label, round(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_nb_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language identifier — train on the corpus
+    (label = lang), classify every document
+    (operators/classifier.py::nb_train/nb_classify). The learned twin of
+    the heuristic txt_langid: per-(label, token) Laplace-smoothed counts
+    built in ONE map-side-combined aggregate (the model IS a table,
+    never collected — only |vocab| is a driver scalar), scoring is one
+    token-keyed equi-join + per-doc argmax over |labels| rows. The
+    oracle replays the identical formula (ln prior + Σ ln(c+1) −
+    n·ln(N+V)); language token sets barely overlap so argmax margins
+    are orders of magnitude above the 6-dp canon. Engine addition —
+    the reference has no model ops."""
+    from ..operators.classifier import nb_classify, nb_train
+
+    docs = table(spark, sf_dir, "documents")
+    tc, ct, v = nb_train(docs, "lang")
+    out = nb_classify(docs, tc, ct, v)
+    return out.select("doc_id", "pred_label", r6(F.col("score")).alias("score"))
+
+
+@q(
+    "txt_url_canon",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'httpS' END)
+             || '://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+             || (CASE doc_id % 3
+                   WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                   WHEN 1 THEN ':8080' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/A/b' || CAST(doc_id % 5 AS VARCHAR) END)
+             || '?z=1&a=' || CAST(doc_id % 7 AS VARCHAR) || '&m=x'
+             || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, url,
+             lower(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'httpS' END) AS scheme,
+             'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+             CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END AS port,
+             CASE WHEN doc_id % 5 = 0 THEN '/'
+                  ELSE '/A/b' || CAST(doc_id % 5 AS VARCHAR) END AS path,
+             'a=' || CAST(doc_id % 7 AS VARCHAR) || '&m=x&z=1' AS q
+      FROM u
+    )
+    SELECT doc_id,
+           scheme || '://' || host || port || path || '?' || q AS canon_url,
+           host,
+           'example.com' AS domain
+    FROM c
+    """,
+)
+def txt_url_canon(spark, sf_dir):
+    """URL canonicalization (operators/text.py::canonicalize_url) — the
+    web-corpus dedup key: lower-cased scheme/host, www. stripped,
+    default ports dropped (:80 http / :443 https kept when non-default),
+    empty path → '/', query params sorted, fragment dropped, plus the
+    naive registrable domain. The Spark side PARSES messy synthesized
+    URLs (mixed case, default/explicit ports, missing paths, unsorted
+    params, fragments) with codegen regexes; the oracle CONSTRUCTS the
+    expected canonical form directly from the same doc_id arithmetic —
+    parser vs constructor, not regex vs regex, so a parsing bug cannot
+    cancel out. Zero shuffle, exact string equality."""
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("httpS")),
+        F.lit("://WWW.Site"), s(d % 40), F.lit(".Example.COM"),
+        F.when(d % 3 == 0, F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("")).otherwise(F.concat(F.lit("/A/b"), s(d % 5))),
+        F.lit("?z=1&a="), s(d % 7), F.lit("&m=x"),
+        F.lit("#sec"), s(d % 4),
+    )
+    from ..operators.text import canonicalize_url
+
+    cols = canonicalize_url(url)
+    return docs.select(
+        "doc_id",
+        cols["canon_url"].alias("canon_url"),
+        cols["host"].alias("host"),
+        cols["domain"].alias("domain"),
+    )

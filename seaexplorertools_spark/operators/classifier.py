@@ -105,3 +105,95 @@ def logloss(
 def sigmoid(z: float) -> float:
     """Driver-side σ for tests."""
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def nb_train(
+    docs: DataFrame, label_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Multinomial Naive Bayes trainer (the other classic lightweight
+    corpus classifier next to logistic_train — fastText-era langid /
+    topic gates are exactly this shape). Pure aggregation, no driver
+    loop: ONE pass builds the per-(label, token) count table and the
+    per-label doc/token totals; Laplace-smoothed log-likelihoods are
+    derived columns. Returns ``(token_counts, class_table, vocab_size)``
+    where token_counts = (label, tok, cnt), class_table = (label,
+    n_docs, n_tok) and vocab_size = |distinct tokens| (one scalar —
+    the J5 driver boundary).
+
+    At 100 TB: the model IS a table (|vocab| × |labels| upper bound),
+    shuffled once on (label, tok) with map-side combine — never
+    collected; classification joins it on the token key."""
+    from .dedup import tokens
+
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    token_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("cnt"))
+    class_table = (
+        docs.select(F.col(label_col).alias("label"), tokens(F.col(text_col)).alias("__t"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.size("__t")).alias("n_tok"))
+    )
+    vocab_size = toks.select("tok").distinct().count()
+    return token_counts, class_table, vocab_size
+
+
+def nb_classify(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    class_table: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every class and emit the argmax:
+    ``(id_col, pred_label, score)`` with score = ln prior +
+    Σ_tokens ln(c(l,t)+1) − n_doc·ln(N_l + V) (multinomial NB with
+    Laplace smoothing; unseen (label, token) pairs contribute ln 1 = 0
+    so the per-doc work is ONE token-keyed equi-join against the model
+    table — the only fan-out is |labels| per doc for the base terms).
+    Ties break to the lexicographically smallest label (total order).
+
+    Plan shape: explode → join(model on tok) → (doc, label) partial-sum
+    → |labels|-per-doc base join → per-doc argmax window keyed by
+    id_col. No cross join against the vocabulary, no collect."""
+    from .dedup import tokens
+    from pyspark.sql.window import Window
+
+    total_docs = class_table.agg(F.sum("n_docs")).collect()[0][0]
+    base = class_table.select(
+        "label",
+        (F.log(F.col("n_docs") / F.lit(float(total_docs)))).alias("prior_ln"),
+        F.log(F.col("n_tok") + F.lit(vocab_size)).alias("denom_ln"),
+    )
+    dtok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    ndoc = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_d")
+    )
+    hits = (
+        dtok.join(token_counts, "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.log(F.col("cnt") + F.lit(1.0))).alias("hit_sum"))
+    )
+    scored = (
+        ndoc.crossJoin(F.broadcast(base))  # |labels| rows per doc
+        .join(hits, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_ln")
+                + F.coalesce(F.col("hit_sum"), F.lit(0.0))
+                - F.col("n_d") * F.col("denom_ln")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("pred_label"), "score")
+    )

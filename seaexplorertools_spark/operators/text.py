@@ -493,3 +493,43 @@ def script_profile(
         *[counts[n].alias(f"n_{n}") for n in names],
         dominant.alias("dominant_script"),
     )
+
+
+def canonicalize_url(url: Column) -> dict[str, Column]:
+    """URL canonicalization — the web-corpus dedup key. Returns a dict of
+    columns: ``canon_url`` (lower-cased scheme/host, leading ``www.``
+    stripped, default port dropped (:80 http / :443 https), empty path
+    → ``/``, query parameters SORTED, fragment dropped), ``host`` (the
+    canonical host) and ``domain`` (last two host labels — the naive
+    registrable domain; a real deployment swaps in the Public Suffix
+    List, which is data, not code). Pure JVM expressions (regexp_extract
+    on simple ``[^…]`` classes that parse identically in Java regex and
+    RE2, split + array_sort for the query) — codegen, zero shuffle,
+    exact-string oracle-able."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host0 = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path0 = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return {
+        "canon_url": F.when(scheme == "", F.lit(None)).otherwise(canon),
+        "host": F.when(scheme == "", F.lit(None)).otherwise(host),
+        "domain": F.when(scheme == "", F.lit(None)).otherwise(domain),
+    }

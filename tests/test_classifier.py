@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from seaexplorertools_spark.operators.classifier import (
@@ -76,3 +77,39 @@ def test_empty_input_raises_clearly(spark):
     empty = spark.createDataFrame([], "x0 double, x1 double, y double")
     with pytest.raises(ValueError, match="empty input"):
         logistic_train(empty, FEATS, "y")
+
+
+def test_nb_langid_hand_example_and_accuracy(spark):
+    """Naive Bayes: exact hand-computed scores on a 4-doc corpus, and
+    near-perfect self-classification on a separable two-class corpus."""
+    from seaexplorertools_spark.operators.classifier import nb_classify, nb_train
+
+    rows = [
+        (1, "a", "x x y"),
+        (2, "a", "x y"),
+        (3, "b", "z z"),
+        (4, "b", "z w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tc, ct, v = nb_train(docs, "lang")
+    assert v == 4  # x y z w
+    counts = {(r["label"], r["tok"]): r["cnt"] for r in tc.collect()}
+    assert counts[("a", "x")] == 3 and counts[("b", "z")] == 3
+    out = {r["doc_id"]: r for r in nb_classify(docs, tc, ct, v).collect()}
+    # doc 1 ("x x y") under class a: ln(2/4) + 2·ln(3+1) + ln(2+1) − 3·ln(5+4)
+    want = math.log(0.5) + 2 * math.log(4.0) + math.log(3.0) - 3 * math.log(9.0)
+    assert out[1]["pred_label"] == "a"
+    assert out[1]["score"] == pytest.approx(want, rel=1e-12)
+    assert out[3]["pred_label"] == "b" and out[4]["pred_label"] == "b"
+
+    # separable vocabulary ⇒ self-classification is perfect
+    big = spark.createDataFrame(
+        [(i, "en", "the quick brown fox " * 3) for i in range(30)]
+        + [(100 + i, "de", "der schnelle braune fuchs " * 3) for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    tc, ct, v = nb_train(big, "lang")
+    pred = nb_classify(big, tc, ct, v)
+    joined = pred.join(big, "doc_id")
+    acc = joined.where(F.col("pred_label") == F.col("lang")).count() / 60
+    assert acc == 1.0
