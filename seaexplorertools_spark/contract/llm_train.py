@@ -1522,3 +1522,37 @@ def txt_url_canon(spark, sf_dir):
         cols["host"].alias("host"),
         cols["domain"].alias("domain"),
     )
+
+
+@q(
+    "txt_html_extract",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'Head ' || CAST(doc_id % 10 AS VARCHAR) || chr(10)
+           || text || chr(10)
+           || 'Tail & x <y> ''q'' z' AS extracted
+    FROM documents
+    """,
+)
+def txt_html_extract(spark, sf_dir):
+    """HTML → visible text (operators/text.py::html_extract): the Spark
+    side WRAPS each document in a realistic messy page (script with an
+    embedded '<', style, comment, title/h1/p blocks, double-encoded and
+    plain entities, &nbsp;) and extracts; the oracle CONSTRUCTS the
+    expected text directly from doc_id + the clean corpus text —
+    parser vs constructor, so an extraction bug cannot cancel out.
+    Codegen regexp chain, zero shuffle, exact string equality."""
+    from ..operators.text import html_extract
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        F.lit("<style>.a{color:red}</style><title>Doc "), d,
+        F.lit("</title></head><body><!-- boilerplate --><h1 class=\"t\">Head "),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>Tail &amp; x &lt;y&gt; &#39;q&#39;&nbsp;z</p></body></html>"),
+    )
+    return docs.select("doc_id", html_extract(html).alias("extracted"))

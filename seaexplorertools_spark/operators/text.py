@@ -533,3 +533,31 @@ def canonicalize_url(url: Column) -> dict[str, Column]:
         "host": F.when(scheme == "", F.lit(None)).otherwise(host),
         "domain": F.when(scheme == "", F.lit(None)).otherwise(domain),
     }
+
+
+def html_extract(html: Column) -> Column:
+    """HTML → visible text, the pretraining-ingest extraction step:
+    script/style blocks and comments removed, block-closing tags
+    (</p>, </div>, </li>, </h1-6>, </tr>, </title>, <br>) become
+    newlines, remaining tags become spaces, the common entities decode
+    (&amp; LAST so double-encoded entities stop at one level, per the
+    standard), whitespace collapses (runs of spaces/tabs → one space,
+    spaces around newlines dropped, newline runs → one) and the ends
+    trim. Pure JVM regexp_replace chain — codegen, zero shuffle. This is
+    the jusText-class cheap path; a DOM-accurate extraction is a library
+    concern (trafilatura et al.), not an engine one."""
+    t = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/title)\b[^>]*>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

@@ -34,3 +34,32 @@ def test_canonicalize_url_cases(spark):
     assert got[4] == ("https://10.0.0.1/x", "10.0.0.1", "0.1")  # naive 2-label domain: documented
     assert got[5] == (None, None, None)
     assert got[6] == ("ftp://files.example.org:21/pub", "files.example.org", "example.org")
+
+
+def test_html_extract_cases(spark):
+    """Parser-level cases the constructor oracle can't enumerate:
+    nested-ish tags, attributes with '>', entity edge order, multiple
+    scripts, case-insensitive tags, lists/tables, bare text."""
+    from pyspark.sql import functions as F
+
+    from seaexplorertools_spark.operators.text import html_extract
+
+    rows = [
+        (1, "<P>one</P><ul><li>a</li><li>b</li></ul>"),
+        (2, "<SCRIPT>if(a<b){x()}</SCRIPT>keep<script>\nmore\n</script>!"),
+        (3, "plain text, no markup"),
+        (4, "&amp;lt; stays &amp; stops"),  # double-encoded: one level only
+        (5, "<table><tr><td>c1</td><td>c2</td></tr><tr><td>c3</td></tr></table>"),
+        (6, "A<br>B<BR/>C"),
+        (7, "  spaced\tout  <div>block</div>  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", html_extract(F.col("html")).alias("t")).collect()}
+    assert got[1] == "one\na\nb"
+    assert got[2] == "keep !"
+    assert got[3] == "plain text, no markup"
+    assert got[4] == "&lt; stays & stops"
+    assert got[5] == "c1 c2\nc3"
+    assert got[6] == "A\nB\nC"
+    assert got[7] == "spaced out block"
