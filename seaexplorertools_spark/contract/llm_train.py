@@ -1556,3 +1556,35 @@ def txt_html_extract(spark, sf_dir):
         F.lit("</p><p>Tail &amp; x &lt;y&gt; &#39;q&#39;&nbsp;z</p></body></html>"),
     )
     return docs.select("doc_id", html_extract(html).alias("extracted"))
+
+
+@q(
+    "mm_warc_records",
+    """
+    SELECT doc_id AS media_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(strlen('software: seaexplorertools_spark') AS BIGINT) AS content_length,
+           'software: seaexplorertools_spark' AS body
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'response',
+           'http://site' || CAST(doc_id % 40 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR),
+           CAST(strlen(text) AS BIGINT), text
+    FROM documents
+    """,
+)
+def mm_warc_records(spark, sf_dir):
+    """WARC ingest (operators/warc.py): per document a real ISO-28500
+    WARC file — warcinfo + response records, target URI and body
+    closed-form in (doc_id, text) — with ODD doc_ids emitted as
+    per-record multi-member gzip (the Common Crawl layout) and even
+    ones plain, so the transparent gunzip path and the Content-Length
+    record walk are BOTH driver-checked exactly (gzip is lossless).
+    Bodies are consumed by Content-Length, never scanned, so body bytes
+    containing 'WARC/1.0' cannot desynchronize the walk. mapInPandas
+    explode, zero shuffle."""
+    from ..operators.warc import documents_as_warc, warc_records
+
+    media = documents_as_warc(table(spark, sf_dir, "documents"))
+    return warc_records(media)
