@@ -67,6 +67,10 @@ CROSSJOIN_OK = {
     # kappa's (total, diag, cross_sum) are three 1-row aggregates joined
     # into one 1-row output — both NL sides are single rows
     "q_kappa_langid",
+    # Naive Bayes base terms: every doc scores against every CLASS —
+    # the NL side is the |labels|-row (5 here) broadcast class table;
+    # the vocabulary-sized model joins on the token equi-key, never NL
+    "q_nb_langid",
     # global_ntile's N rides a 1-row count broadcast (the J5 pattern)
     "q_equidepth_histogram",
     # round-4 windowless-margin rewrites: each query's total/margin rides
