@@ -52,14 +52,19 @@ def test_scope_releases_only_inner_caches(spark):
 
 
 def test_repeated_invocations_do_not_accumulate_with_scope(spark):
-    release_consistency_caches()
+    release_consistency_caches(blocking=True)
     sc = spark.sparkContext
     base = sc._jsc.sc().getPersistentRDDs().size()  # foreign caches allowed
     for _ in range(3):
         with consistency_cache_scope(blocking=True):
             assert _ranked(spark).count() == 1000
     assert ledger_size() == 0
-    assert sc._jsc.sc().getPersistentRDDs().size() == base
+    # <= not ==: foreign caches counted in `base` may belong to OTHER
+    # suites' non-blocking unpersists and can vanish asynchronously
+    # between the base capture and this line (observed as a full-suite
+    # order flake). The guarded bug — scope leak / accumulation — is
+    # strictly GREATER than base, which this still catches.
+    assert sc._jsc.sc().getPersistentRDDs().size() <= base
 
 
 def test_scope_exit_spares_concurrent_thread_registrations(spark):
