@@ -122,20 +122,34 @@ def nb_train(
 
     At 100 TB: the model IS a table (|vocab| × |labels| upper bound),
     shuffled once on (label, tok) with map-side combine — never
-    collected; classification joins it on the token key."""
+    collected; classification joins it on the token key. The exploded
+    token lineage is consistency-cached for the duration of training
+    (it feeds both the model aggregate and the vocab count — without
+    the cache the tokenize/explode runs once per consumer, the
+    lsh_candidate_pairs band-table situation), then released after the
+    model table itself is materialized into the ledgered cache."""
     from .dedup import tokens
+    from ..caching import consistency_cache
 
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
-    token_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("cnt"))
-    class_table = (
-        docs.select(F.col(label_col).alias("label"), tokens(F.col(text_col)).alias("__t"))
-        .groupBy("label")
-        .agg(F.count("*").alias("n_docs"), F.sum(F.size("__t")).alias("n_tok"))
-    )
-    vocab_size = toks.select("tok").distinct().count()
+    ).cache()  # internal scratch: released before return, never ledgered
+    try:
+        token_counts = consistency_cache(
+            toks.groupBy("label", "tok").agg(F.count("*").alias("cnt"))
+        )
+        class_table = (
+            docs.select(
+                F.col(label_col).alias("label"), tokens(F.col(text_col)).alias("__t")
+            )
+            .groupBy("label")
+            .agg(F.count("*").alias("n_docs"), F.sum(F.size("__t")).alias("n_tok"))
+        )
+        vocab_size = toks.select("tok").distinct().count()
+        token_counts.count()  # pin the model while the token scratch is hot
+    finally:
+        toks.unpersist()
     return token_counts, class_table, vocab_size
 
 

@@ -1654,7 +1654,7 @@ AHASH_SCHEMA = StructType(
 
 
 def ahash_images(
-    media: DataFrame, hash_size: int = 8, native: bool | None = None
+    media: DataFrame, hash_size: int = 8, native: bool | None = False
 ) -> DataFrame:
     """Perceptual average-hash over REAL decoded pixels (PNG or baseline
     JPEG): nearest-downsample the channel-mean luma to hash_size², then
@@ -1665,7 +1665,12 @@ def ahash_images(
     dedup: hash equality is a plain groupBy/equi-join, no O(n²) pixel
     comparisons. Non-decodable payloads yield a NULL hash (kept, never a
     failed job). Arrow-batched mapInPandas, zero shuffle. ``native``
-    forwards to ``_decode_image_pixels``."""
+    forwards to ``_decode_image_pixels`` but DEFAULTS TO False here
+    (unlike the feature operators): hash-equality joins are exact-match
+    sensitive, and PIL's JPEG IDCT is only ±1/px vs the pure-python
+    chain — an environment-dependent decoder would silently move images
+    between dedup buckets across clusters. Pass ``native=None`` to
+    opt back into auto-dispatch, or True to force PIL."""
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1804,7 +1809,7 @@ def parse_mp3_header(payload: bytes | None) -> tuple | None:
 
 
 def dhash_images(
-    media: DataFrame, hash_size: int = 8, native: bool | None = None
+    media: DataFrame, hash_size: int = 8, native: bool | None = False
 ) -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL decoded pixels — the
     gradient twin of ``ahash_images``: nearest-downsample the channel-
@@ -1813,8 +1818,9 @@ def dhash_images(
     output. More robust than aHash to global brightness/contrast shifts
     (gradients survive them); same join-on-equality dedup shape, no
     O(n²) pixel compares. Non-decodable payloads yield a NULL hash.
-    Arrow-batched mapInPandas, zero shuffle. ``native`` forwards to
-    ``_decode_image_pixels``."""
+    Arrow-batched mapInPandas, zero shuffle. ``native`` defaults to
+    False for the same reason as ``ahash_images`` — hash equality must
+    not depend on which decoder an executor happens to have."""
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -8,17 +8,20 @@ with its own codec (operators/multimodal.py::encode_png — no plotting
 libs in a Spark executor image, and none needed): a viridis heatmap of
 any long-format gridded field (the pcolormesh panels), a polyline
 time-series track and 1-px scatter marks (the pitch/pressure panels) on
-a shared canvas. Scope is the DATA PANEL — axes text/legends are a
-notebook concern, documented deviation.
+a shared canvas, plus minimal min/max tick labels rendered through a
+3×5 bitmap font so the panels are self-describing without a plotting
+library. Full legends remain a notebook concern — documented deviation.
 
 Scale contract: plotting is inherently a driver-side sink on BOUNDED
 data (the reference caps its own panels at ~30 000 pings,
-process_adcp.py:967) — ``heatmap_sink`` collects the grid ONLY after a
-cheap count gate (``max_cells``, default 2M ≈ a 4 MP image) and raises
-loudly above it; the distributed engine work (gridding, binning,
-downsampling via LTTB ``operators/downsample.py``) happens BEFORE the
-sink, which is exactly how the reference composes plots from its
-already-gridded arrays.
+process_adcp.py:967) — ``heatmap_sink`` gates on the TRUE dense-grid
+size (distinct-x × distinct-y, which is what the driver allocates, not
+the distinct-pair count) BEFORE moving anything, then aggregates to one
+row per (x, y) cell so the Arrow transfer is bounded by the gate even
+when the input has heavy per-cell duplication; the distributed engine
+work (gridding, binning, downsampling via LTTB
+``operators/downsample.py``) happens BEFORE the sink, which is exactly
+how the reference composes plots from its already-gridded arrays.
 """
 
 from __future__ import annotations
@@ -35,6 +38,52 @@ _VIRIDIS = [
 ]
 _NAN_RGB = (160, 160, 160)
 
+# 3×5 bitmap font (row-major bit rows, MSB = left pixel) covering the
+# characters a numeric tick label can contain: digits, sign, decimal
+# point, exponent marker. Public-domain pixel shapes.
+_FONT_3X5 = {
+    "0": (0b111, 0b101, 0b101, 0b101, 0b111),
+    "1": (0b010, 0b110, 0b010, 0b010, 0b111),
+    "2": (0b111, 0b001, 0b111, 0b100, 0b111),
+    "3": (0b111, 0b001, 0b111, 0b001, 0b111),
+    "4": (0b101, 0b101, 0b111, 0b001, 0b001),
+    "5": (0b111, 0b100, 0b111, 0b001, 0b111),
+    "6": (0b111, 0b100, 0b111, 0b101, 0b111),
+    "7": (0b111, 0b001, 0b001, 0b010, 0b010),
+    "8": (0b111, 0b101, 0b111, 0b101, 0b111),
+    "9": (0b111, 0b101, 0b111, 0b001, 0b111),
+    "-": (0b000, 0b000, 0b111, 0b000, 0b000),
+    "+": (0b000, 0b010, 0b111, 0b010, 0b000),
+    ".": (0b000, 0b000, 0b000, 0b000, 0b010),
+    "e": (0b000, 0b111, 0b111, 0b100, 0b111),
+    " ": (0b000, 0b000, 0b000, 0b000, 0b000),
+}
+
+
+def draw_text(img, x: int, y: int, text: str, color=(0, 0, 0)) -> None:
+    """Stamp ``text`` onto an (H, W, 3) uint8 array at top-left (x, y)
+    with the 3×5 font, 1 px of advance between glyphs; pixels falling
+    outside the canvas are clipped, unknown characters render blank."""
+    h, w = img.shape[0], img.shape[1]
+    for ch in text:
+        rows = _FONT_3X5.get(ch, _FONT_3X5[" "])
+        for dy, bits in enumerate(rows):
+            for dx in range(3):
+                if bits & (0b100 >> dx):
+                    py, px = y + dy, x + dx
+                    if 0 <= py < h and 0 <= px < w:
+                        img[py, px] = color
+        x += 4
+
+
+def format_tick(v: float) -> str:
+    """Numeric tick label: up to 4 significant digits, lowercase
+    exponent — every character exists in the 3×5 font."""
+    if v != v:
+        return ""
+    s = f"{v:.4g}"
+    return s.replace("E", "e")
+
 
 def colormap_rgb(t: float) -> tuple[int, int, int]:
     """t ∈ [0, 1] → viridis RGB via linear interpolation of the anchor
@@ -49,15 +98,56 @@ def colormap_rgb(t: float) -> tuple[int, int, int]:
     return tuple(round(a[k] + (b[k] - a[k]) * f) for k in range(3))
 
 
+def colormap_rgb_array(t):
+    """Vectorized viridis: float array (any shape, NaN = gap) → uint8
+    RGB array of shape (*t.shape, 3). Replicates the scalar anchor-walk
+    arithmetic (``a + (b - a) * f`` then half-to-even rounding) op for
+    op, so scalar and array paths are pixel-identical to the last ulp —
+    np.interp's algebraically-equivalent form rounds differently at
+    exact .5 ties."""
+    import numpy as np
+
+    t = np.asarray(t, dtype=np.float64)
+    flat = t.ravel()
+    nan = ~np.isfinite(flat)
+    pos = np.where(nan, 0.0, flat)
+    np.clip(pos, 0.0, 1.0, out=pos)
+    pos *= len(_VIRIDIS) - 1
+    i = pos.astype(np.int64)
+    np.minimum(i, len(_VIRIDIS) - 2, out=i)
+    f = pos
+    f -= i
+    anchors = np.array(_VIRIDIS, dtype=np.float64)
+    # anchor components are small ints, so (b - a) is exact in float64
+    # and a + delta*f reproduces the scalar a + (b - a)*f bit-for-bit
+    deltas = np.diff(anchors, axis=0)
+    out = np.empty((flat.size, 3), dtype=np.uint8)
+    for k in range(3):
+        val = anchors[:, k].take(i)
+        val += deltas[:, k].take(i) * f
+        np.rint(val, out=val)
+        out[:, k] = val.astype(np.uint8)
+    out[nan] = _NAN_RGB
+    return out.reshape(t.shape + (3,))
+
+
 def render_heatmap(
     grid: list[list[float]],
     vmin: float | None = None,
     vmax: float | None = None,
     cell_px: int = 4,
+    axes: bool = False,
+    x_range: tuple[float, float] | None = None,
+    y_range: tuple[float, float] | None = None,
 ) -> bytes:
     """Dense row-major grid (rows = y, cols = x; None/NaN = gap) →
     viridis heatmap PNG, each cell ``cell_px`` square. Returns PNG
-    bytes (decode_png_pixels round-trips it)."""
+    bytes (decode_png_pixels round-trips it).
+
+    ``axes=True`` adds a white margin with min/max tick labels (3×5
+    bitmap font): the value range in the top-left corner, ``x_range``
+    along the bottom edge and ``y_range`` down the left edge when
+    given — the minimal self-describing panel."""
     import numpy as np
 
     a = np.array(grid, dtype=np.float64)
@@ -68,14 +158,38 @@ def render_heatmap(
     hi = vmax if vmax is not None else (float(finite.max()) if finite.size else 1.0)
     span = hi - lo if hi > lo else 1.0
     ny, nx = a.shape
-    rgb = np.empty((ny, nx, 3), dtype=np.uint8)
-    for y in range(ny):
-        for x in range(nx):
-            rgb[y, x] = colormap_rgb((a[y, x] - lo) / span)
-    img = np.repeat(np.repeat(rgb, cell_px, axis=0), cell_px, axis=1)
+    rgb = colormap_rgb_array((a - lo) / span)
+    img = (
+        rgb if cell_px == 1
+        else np.repeat(np.repeat(rgb, cell_px, axis=0), cell_px, axis=1)
+    )
+    if not axes:
+        return _encode(img)
+
+    ph, pw = img.shape[0], img.shape[1]
+    left = (4 * max(
+        len(format_tick(y_range[0])), len(format_tick(y_range[1]))
+    ) + 2) if y_range else 2
+    top, bottom = 8, (8 if x_range else 2)
+    canvas = np.full((top + ph + bottom, left + pw + 2, 3), 255, np.uint8)
+    canvas[top : top + ph, left : left + pw] = img
+    draw_text(canvas, 1, 1, f"{format_tick(lo)} {format_tick(hi)}")
+    if y_range:
+        draw_text(canvas, 1, top, format_tick(y_range[0]))
+        draw_text(canvas, 1, top + ph - 6, format_tick(y_range[1]))
+    if x_range:
+        lab_hi = format_tick(x_range[1])
+        draw_text(canvas, left, top + ph + 2, format_tick(x_range[0]))
+        draw_text(
+            canvas, left + pw - 4 * len(lab_hi), top + ph + 2, lab_hi
+        )
+    return _encode(canvas)
+
+
+def _encode(img) -> bytes:
     from .multimodal import encode_png
 
-    return encode_png(nx * cell_px, ny * cell_px, img.tobytes())
+    return encode_png(img.shape[1], img.shape[0], img.tobytes())
 
 
 def render_track(
@@ -152,30 +266,53 @@ def heatmap_sink(
     vmax: float | None = None,
     cell_px: int = 4,
     max_cells: int = 2_000_000,
+    axes: bool = False,
 ) -> bytes:
     """The S7 sink: long-format gridded field (x, y, value — the grid2d
     output shape) → viridis heatmap PNG, optionally saved as
     ``{plot_dir}/{plot_name}.png`` (the reference's save_plot naming,
-    process_adcp.py:53-56). Missing (x, y) cells render as gaps.
+    process_adcp.py:53-56). Missing (x, y) cells render as gaps;
+    duplicated (x, y) cells are averaged engine-side before transfer.
 
-    Driver boundary, gated: a cheap distinct-cell count runs FIRST and
-    anything above ``max_cells`` raises — plot your grid, not your
-    corpus; downsample (LTTB / coarser bins) upstream."""
-    n = df.select(x_col, y_col).distinct().count()
+    Driver boundary, gated on the TRUE dense-grid size: distinct-x ×
+    distinct-y is what the driver must allocate (sparse near-diagonal
+    inputs would pass a distinct-PAIR gate yet demand up to pairs²
+    cells), so that product is counted FIRST and anything above
+    ``max_cells`` raises; only then does a per-cell aggregate cross the
+    driver boundary, so heavy (x, y) duplication can't blow up the
+    transfer either. Plot your grid, not your corpus; downsample (LTTB
+    / coarser bins) upstream."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    nx_ny = df.select(
+        F.countDistinct(x_col).alias("nx"), F.countDistinct(y_col).alias("ny")
+    ).first()
+    n = (nx_ny["nx"] or 0) * (nx_ny["ny"] or 0)
     if n > max_cells:
         raise ValueError(
-            f"heatmap_sink: {n} grid cells exceeds max_cells={max_cells} — "
+            f"heatmap_sink: {n} dense grid cells "
+            f"({nx_ny['nx']}×{nx_ny['ny']}) exceeds max_cells={max_cells} — "
             "plots are driver-side; downsample or re-grid upstream"
         )
-    rows = df.select(x_col, y_col, value_col).collect()
-    xs = sorted({r[0] for r in rows})
-    ys = sorted({r[1] for r in rows})
-    xi = {v: i for i, v in enumerate(xs)}
-    yi = {v: i for i, v in enumerate(ys)}
-    grid = [[float("nan")] * len(xs) for _ in ys]
-    for x, y, v in rows:
-        grid[yi[y]][xi[x]] = float("nan") if v is None else float(v)
-    png = render_heatmap(grid, vmin=vmin, vmax=vmax, cell_px=cell_px)
+    pdf = (
+        df.groupBy(x_col, y_col)
+        .agg(F.avg(value_col).alias("__v"))
+        .toPandas()
+    )
+    xs = np.sort(pdf[x_col].unique())
+    ys = np.sort(pdf[y_col].unique())
+    grid = np.full((len(ys), len(xs)), np.nan)
+    grid[
+        np.searchsorted(ys, pdf[y_col].to_numpy()),
+        np.searchsorted(xs, pdf[x_col].to_numpy()),
+    ] = pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+    x_range = (float(xs[0]), float(xs[-1])) if axes and len(xs) else None
+    y_range = (float(ys[0]), float(ys[-1])) if axes and len(ys) else None
+    png = render_heatmap(
+        grid.tolist(), vmin=vmin, vmax=vmax, cell_px=cell_px,
+        axes=axes, x_range=x_range, y_range=y_range,
+    )
     if plot_dir:
         save_plot(plot_dir, plot_name, png)
     return png
