@@ -308,6 +308,43 @@ def mm_flac_signal(spark, sf_dir):
 
 
 @q(
+    "mm_mp3_signal",
+    """
+    SELECT doc_id AS media_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(1152 * (2 + doc_id % 6) AS BIGINT) AS n_frames,
+           CAST(0.0 AS DOUBLE) AS rms,
+           CAST(0.0 AS DOUBLE) AS peak,
+           CAST(0.0 AS DOUBLE) AS zero_cross_rate
+    FROM documents
+    """,
+)
+def mm_mp3_signal(spark, sf_dir):
+    """Lossy-audio signal features through the FULL MPEG-1 Layer III
+    decode pipeline (operators/mp3codec.py): per document a spec-valid
+    CBR silence stream (documents_as_mp3 — zero-spectrum granules with
+    rate/channels/frame-count/bitrate all deterministic in doc_id) is
+    decoded frame by frame — sync walk, side info, scalefactor slots,
+    huffman bit budget, requantize, IMDCT, overlap-add, polyphase
+    synthesis — by wav_signal_features' WAV → FLAC → MP3 sniff chain.
+    Silence is the EXACT-oracle class: a zero spectrum must come out of
+    a correct (and linear) decode chain as exactly 0.0 regardless of
+    the synthesis window, so rms/peak/ZCR are closed-form constants and
+    the sample count is 1152 × frames — any desync, side-info
+    misparse, or dropped frame breaks the hash. Nonzero-spectrum decode
+    is pinned by the numpy replay in tests/test_mp3codec.py (see
+    mp3codec's honest-scope docstring for the subset boundary). Both
+    stages Arrow-batched mapInPandas, zero shuffle — the lossy twin of
+    mm_flac_signal."""
+    from ..operators.multimodal import documents_as_mp3, wav_signal_features
+
+    media = documents_as_mp3(table(spark, sf_dir, "documents"))
+    return wav_signal_features(media)
+
+
+@q(
     "mm_video_frames",
     """
     WITH d AS (

@@ -476,17 +476,20 @@ class _Synth:
         self.hist = np.zeros((16, 32))
 
     def run(self, ss):
-        """ss: 32×18 subband samples → 576 PCM samples."""
+        """ss: 32×18 subband samples → 576 PCM samples. The 18 time
+        slots are one batched einsum over a strided history view (the
+        filter is a 16-tap convolution of 32×32 matrices over slots)."""
         import numpy as np
 
-        out = np.empty(18 * 32)
-        for t in range(18):
-            self.hist[1:] = self.hist[:-1]
-            self.hist[0] = ss[:, t]
-            out[t * 32 : (t + 1) * 32] = np.einsum(
-                "pjk,pk->j", self.M, self.hist
-            )
-        return out
+        # slots in time order: [slot(-15) … slot(-1), c0 … c17];
+        # hist[p] holds slot(-1-p), so hist[14::-1] is slot(-15)…slot(-1)
+        pad = np.concatenate([self.hist[14::-1], ss.T], axis=0)  # (33, 32)
+        # windows W[t, k, j] = pad[t + j, k]; X[t, p] = slot(t - p)
+        # = pad[t + 15 - p] = W[t, :, 15 - p]
+        W = np.lib.stride_tricks.sliding_window_view(pad, 16, axis=0)
+        out = np.einsum("pjk,tkp->tj", self.M, W[:, :, ::-1])
+        self.hist = pad[:16:-1].copy()  # pad[32 - p] = slot(17 - p)
+        return out.reshape(-1)
 
 
 def _find_first_frame(b: bytes) -> int:

@@ -1324,11 +1324,15 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
     """REAL signal features from decoded samples (no codec libs): WAV
     PCM16/PCM24/float32 first, then FLAC (CONSTANT/VERBATIM/FIXED/LPC
     subframes — flaccodec.decode_flac_samples; reserved/corrupt streams
-    degrade the row to NULL features) — the
-    same WAV → FLAC → MP3 sniff order as extract_audio_features, except
-    MP3 stays metadata-only (lossy entropy decode is out of scope). Per
+    degrade the row to NULL features), then MPEG-1 Layer III
+    (mp3codec.decode_mp3_samples — side info, bit reservoir,
+    scalefactors, huffman subset, requantize, IMDCT, polyphase
+    synthesis; streams outside the documented decode subset degrade to
+    NULL features, see mp3codec's honest-scope docstring) — the same
+    WAV → FLAC → MP3 sniff order as extract_audio_features. Per
     payload: RMS and peak of the channel-mean waveform (in the payload's
-    native sample units — int16/int24 counts or float [-1,1]) and the
+    native sample units — int16/int24 counts, float [-1,1], or the MP3
+    decoder's requantized-spectrum units) and the
     zero-crossing rate — the audio-quality trio a training-data gate
     filters on (silence ≈ rms→0, clipping ≈ peak→32767, noise ≈ high
     ZCR). Non-decodable payloads yield NULL features, never a failed job.
@@ -1339,13 +1343,18 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
     import numpy as np
 
     from .flaccodec import decode_flac_samples
+    from .mp3codec import decode_mp3_samples
 
     def decode_any(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         try:
             return decode_wav_samples(payload)
         except (ValueError, ZeroDivisionError):
             pass
-        return decode_flac_samples(payload)
+        try:
+            return decode_flac_samples(payload)
+        except (ValueError, ZeroDivisionError):
+            pass
+        return decode_mp3_samples(payload)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1527,6 +1536,53 @@ def documents_as_flac(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (did, "audio", encode_flac(rate, samples[:, None]), rate)
                 )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "sample_rate"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("sample_rate", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
+def documents_as_mp3(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL MPEG-1 Layer III stream per document
+    — spec-valid CBR frames of DIGITAL SILENCE (``part2_3_length = 0``
+    in every granule: zero spectrum in, and the whole decode chain —
+    side info, scalefactors, huffman budget, requantize, IMDCT,
+    overlap-add, polyphase synthesis — must produce exactly 0.0 out,
+    regardless of the synthesis window; see mp3codec's honest-scope
+    note). Parameters are deterministic functions of doc_id: rate ∈
+    {44100, 48000, 32000} by doc_id % 3, channels 1 + doc_id % 2,
+    frames 2 + doc_id % 6, bitrate index 9 + doc_id % 3 — so
+    ``mm_mp3_signal``'s sample counts and zero features are exact
+    closed-form SQL. Arrow-batched mapInPandas, no shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3codec import encode_mp3_frames
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = (44100, 48000, 32000)[did % 3]
+                rows.append((
+                    did,
+                    "audio",
+                    encode_mp3_frames(
+                        sr=rate,
+                        channels=1 + did % 2,
+                        n_frames=2 + did % 6,
+                        bitrate_idx=9 + did % 3,
+                    ),
+                    rate,
+                ))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "sample_rate"]
             )
