@@ -155,6 +155,8 @@ def _mission_e2e(spark) -> dict:
     totals: list[float] = []
 
     def run(record: bool) -> None:
+        from seaexplorertools_spark.caching import release_consistency_caches
+
         options = default_options()
         options["correctADCPHeading"] = False
         t0 = time.time()
@@ -169,6 +171,7 @@ def _mission_e2e(spark) -> dict:
             t3 = time.time()
         finally:
             gridded.unpersist()
+            release_consistency_caches()  # velocity's ledgered internals
         if record:
             stage_samples["shear"].append(t1 - t0)
             stage_samples["grid"].append(t2 - t1)

@@ -345,6 +345,44 @@ def mm_mp3_signal(spark, sf_dir):
 
 
 @q(
+    "mm_mp3_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             CASE doc_id % 3 WHEN 0 THEN 128000 WHEN 1 THEN 160000
+                  ELSE 192000 END AS br,
+             2 + doc_id % 6 AS nf
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(nf * ((144 * br) // sr) AS BIGINT) AS n_bytes,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(NULL AS BIGINT) AS bits,
+           CAST(nf * 1152 AS BIGINT) AS n_frames,
+           CAST((nf * 1152 * 1000) // sr AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def mm_mp3_meta(spark, sf_dir):
+    """MP3 frame-header metadata over REAL Layer III streams
+    (multimodal.py::parse_mp3_header via extract_audio_features —
+    double-sync validation, CBR frame-count estimate, bits=NULL for
+    lossy): documents_as_mp3's streams have frame length
+    144·bitrate//rate with no padding bit, so every parsed field —
+    payload size, rate, mode-derived channels, 1152·frames sample
+    estimate, duration — is exact doc_id arithmetic. The metadata twin
+    of mm_mp3_signal (which decodes the samples); together they pin the
+    whole audio lane's WAV → FLAC → MP3 sniff order from both sides."""
+    from ..operators.multimodal import documents_as_mp3, extract_audio_features
+
+    media = documents_as_mp3(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+@q(
     "mm_video_frames",
     """
     WITH d AS (

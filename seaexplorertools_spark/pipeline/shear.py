@@ -326,29 +326,44 @@ def regrid_cells(df: DataFrame, depth_offsets: np.ndarray, options: dict) -> Dat
         + [StructField("depth_offset", DoubleType(), False), StructField("bin_depth", DoubleType(), True)]
     )
 
-    def per_ping(pdf: pd.DataFrame) -> pd.DataFrame:
+    def process(body: pd.DataFrame) -> pd.DataFrame:
+        # whole-batch vectorized form of the per-ping interpolation: one
+        # preallocated array set per batch instead of one pandas frame
+        # per ping + concat (the ~10⁵-pings/mission frame churn was the
+        # measured hot spot of the shear stage). Per-ping np.interp math
+        # and row order (pings in partition order × gridded_bin asc) are
+        # IDENTICAL to the per-ping form.
+        keys = body["time_us"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        n_pings = len(starts)
+        total = n_pings * n_off
         out = {
-            "time_us": np.repeat(pdf["time_us"].iloc[0], n_off),
-            "gridded_bin": np.arange(n_off, dtype=np.int32),
+            "time_us": np.repeat(keys[starts], n_off),
+            "gridded_bin": np.tile(np.arange(n_off, dtype=np.int32), n_pings),
         }
         for c in carry_cols:
-            out[c] = np.repeat(float(pdf[c].iloc[0]) if pd.notna(pdf[c].iloc[0]) else np.nan, n_off)
+            vals = pd.to_numeric(body[c], errors="coerce").to_numpy(np.float64)
+            out[c] = np.repeat(vals[starts], n_off)
+        xs_all = {b: body[f"x{b}"].to_numpy(np.float64) for b in beams}
+        ys_all = {b: body[f"velocity_beam{b}"].to_numpy(np.float64) for b in beams}
+        vout = {b: np.full(total, np.nan) for b in beams}
+        for i in range(n_pings):
+            s, e, base = starts[i], ends[i], i * n_off
+            for b in beams:
+                x, y = xs_all[b][s:e], ys_all[b][s:e]
+                gd = np.isfinite(x) & np.isfinite(y)
+                if gd.sum() > 1:
+                    order = np.argsort(x[gd], kind="stable")
+                    xg, yg = x[gd][order], y[gd][order]
+                    vi = np.interp(offsets, xg, yg)
+                    vi[offsets < xg[0]] = np.nan
+                    vi[offsets > xg[-1]] = np.nan
+                    vout[b][base : base + n_off] = vi
         for b in beams:
-            x = pdf[f"x{b}"].to_numpy(dtype=np.float64)
-            y = pdf[f"velocity_beam{b}"].to_numpy(dtype=np.float64)
-            gd = np.isfinite(x) & np.isfinite(y)
-            if gd.sum() > 1:
-                order = np.argsort(x[gd], kind="stable")
-                xs, ys = x[gd][order], y[gd][order]
-                vi = np.interp(offsets, xs, ys)
-                vi[offsets < xs[0]] = np.nan
-                vi[offsets > xs[-1]] = np.nan
-            else:
-                vi = np.full(n_off, np.nan)
-            out[f"v{b}"] = vi
-        out["depth_offset"] = offsets
-        depth0 = float(pdf["depth"].iloc[0]) if pd.notna(pdf["depth"].iloc[0]) else np.nan
-        out["bin_depth"] = depth0 - offsets
+            out[f"v{b}"] = vout[b]
+        out["depth_offset"] = np.tile(offsets, n_pings)
+        out["bin_depth"] = out["depth"] - out["depth_offset"]
         return pd.DataFrame(out)
 
     def per_partition(batches):
@@ -365,15 +380,9 @@ def regrid_cells(df: DataFrame, depth_offsets: np.ndarray, options: dict) -> Dat
             carry = pdf.iloc[first_tail:]
             body = pdf.iloc[:first_tail]
             if len(body):
-                yield pd.concat(
-                    [per_ping(g) for _, g in body.groupby("time_us", sort=False)],
-                    ignore_index=True,
-                )
+                yield process(body)
         if carry is not None and len(carry):
-            yield pd.concat(
-                [per_ping(g) for _, g in carry.groupby("time_us", sort=False)],
-                ignore_index=True,
-            )
+            yield process(carry)
 
     sorted_work = work.repartition("time_us").sortWithinPartitions("time_us", "bin")
     return sorted_work.mapInPandas(per_partition, schema)

@@ -409,13 +409,27 @@ def velocity_from_shear(
     options: dict,
 ) -> DataFrame:
     """Entry point 3 (reference velocity_from_shear :2067-2083): returns the
-    long gridded dataset with referenced, bias-corrected ADCP_E/ADCP_N."""
-    glider = get_dac(ping_aug, glider, options)
+    long gridded dataset with referenced, bias-corrected ADCP_E/ADCP_N.
+
+    Cache boundaries (measured, round 8 — 20-dive mission, warm): the
+    DAC-augmented glider feeds THREE consumers (the grid aggregate inside
+    reference_shear, calc_bias's toPandas fit, the profile-time axis) and
+    the referenced grid ``g`` feeds TWO (the fit's toPandas, the returned
+    plan's join) — uncached, those lineages re-execute per consumer and
+    the stage ran 15.6 s; with both consistency-cached (populated by the
+    fit's own toPandas action, no extra job) it runs ~10.2 s with ~0.5 s
+    spread. The caches are LEDGERED: callers that loop missions release
+    them via release_consistency_caches()/consistency_cache_scope after
+    consuming the result (bench.py does; one-shot contract queries leave
+    them to session teardown, the lsh pattern)."""
+    from ..caching import consistency_cache
+
+    glider = consistency_cache(get_dac(ping_aug, glider, options))
     drift = surface_drift(glider, options)  # noqa: F841 — diagnostic constraint
     if bt is not None:
         ping_aug = bottom_track(bt, ping_aug, options)
-    g = reference_shear(gridded_cells, glider, options)
-    g = calc_bias(g, options)
+    g = consistency_cache(reference_shear(gridded_cells, glider, options))
+    g = calc_bias(g, options)  # its toPandas populates both caches
     # per-profile mean time → profile_datetime axis (reference make_dataset :2042)
     gl_time = glider.groupBy(
         bucket(F.col("profile_number").cast("double"), 0.0, 1.0).alias("profile_num")
