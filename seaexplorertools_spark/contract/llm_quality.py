@@ -345,6 +345,80 @@ def mm_mp3_signal(spark, sf_dir):
 
 
 @q(
+    "mm_ogg_meta",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 2 AS odd, doc_id % 3 AS m3,
+             1 + (doc_id // 2) % 2 AS ch
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN odd = 0 THEN 95 + 48 * (1 + m3)
+                ELSE 102 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN odd = 0
+                THEN CASE m3 WHEN 0 THEN 48000 WHEN 1 THEN 24000
+                     ELSE 16000 END
+                ELSE CASE m3 WHEN 0 THEN 44100 WHEN 1 THEN 32000
+                     ELSE 22050 END END AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(NULL AS BIGINT) AS bits,
+           CAST(CASE WHEN odd = 0 THEN 960 * (1 + doc_id % 5)
+                ELSE 1024 * (1 + doc_id % 7) END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN odd = 0
+                THEN (960 * (1 + doc_id % 5) * 1000) // 48000
+                ELSE (1024 * (1 + doc_id % 7) * 1000) //
+                     CASE m3 WHEN 0 THEN 44100 WHEN 1 THEN 32000
+                          ELSE 22050 END END AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def mm_ogg_meta(spark, sf_dir):
+    """Ogg container metadata over REAL Opus AND Vorbis streams
+    (operators/ogg.py::parse_ogg_header via extract_audio_features —
+    page walk to the last complete page, granule-position stream
+    length, 48 kHz-minus-preskip Opus semantics vs codec-rate Vorbis).
+    The adapter alternates codecs per doc_id with fixed-size page
+    bodies, so byte count, rate, channels, sample total and duration
+    are all closed-form — one constructor oracle pins both codec
+    branches, the multi-page granule accumulation and the EOS flag
+    handling. Completes web-audio metadata: WAV, FLAC, MP3, Ogg."""
+    from ..operators.multimodal import extract_audio_features
+    from ..operators.ogg import documents_as_ogg
+
+    media = documents_as_ogg(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+@q(
+    "mm_flac_tags",
+    """
+    SELECT doc_id AS media_id,
+           'seaexplorertools_spark' AS vendor,
+           'doc ' || doc_id || ' ♪' AS title,
+           'site' || (doc_id % 40) AS artist,
+           CAST(2000 + doc_id % 26 AS VARCHAR) AS date,
+           CAST(3 + doc_id % 2 + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_comments
+    FROM documents
+    """,
+)
+def mm_flac_tags(spark, sf_dir):
+    """VORBIS_COMMENT tag extraction from REAL FLAC streams
+    (operators/vorbis.py::extract_flac_tags) — the third tag family
+    next to EXIF (mm_exif_meta) and ID3v2 (mm_id3_meta). The adapter
+    writes little-endian length-prefixed UTF-8 fields (the endianness
+    flip inside the big-endian FLAC container) with UPPERCASE keys, a
+    non-ASCII title, a GENRE field on odd ids and a duplicate TITLE on
+    ids divisible by 10 — so the oracle pins case-insensitive matching,
+    UTF-8 decode, first-occurrence-wins AND the raw field count in one
+    constructor query. Zero shuffle, per-row degrade."""
+    from ..operators.vorbis import documents_as_tagged_flac, extract_flac_tags
+
+    media = documents_as_tagged_flac(table(spark, sf_dir, "documents"))
+    return extract_flac_tags(media)
+
+
+@q(
     "mm_mp3_meta",
     """
     WITH d AS (

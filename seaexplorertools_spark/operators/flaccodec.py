@@ -544,14 +544,18 @@ def encode_flac(
     subframe: str = "auto",
     stereo: str = "independent",
     lpc_coefs: list[float] | None = None,
+    tags: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """Fixture-grade FLAC encoder (see module docstring). ``samples`` is
     an int array-like shaped [n, channels]; ``subframe`` one of ``auto``
     (constant where flat, else fixed), ``verbatim``, ``fixed``,
     ``constant``, ``lpc`` (quantized-coefficient predictor —
     ``lpc_coefs`` floats, default a gentle 2-tap); ``stereo``
-    ``independent`` or ``mid_side`` (2ch only). Emits STREAMINFO +
-    fixed-blocksize frames; spec-correct CRC-8/16."""
+    ``independent`` or ``mid_side`` (2ch only); ``tags`` an ordered
+    (KEY, value) list emitted as a VORBIS_COMMENT metadata block (the
+    FLAC tag container — little-endian lengths, UTF-8 text, unlike the
+    big-endian rest of the stream). Emits STREAMINFO [+ VORBIS_COMMENT]
+    + fixed-blocksize frames; spec-correct CRC-8/16."""
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
@@ -576,7 +580,17 @@ def encode_flac(
     si[13] = (((bits - 1) & 0x0F) << 4) | ((n >> 32) & 0x0F)
     si[14:18] = (n & 0xFFFFFFFF).to_bytes(4, "big")
     out = bytearray(b"fLaC")
-    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    if tags is None:
+        out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    else:
+        out += bytes([0x00]) + len(si).to_bytes(3, "big") + bytes(si)
+        vendor = b"seaexplorertools_spark"
+        vc = bytearray(len(vendor).to_bytes(4, "little") + vendor)
+        vc += len(tags).to_bytes(4, "little")
+        for k, v in tags:
+            field = f"{k}={v}".encode("utf-8")
+            vc += len(field).to_bytes(4, "little") + field
+        out += bytes([0x84]) + len(vc).to_bytes(3, "big") + bytes(vc)
 
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bits)
     if ss_code is None:

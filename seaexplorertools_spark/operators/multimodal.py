@@ -1426,6 +1426,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .ogg import parse_ogg_header
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -1435,6 +1437,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     p = parse_flac_header(payload)
                 if p is None:
                     p = parse_mp3_header(payload)
+                if p is None:
+                    p = parse_ogg_header(payload)
                 if p is None:
                     rows.append((mid, n, None, None, None, None, None))
                 else:

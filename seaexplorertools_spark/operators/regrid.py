@@ -131,6 +131,63 @@ def regrid_interp(
 
         return work.groupBy(*group_cols).applyInPandas(interp_group, schema)
 
+    def _process(body: pd.DataFrame) -> pd.DataFrame:
+        # whole-batch vectorized form of _interp_one: one preallocated
+        # array set per batch instead of one pandas frame per group +
+        # concat (the frame churn dominated on many small groups — same
+        # fix as pipeline/shear.py::regrid_cells). Per-group math is
+        # _interp_one's exactly; groups with a null key are dropped like
+        # pandas groupby(dropna=True) did.
+        keyarrs = [body[c].to_numpy() for c in group_cols]
+        null_key = np.zeros(len(body), dtype=bool)
+        for a in keyarrs:
+            null_key |= pd.isna(a)
+        if null_key.any():
+            body = body.loc[~null_key]
+            keyarrs = [body[c].to_numpy() for c in group_cols]
+        n = len(body)
+        if n == 0:
+            return pd.DataFrame(
+                {c: [] for c in [*group_cols, x_name, *values]}
+            )
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for a in keyarrs:
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n]
+        n_groups = len(starts)
+        lad_n = len(ladder_arr)
+        total = n_groups * lad_n
+        out = {
+            c: np.repeat(a[starts], lad_n) for c, a in zip(group_cols, keyarrs)
+        }
+        out[x_name] = np.tile(ladder_arr, n_groups)
+        xall = body[x].to_numpy(np.float64)
+        vall = {v: body[v].to_numpy(np.float64) for v in values}
+        vouts = {v: np.full(total, np.nan) for v in values}
+        for i in range(n_groups):
+            s, e, base = starts[i], ends[i], i * lad_n
+            xs = xall[s:e]
+            order = np.argsort(xs, kind="stable")
+            xs = xs[order]
+            keep = np.concatenate(([True], np.diff(xs) > 0))
+            xs = xs[keep]
+            for v in values:
+                ys = vall[v][s:e][order][keep]
+                gg = np.isfinite(xs) & np.isfinite(ys)
+                if gg.sum() == 0:
+                    continue
+                xg, yg = xs[gg], ys[gg]
+                vi = np.interp(ladder_arr, xg, yg)
+                # reference interp (:144-146): NaN strictly outside the hull
+                vi[ladder_arr < xg[0]] = np.nan
+                vi[ladder_arr > xg[-1]] = np.nan
+                vouts[v][base : base + lad_n] = vi
+        for v in values:
+            out[v] = vouts[v]
+        return pd.DataFrame(out)
+
     def interp_partition(batches):
         carry = None
         for pdf in batches:
@@ -150,15 +207,9 @@ def regrid_interp(
             carry = pdf.iloc[first_tail:]
             body = pdf.iloc[:first_tail]
             if len(body):
-                outs = [
-                    _interp_one(g) for _, g in body.groupby(list(group_cols), sort=False)
-                ]
-                yield pd.concat(outs, ignore_index=True)
+                yield _process(body)
         if carry is not None and len(carry):
-            outs = [
-                _interp_one(g) for _, g in carry.groupby(list(group_cols), sort=False)
-            ]
-            yield pd.concat(outs, ignore_index=True)
+            yield _process(carry)
 
     sorted_work = work.repartition(*group_cols).sortWithinPartitions(*group_cols, x)
     return sorted_work.mapInPandas(interp_partition, schema)

@@ -268,4 +268,11 @@ def test_signal_feature_lane_wav_flac_mp3_chain(spark):
         assert r["rms"] == pytest.approx(rms, rel=1e-12)
         assert r["peak"] == pytest.approx(peak, rel=1e-12)
         assert r["zero_cross_rate"] == pytest.approx(zc, rel=1e-12)
-    assert rows[3]["rms"] is None and rows[4]["rms"] is None
+    # row 3's zero-filled frame became a VALID MPEG-1 Layer III silence
+    # frame once mp3codec landed (round 8): all-zero side info means
+    # part2_3_length 0 in every granule — the full decode chain must
+    # yield exactly-zero PCM, not a degrade
+    r3 = rows[3]
+    assert (r3["sample_rate"], r3["channels"], r3["n_frames"]) == (44100, 2, 1152)
+    assert r3["rms"] == 0.0 and r3["peak"] == 0.0 and r3["zero_cross_rate"] == 0.0
+    assert rows[4]["rms"] is None
