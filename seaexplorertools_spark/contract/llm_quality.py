@@ -345,6 +345,55 @@ def mm_mp3_signal(spark, sf_dir):
 
 
 @q(
+    "mm_mp3_vbr",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             2 + doc_id % 6 AS nf
+      FROM documents
+    ),
+    f AS (  -- per-audio-frame lengths: bitrates cycle 128/160/192 kbps
+      SELECT doc_id, sr, nf, unnest(range(nf)) AS k
+      FROM d
+    ),
+    fl AS (
+      SELECT doc_id, sr, nf,
+             (144 * (CASE k % 3 WHEN 0 THEN 128000 WHEN 1 THEN 160000
+                     ELSE 192000 END)) // sr AS flen
+      FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST((144 * (CASE doc_id % 3 WHEN 0 THEN 128000
+                        WHEN 1 THEN 160000 ELSE 192000 END)) // max(fl.sr)
+                + sum(fl.flen) AS BIGINT) AS n_bytes,
+           CAST(max(fl.sr) AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(NULL AS BIGINT) AS bits,
+           CAST(1152 * max(fl.nf) AS BIGINT) AS n_frames,
+           CAST((1152 * max(fl.nf) * 1000) // max(fl.sr) AS BIGINT)
+             AS duration_ms
+    FROM fl
+    GROUP BY doc_id
+    """,
+)
+def mm_mp3_vbr(spark, sf_dir):
+    """VBR MP3 metadata — the real-world form: a Xing header frame
+    (frames field) followed by audio frames whose bitrate CYCLES
+    128/160/192 kbps. The CBR estimate (payload // first-frame-length)
+    is wrong for these streams BY CONSTRUCTION, so this query only
+    hashes green through parse_mp3_header's Xing path (exact
+    frames × 1152); n_bytes additionally pins every per-frame length
+    in the cycle (the oracle sums them per doc). The Xing frame is
+    non-audio — decode_mp3_samples skips it (pytest-pinned)."""
+    from ..operators.multimodal import documents_as_mp3, extract_audio_features
+
+    media = documents_as_mp3(table(spark, sf_dir, "documents"), vbr=True)
+    return extract_audio_features(media)
+
+
+@q(
     "mm_ogg_meta",
     """
     WITH d AS (
@@ -1699,6 +1748,37 @@ def mm_id3_meta(spark, sf_dir):
     from ..operators.id3 import documents_as_tagged_mp3, extract_id3
 
     media = documents_as_tagged_mp3(table(spark, sf_dir, "documents"))
+    return extract_id3(media)
+
+
+@q(
+    "mm_id3v1_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 31 = 0
+                THEN substr('Song-' || CAST(doc_id % 89 AS VARCHAR)
+                            || repeat('x', 30), 1, 30)
+                ELSE 'Song-' || CAST(doc_id % 89 AS VARCHAR) END AS title,
+           'Artist-' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+           'Album-' || CAST(doc_id % 7 AS VARCHAR) AS album,
+           CAST(1970 + doc_id % 50 AS VARCHAR) AS year,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 + doc_id % 20 AS VARCHAR)
+                ELSE NULL END AS track
+    FROM documents
+    """,
+)
+def mm_id3v1_meta(spark, sf_dir):
+    """ID3v1/v1.1 TAIL-tag extraction (operators/id3.py::parse_id3v1)
+    — the fallback half of the real-world ID3 precedence: these MP3s
+    carry NO leading v2 tag, so the extractor must find the 128-byte
+    ``TAG`` block at the END of the payload. Odd ids are v1.1 (track
+    marker in the comment's last two bytes), even ids v1.0 (track
+    NULL); ids divisible by 31 have a full-width 30-char title with no
+    NUL terminator — the classic fixed-field edge. All closed-form
+    doc_id arithmetic. mapInPandas, zero shuffle."""
+    from ..operators.id3 import documents_as_v1_tagged_mp3, extract_id3
+
+    media = documents_as_v1_tagged_mp3(table(spark, sf_dir, "documents"))
     return extract_id3(media)
 
 

@@ -94,6 +94,58 @@ def parse_id3v2(payload: bytes | None) -> dict | None:
     return out  # the ID3 header matched: a tag exists, fields best-effort
 
 
+def parse_id3v1(payload: bytes | None) -> dict | None:
+    """ID3v1/v1.1 TAIL tag: the fixed 128-byte ``TAG`` block at the end
+    of the file — title/artist/album 30 bytes each (Latin-1, NUL/space
+    padded), year 4, comment 30, genre 1; v1.1 steals the comment's
+    last two bytes for ``(0, track)``. Returns the same field dict as
+    :func:`parse_id3v2` or None when no tail tag exists."""
+    if payload is None or len(payload) < 128:
+        return None
+    b = bytes(payload)[-128:]
+    if b[:3] != b"TAG":
+        return None
+
+    def field(lo: int, hi: int) -> str | None:
+        s = b[lo:hi].split(b"\x00", 1)[0].decode("latin-1").strip()
+        return s or None
+
+    track = None
+    if b[125] == 0 and b[126] != 0:  # v1.1 track marker
+        track = str(b[126])
+    return {
+        "title": field(3, 33),
+        "artist": field(33, 63),
+        "album": field(63, 93),
+        "year": field(93, 97),
+        "track": track,
+    }
+
+
+def build_id3v1(
+    title: str = "",
+    artist: str = "",
+    album: str = "",
+    year: str = "",
+    track: int | None = None,
+) -> bytes:
+    """Spec-valid 128-byte ID3v1 (or v1.1 when ``track`` is set) tail
+    block, Latin-1, NUL-padded."""
+
+    def pad(s: str, n: int) -> bytes:
+        raw = s.encode("latin-1", "replace")[:n]
+        return raw + b"\x00" * (n - len(raw))
+
+    comment = bytearray(30)
+    if track is not None:
+        comment[28] = 0
+        comment[29] = track & 0xFF
+    return (
+        b"TAG" + pad(title, 30) + pad(artist, 30) + pad(album, 30)
+        + pad(year, 4) + bytes(comment) + bytes([255])
+    )
+
+
 ID3_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -107,15 +159,20 @@ ID3_SCHEMA = StructType(
 
 
 def extract_id3(media: DataFrame) -> DataFrame:
-    """mapInPandas ID3v2 extraction — Arrow-batched, zero shuffle, NULL
-    fields for untagged/non-MP3 payloads (never a failed job)."""
+    """mapInPandas ID3 extraction — ID3v2 (leading tag) first, ID3v1
+    (128-byte tail block) as the fallback, the real-world precedence.
+    Arrow-batched, zero shuffle, NULL fields for untagged/non-MP3
+    payloads (never a failed job)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "title", "artist", "album", "year", "track"]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                p = parse_id3v2(bytes(payload) if payload is not None else None)
+                raw = bytes(payload) if payload is not None else None
+                p = parse_id3v2(raw)
+                if p is None:
+                    p = parse_id3v1(raw)
                 if p is None:
                     rows.append((mid, None, None, None, None, None))
                 else:
@@ -188,6 +245,46 @@ def documents_as_tagged_mp3(docs: DataFrame) -> DataFrame:
                     encoding=did % 4,
                 )
                 rows.append((did, "audio", tag + mp3))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
+def documents_as_v1_tagged_mp3(docs: DataFrame) -> DataFrame:
+    """Adapter: the same two-frame CBR MP3, but tagged with a TAIL
+    ID3v1 block instead of a leading v2 tag — odd doc_ids get a v1.1
+    track marker, even ones plain v1.0 (track NULL), and one title is
+    exactly 30 chars to pin the no-NUL-terminator edge. All fields are
+    doc_id arithmetic ⇒ ``mm_id3v1_meta`` is exact-oracle-able, and
+    the extractor must take the v1 FALLBACK path (no v2 tag present).
+    mapInPandas, zero shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        frame = hdr + bytes(144 * 128000 // 44100 - 4)
+        mp3 = frame + frame
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                title = f"Song-{did % 89}"
+                if did % 31 == 0:
+                    title = (title + "x" * 30)[:30]  # full-width field
+                tag = build_id3v1(
+                    title=title,
+                    artist=f"Artist-{did % 13}",
+                    album=f"Album-{did % 7}",
+                    year=str(1970 + did % 50),
+                    track=(1 + did % 20) if did % 2 else None,
+                )
+                rows.append((did, "audio", mp3 + tag))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
     schema = StructType(

@@ -570,6 +570,13 @@ def decode_mp3_samples(payload: bytes, synth_window=None):
         pos = i + 4 + (2 if crc else 0)
         if pos + side_len > len(b):
             break
+        if n_frames == 0 and b[pos + side_len : pos + side_len + 4] in (
+            b"Xing", b"Info"
+        ):
+            # VBR header frame: metadata, not audio — skip it whole
+            # (real decoders do; its "granules" carry the Xing block)
+            i += frame_len
+            continue
         si = _read_side_info(b[pos : pos + side_len], channels)
         main_start_in_res = len(reservoir) - si["main_data_begin"]
         reservoir.extend(b[pos + side_len : i + frame_len])
@@ -685,25 +692,43 @@ def encode_mp3_frames(
     bitrate_idx: int = 9,
     granule_payload=None,
     global_gain: int = 210,
+    vbr_pattern: list[int] | None = None,
+    xing: bool = False,
 ) -> bytes:
-    """Build ``n_frames`` spec-valid CBR MPEG-1 Layer III frames.
+    """Build ``n_frames`` spec-valid MPEG-1 Layer III audio frames.
     ``granule_payload`` is None for silence, else ``(pairs, quads)``
     written identically into every granule/channel (big_values =
     len(pairs), count1 region = len(quads) quads, long blocks, all
-    scalefactors zero, table 1 / count1 table B)."""
+    scalefactors zero, table 1 / count1 table B). ``vbr_pattern``
+    cycles per-frame bitrate indexes (the VBR form); ``xing`` prepends
+    a non-audio Xing frame (at ``bitrate_idx``) whose frames field is
+    ``n_frames`` — the LAME/real-world VBR header."""
     sr_idx = _SAMPLERATE_V1.index(sr)
-    bitrate = _BITRATE_V1_L3[bitrate_idx] * 1000
-    frame_len = 144 * bitrate // sr  # no padding bit used
     mode = 3 if channels == 1 else 0
-    header = bytes([
-        0xFF,
-        0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
-        (bitrate_idx << 4) | (sr_idx << 2),
-        mode << 6,
-    ])
+    side_len = 17 if channels == 1 else 32
+
+    def header_for(br_idx: int) -> tuple[bytes, int]:
+        bitrate = _BITRATE_V1_L3[br_idx] * 1000
+        return bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            mode << 6,
+        ]), 144 * bitrate // sr  # no padding bit used
+
     pairs, quads = granule_payload if granule_payload else ([], [])
     out = bytearray()
-    for _ in range(n_frames):
+    if xing:
+        hdr, flen = header_for(bitrate_idx)
+        body = bytearray(flen - 4)
+        # zeroed side info, then the Xing block: magic + flags + frames
+        body[side_len : side_len + 4] = b"Xing"
+        body[side_len + 4 : side_len + 8] = (1).to_bytes(4, "big")
+        body[side_len + 8 : side_len + 12] = n_frames.to_bytes(4, "big")
+        out += hdr + bytes(body)
+    for k in range(n_frames):
+        br_idx = vbr_pattern[k % len(vbr_pattern)] if vbr_pattern else bitrate_idx
+        header, frame_len = header_for(br_idx)
         md = _BitWriter()
         p23 = [
             [_encode_granule_bits(md, pairs, quads, global_gain)
@@ -730,7 +755,6 @@ def encode_mp3_frames(
                 sw.write(0, 1)  # preflag
                 sw.write(0, 1)  # scalefac_scale
                 sw.write(1, 1)  # count1table_select = B
-        side_len = 17 if channels == 1 else 32
         sw.pad_to(side_len)
         md.pad_to(frame_len - 4 - side_len)
         out += header + bytes(sw.out) + bytes(md.out)

@@ -1555,9 +1555,9 @@ def documents_as_flac(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(build, schema)
 
 
-def documents_as_mp3(docs: DataFrame) -> DataFrame:
+def documents_as_mp3(docs: DataFrame, vbr: bool = False) -> DataFrame:
     """Adapter: synthesize a REAL MPEG-1 Layer III stream per document
-    — spec-valid CBR frames of DIGITAL SILENCE (``part2_3_length = 0``
+    — spec-valid frames of DIGITAL SILENCE (``part2_3_length = 0``
     in every granule: zero spectrum in, and the whole decode chain —
     side info, scalefactors, huffman budget, requantize, IMDCT,
     overlap-add, polyphase synthesis — must produce exactly 0.0 out,
@@ -1566,7 +1566,12 @@ def documents_as_mp3(docs: DataFrame) -> DataFrame:
     {44100, 48000, 32000} by doc_id % 3, channels 1 + doc_id % 2,
     frames 2 + doc_id % 6, bitrate index 9 + doc_id % 3 — so
     ``mm_mp3_signal``'s sample counts and zero features are exact
-    closed-form SQL. Arrow-batched mapInPandas, no shuffle."""
+    closed-form SQL. ``vbr=True`` emits the real-world VBR form
+    instead: a leading Xing header frame (frames field = the audio
+    frame count) + audio frames cycling bitrate indexes 9/10/11 —
+    the CBR length estimate is WRONG for these streams by
+    construction, so ``mm_mp3_vbr`` only hashes green through the
+    Xing path. Arrow-batched mapInPandas, no shuffle."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp3codec import encode_mp3_frames
@@ -1584,6 +1589,8 @@ def documents_as_mp3(docs: DataFrame) -> DataFrame:
                         channels=1 + did % 2,
                         n_frames=2 + did % 6,
                         bitrate_idx=9 + did % 3,
+                        vbr_pattern=[9, 10, 11] if vbr else None,
+                        xing=vbr,
                     ),
                     rate,
                 ))
@@ -1806,10 +1813,13 @@ _MP3_SAMPLERATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025
 def parse_mp3_header(payload: bytes | None) -> tuple | None:
     """MPEG Layer III frame-header parse (pure python, ISO 11172-3 /
     13818-3 tables): returns ``(sample_rate, channels, None,
-    total_samples, duration_ms)`` — bits is None (lossy codec), sample
-    count is the CBR estimate payload_bytes // frame_length × samples-
-    per-frame. Skips a leading ID3v2 tag (syncsafe size), scans (capped
-    at 64 KiB) for an 11-bit frame sync VALIDATED by a second
+    total_samples, duration_ms)`` — bits is None (lossy codec). Sample
+    count: when the first frame carries a Xing/Info VBR header with the
+    frames field (the LAME/real-world VBR form), total = xing_frames ×
+    samples-per-frame EXACTLY (the Xing frame itself is not audio);
+    otherwise the CBR estimate payload_bytes // frame_length ×
+    samples-per-frame. Skips a leading ID3v2 tag (syncsafe size), scans
+    (capped at 64 KiB) for an 11-bit frame sync VALIDATED by a second
     consecutive frame header — a stray 0xFF Ex in non-audio binary
     stays None. None for non-MP3 / reserved headers."""
     if payload is None or len(payload) < 4:
@@ -1862,6 +1872,15 @@ def parse_mp3_header(payload: bytes | None) -> tuple | None:
             i += 1
             continue  # single frame must exactly fill the payload
         channels = 1 if ((h3 >> 6) & 3) == 3 else 2
+        # Xing/Info VBR header: sits after the side info of the first
+        # frame; its frames field is the exact audio frame count
+        side = (17 if channels == 1 else 32) if v1 else (9 if channels == 1 else 17)
+        x = i + 4 + (2 if not (h1 & 1) else 0) + side
+        if b[x : x + 4] in (b"Xing", b"Info") and x + 12 <= len(b):
+            flags = int.from_bytes(b[x + 4 : x + 8], "big")
+            if flags & 1:  # frames field present
+                total = int.from_bytes(b[x + 8 : x + 12], "big") * spf
+                return sr, channels, None, total, (total * 1000) // sr
         n_mp3_frames = (len(b) - i) // max(frame_len, 1)
         total = n_mp3_frames * spf
         return sr, channels, None, total, (total * 1000) // sr

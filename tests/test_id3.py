@@ -60,3 +60,41 @@ def test_distributed_lane(spark):
     assert got[1]["title"] == FIELDS["title"] and got[1]["year"] == "1999"
     assert got[2]["title"] is None and got[3]["title"] is None
     assert len(got) == 3
+
+
+def test_id3v1_tail_tag_roundtrip():
+    from seaexplorertools_spark.operators.id3 import build_id3v1, parse_id3v1
+
+    tag = build_id3v1("T", "A", "B", "1999", track=7)
+    assert len(tag) == 128
+    p = parse_id3v1(b"\xff\xfbaudio bytes" + tag)
+    assert p == {"title": "T", "artist": "A", "album": "B",
+                 "year": "1999", "track": "7"}
+    # v1.0: no track marker
+    p = parse_id3v1(b"x" * 40 + build_id3v1("only", year="2001"))
+    assert p["track"] is None and p["title"] == "only"
+    # full-width 30-char field, no NUL terminator
+    p = parse_id3v1(build_id3v1("x" * 40))
+    assert p["title"] == "x" * 30
+    assert parse_id3v1(b"no tag here" * 20) is None
+    assert parse_id3v1(None) is None
+    assert parse_id3v1(b"short") is None
+
+
+def test_id3_precedence_v2_wins_over_v1(spark):
+    from seaexplorertools_spark.operators.id3 import (
+        build_id3v1,
+        build_id3v2,
+        extract_id3,
+    )
+
+    body = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    both = build_id3v2(title="v2title") + body + build_id3v1("v1title")
+    v1only = body + build_id3v1("v1title", track=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(both)), (2, bytearray(v1only))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_id3(df).collect()}
+    assert rows[1]["title"] == "v2title"  # leading v2 wins
+    assert rows[2]["title"] == "v1title" and rows[2]["track"] == "3"

@@ -204,3 +204,35 @@ def test_documents_as_mp3_contract_shape(spark):
         assert r["n_frames"] == 1152 * (2 + did % 6)
         assert r["rms"] == 0.0 and r["peak"] == 0.0
         assert r["zero_cross_rate"] == 0.0
+
+
+def test_vbr_stream_with_xing_header():
+    """Per-frame bitrates vary; the Xing frame is metadata, not audio —
+    decode skips it, parse uses its exact frame count."""
+    from seaexplorertools_spark.operators.multimodal import parse_mp3_header
+
+    b = encode_mp3_frames(
+        sr=44100, channels=1, n_frames=5, bitrate_idx=9,
+        vbr_pattern=[9, 10, 11], xing=True,
+    )
+    sr, ch, s = decode_mp3_samples(b)
+    assert s.shape == (5 * 1152, 1) and np.all(s == 0.0)  # Xing skipped
+    rate, channels, bits, total, dur = parse_mp3_header(b)
+    assert total == 5 * 1152  # exact via Xing, NOT the CBR estimate
+    # the CBR estimate over this payload would be wrong by construction:
+    flens = [144 * br * 1000 // 44100 for br in (128, 160, 192)]
+    xing_len = flens[0]
+    payload_audio = xing_len + sum(flens[k % 3] for k in range(5))
+    assert len(b) == payload_audio
+    assert (len(b) // flens[0]) * 1152 != total
+
+
+def test_info_magic_also_recognized():
+    from seaexplorertools_spark.operators.multimodal import parse_mp3_header
+
+    b = bytearray(encode_mp3_frames(sr=48000, n_frames=3, xing=True))
+    pos = b.find(b"Xing")
+    b[pos : pos + 4] = b"Info"  # CBR files write 'Info' with same layout
+    assert parse_mp3_header(bytes(b))[3] == 3 * 1152
+    sr, ch, s = decode_mp3_samples(bytes(b))
+    assert s.shape == (3 * 1152, 1)
