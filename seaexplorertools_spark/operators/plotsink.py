@@ -171,8 +171,16 @@ def render_heatmap(
         len(format_tick(y_range[0])), len(format_tick(y_range[1]))
     ) + 2) if y_range else 2
     top, bottom = 8, (8 if x_range else 2)
-    canvas = np.full((top + ph + bottom, left + pw + 2, 3), 255, np.uint8)
+    bar_w = 10 if ph >= 16 else 0  # colorbar legend when there's room
+    canvas = np.full(
+        (top + ph + bottom, left + pw + 2 + (bar_w + 2 if bar_w else 0), 3),
+        255, np.uint8,
+    )
     canvas[top : top + ph, left : left + pw] = img
+    if bar_w:
+        canvas[top : top + ph, left + pw + 2 : left + pw + 2 + bar_w] = (
+            colorbar_strip(ph, bar_w)
+        )
     draw_text(canvas, 1, 1, f"{format_tick(lo)} {format_tick(hi)}")
     if y_range:
         draw_text(canvas, 1, top, format_tick(y_range[0]))
@@ -190,6 +198,16 @@ def _encode(img) -> bytes:
     from .multimodal import encode_png
 
     return encode_png(img.shape[1], img.shape[0], img.tobytes())
+
+
+def colorbar_strip(height: int, width: int = 10):
+    """Vertical viridis gradient (max value at the top) as an
+    (height, width, 3) uint8 array — the legend strip ``axes=True``
+    composites to the right of the heatmap."""
+    import numpy as np
+
+    t = np.linspace(1.0, 0.0, height)
+    return np.repeat(colormap_rgb_array(t)[:, None, :], width, axis=1)
 
 
 def render_track(

@@ -89,6 +89,20 @@ def test_render_heatmap_axes_margins():
     assert np.any(np.all(a[24:] == 0, axis=2))
 
 
+def test_axes_panel_has_colorbar_legend():
+    png = render_heatmap(
+        [[0.0, 1.0], [0.5, 0.25]], cell_px=8, axes=True,
+        x_range=(0.0, 10.0), y_range=(5.0, 45.0),
+    )
+    w, h, ch, px = decode_png_pixels(png)
+    a = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    # colorbar strip sits right of the grid: vmax color on top,
+    # vmin color at the bottom
+    bar_x = w - 12 + 5  # 10px strip + 2px right margin, probe mid-strip
+    assert tuple(a[8, bar_x]) == (253, 231, 37)
+    assert tuple(a[8 + 15, bar_x]) == (68, 1, 84)
+
+
 def test_render_track_line_and_marks():
     png = render_track([(0, 0), (9, 9)], width=10, height=10,
                        marks=[(0, 9)])
