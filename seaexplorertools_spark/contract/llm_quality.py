@@ -345,6 +345,79 @@ def mm_mp3_signal(spark, sf_dir):
 
 
 @q(
+    "mm_audio_resample",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             doc_id % 1000 - 500 AS a, doc_id % 7 - 3 AS b,
+             8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, rate, a, b, unnest(range(2 * n - 1)) AS k
+      FROM d
+    ),
+    v AS (
+      SELECT doc_id, n, rate, a + b * (k / 2.0) AS val
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(rate) AS BIGINT) AS src_rate,
+           CAST(2 * max(rate) AS BIGINT) AS target_rate,
+           CAST(2 * max(n) - 1 AS BIGINT) AS n_frames,
+           sqrt(sum(val * val) / (2 * max(n) - 1)) AS rms,
+           max(abs(val)) AS peak
+    FROM v GROUP BY doc_id
+    """,
+)
+def mm_audio_resample(spark, sf_dir):
+    """Linear-interp resampling under the exact oracle
+    (multimodal.py::resample_audio_features, factor 2): the FLAC ramp
+    fixtures decode to integer samples, the dyadic upsample grid
+    (k/2) is exact in float64, and a linear interpolant of a linear
+    ramp is the same ramp — so every resampled value, the quarter-
+    integer squares, their (order-independent) sums, rms and peak are
+    exact doubles the SQL reproduces term for term. Pins the whole
+    decode → channel-mean → interp-grid → stats chain; arbitrary
+    factors are replay-pinned in pytest. Zero shuffle."""
+    from ..operators.multimodal import documents_as_flac, resample_audio_features
+
+    media = documents_as_flac(table(spark, sf_dir, "documents"))
+    return resample_audio_features(media, upsample_factor=2)
+
+
+@q(
+    "mm_warc_http",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 AS BIGINT) AS rec_idx,
+           'http://site' || (doc_id % 40) || '.example.com/doc/' || doc_id
+             AS target_uri,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+                ELSE 301 END AS BIGINT) AS status_code,
+           CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+                WHEN 1 THEN 'text/plain'
+                ELSE 'application/json' END AS content_type,
+           text AS http_body
+    FROM documents
+    """,
+)
+def mm_warc_http(spark, sf_dir):
+    """HTTP-response parsing INSIDE WARC records — the two-layer
+    Common Crawl ingest shape: WARC framing outside (Content-Length
+    walk, per-record gzip on odd ids), raw HTTP framing inside (status
+    line, headers, CRLFCRLF payload split). The oracle pins status
+    code, Content-Type and the exact payload text per document;
+    warcinfo records and non-HTTP bodies are dropped by contract
+    (rec_idx = 1 everywhere proves the type filter). Zero shuffle,
+    per-payload degrade (operators/warc.py::warc_http_records)."""
+    from ..operators.warc import documents_as_http_warc, warc_http_records
+
+    media = documents_as_http_warc(table(spark, sf_dir, "documents"))
+    return warc_http_records(media)
+
+
+@q(
     "mm_mp3_vbr",
     """
     WITH d AS (
@@ -465,6 +538,33 @@ def mm_flac_tags(spark, sf_dir):
 
     media = documents_as_tagged_flac(table(spark, sf_dir, "documents"))
     return extract_flac_tags(media)
+
+
+@q(
+    "mm_ogg_tags",
+    """
+    SELECT doc_id AS media_id,
+           'seaexplorertools_spark' AS vendor,
+           'doc ' || doc_id || ' ♪' AS title,
+           'site' || (doc_id % 40) AS artist,
+           CAST(2000 + doc_id % 26 AS VARCHAR) AS date,
+           CAST(3 + doc_id % 2 + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_comments
+    FROM documents
+    """,
+)
+def mm_ogg_tags(spark, sf_dir):
+    """Vorbis-comment extraction through BOTH Ogg framings
+    (operators/ogg.py::extract_ogg_tags): even doc_ids carry the block
+    as an OpusTags packet, odd ids as the Vorbis comment-header packet
+    (``\\x03vorbis`` + block + framing bit) — one oracle (shared with
+    mm_flac_tags, same field derivations) pins the page walk to the
+    second packet, both magic framings, and the block parser reused
+    verbatim from the FLAC container. Zero shuffle, per-row degrade."""
+    from ..operators.ogg import documents_as_tagged_ogg, extract_ogg_tags
+
+    media = documents_as_tagged_ogg(table(spark, sf_dir, "documents"))
+    return extract_ogg_tags(media)
 
 
 @q(

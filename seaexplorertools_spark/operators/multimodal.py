@@ -1320,6 +1320,88 @@ WAV_SIGNAL_SCHEMA = StructType(
 )
 
 
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_rate", LongType(), True),
+        StructField("target_rate", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+    ]
+)
+
+
+def resample_audio_features(
+    media: DataFrame, upsample_factor: int = 2
+) -> DataFrame:
+    """Linear-interpolation resample of decoded audio (WAV → FLAC → MP3
+    sniff chain) to ``src_rate × upsample_factor``, reduced to
+    rms/peak of the resampled channel-mean waveform — the DSP step a
+    mixed-rate audio corpus runs before batching into fixed-rate
+    training windows. Output grid: t_k = k / factor over the source
+    index axis, n_out = (n − 1)·factor + 1 (no extrapolation beyond the
+    hull — the np.interp convention).
+
+    Exactness note: for power-of-two factors the grid positions are
+    exact dyadic doubles, so on integer-sample sources (the FLAC ramp
+    fixtures) every interpolated value, and therefore rms/peak, is an
+    exact double — ``mm_audio_resample`` runs factor 2 under an exact
+    SQL oracle; arbitrary factors are supported and replay-pinned in
+    pytest. Non-decodable payloads yield NULL features, never a failed
+    job. Arrow-batched mapInPandas, zero shuffle."""
+    import numpy as np
+
+    from .flaccodec import decode_flac_samples
+    from .mp3codec import decode_mp3_samples
+
+    if upsample_factor < 1:
+        raise ValueError("upsample_factor must be >= 1")
+
+    def decode_any(payload: bytes):
+        try:
+            return decode_wav_samples(payload)
+        except (ValueError, ZeroDivisionError):
+            pass
+        try:
+            return decode_flac_samples(payload)
+        except (ValueError, ZeroDivisionError):
+            pass
+        return decode_mp3_samples(payload)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = upsample_factor
+        cols = ["media_id", "src_rate", "target_rate", "n_frames", "rms", "peak"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, ch, s = decode_any(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, ZeroDivisionError):
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                if len(s) < 2:
+                    rows.append((mid, rate, rate * f, len(s) * f if len(s) else 0,
+                                 None, None))
+                    continue
+                mono = s.astype(np.float64).mean(axis=1)
+                n_out = (len(mono) - 1) * f + 1
+                pos = np.arange(n_out, dtype=np.float64) / f
+                out = np.interp(pos, np.arange(len(mono), dtype=np.float64), mono)
+                rows.append((
+                    mid, rate, rate * f, n_out,
+                    float(np.sqrt(np.mean(out**2))),
+                    float(np.max(np.abs(out))),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, RESAMPLE_SCHEMA
+    )
+
+
 def wav_signal_features(media: DataFrame) -> DataFrame:
     """REAL signal features from decoded samples (no codec libs): WAV
     PCM16/PCM24/float32 first, then FLAC (CONSTANT/VERBATIM/FIXED/LPC

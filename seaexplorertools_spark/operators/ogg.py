@@ -123,18 +123,26 @@ def build_ogg_opus(
     preskip: int = 312,
     n_samples: int = 960,
     n_audio_pages: int = 1,
+    tags: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """Spec-valid minimal Ogg Opus stream: BOS OpusHead page, OpusTags
-    page, ``n_audio_pages`` opaque audio pages splitting ``n_samples``
-    48 kHz samples, EOS flag on the last."""
+    page (fixed minimal body, or a real Vorbis-comment block when
+    ``tags`` is given), ``n_audio_pages`` opaque audio pages splitting
+    ``n_samples`` 48 kHz samples, EOS flag on the last."""
     head = (
         b"OpusHead" + bytes([1, channels])
         + preskip.to_bytes(2, "little")
         + input_rate.to_bytes(4, "little")
         + b"\x00\x00" + bytes([0])
     )
-    tags = b"OpusTags" + (4).to_bytes(4, "little") + b"spkg" + (0).to_bytes(4, "little")
-    out = _page(7, 0, 0, head, 0x02) + _page(7, 1, 0, tags)
+    if tags is None:
+        tag_body = (
+            b"OpusTags" + (4).to_bytes(4, "little") + b"spkg"
+            + (0).to_bytes(4, "little")
+        )
+    else:
+        tag_body = b"OpusTags" + _comment_block(tags)
+    out = _page(7, 0, 0, head, 0x02) + _page(7, 1, 0, tag_body)
     per = n_samples // n_audio_pages if n_audio_pages else 0
     acc = 0
     for k in range(n_audio_pages):
@@ -144,17 +152,25 @@ def build_ogg_opus(
     return out
 
 
-def build_ogg_vorbis(channels: int = 2, rate: int = 44100, n_samples: int = 4096) -> bytes:
-    """Spec-valid minimal Ogg Vorbis stream: BOS ident page + one EOS
-    audio page carrying the final granule."""
+def build_ogg_vorbis(
+    channels: int = 2,
+    rate: int = 44100,
+    n_samples: int = 4096,
+    tags: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Spec-valid minimal Ogg Vorbis stream: BOS ident page
+    [+ comment-header page when ``tags`` is given] + one EOS audio page
+    carrying the final granule."""
     ident = (
         b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
         + rate.to_bytes(4, "little") + b"\x00" * 12 + bytes([0xB8, 0x01])
     )
-    return (
-        _page(9, 0, 0, ident, 0x02)
-        + _page(9, 1, n_samples, b"\x00" * 16, 0x04)
-    )
+    out = _page(9, 0, 0, ident, 0x02)
+    seq = 1
+    if tags is not None:
+        out += _page(9, seq, 0, b"\x03vorbis" + _comment_block(tags) + b"\x01")
+        seq += 1
+    return out + _page(9, seq, n_samples, b"\x00" * 16, 0x04)
 
 
 def documents_as_ogg(docs):
@@ -195,6 +211,131 @@ def documents_as_ogg(docs):
                         rate=(44100, 32000, 22050)[did % 3],
                         n_samples=1024 * (1 + did % 7),
                     )
+                rows.append((did, "audio", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
+def _comment_block(tags) -> bytes:
+    vendor = b"seaexplorertools_spark"
+    out = bytearray(len(vendor).to_bytes(4, "little") + vendor)
+    out += len(tags).to_bytes(4, "little")
+    for k, v in tags:
+        field = f"{k}={v}".encode("utf-8")
+        out += len(field).to_bytes(4, "little") + field
+    return bytes(out)
+
+
+def parse_ogg_tags(payload: bytes | None) -> tuple | None:
+    """Ogg bytes → the same ``(vendor, comments, n_comments)`` tuple as
+    FLAC's ``parse_vorbis_comment``: OpusTags and the Vorbis comment
+    header both carry a verbatim Vorbis-comment block (little-endian,
+    UTF-8) — Ogg just frames it in the stream's SECOND packet/page.
+    None for non-Ogg payloads or a missing/unparseable tag packet."""
+    from .vorbis import _parse_block
+
+    if payload is None or len(payload) < 28:
+        return None
+    b = bytes(payload)
+    pos = 0
+    page_no = 0
+    while pos + 27 <= len(b) and page_no < 4:
+        if b[pos : pos + 4] != b"OggS":
+            return None
+        nseg = b[pos + 26]
+        if pos + 27 + nseg > len(b):
+            return None
+        body_len = sum(b[pos + 27 : pos + 27 + nseg])
+        body = b[pos + 27 + nseg : pos + 27 + nseg + body_len]
+        if page_no > 0:  # tag packet is the second packet of the stream
+            if body[:8] == b"OpusTags":
+                return _parse_block(body[8:])
+            if body[:7] == b"\x03vorbis":
+                return _parse_block(body[7:])
+        pos += 27 + nseg + body_len
+        page_no += 1
+    return None
+
+
+def extract_ogg_tags(media):
+    """mapInPandas Ogg tag extraction — same output shape as FLAC's
+    ``extract_flac_tags`` (vendor/title/artist/date/n_comments): one
+    Vorbis-comment surface across both containers. NULLs for non-Ogg /
+    untagged payloads, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .vorbis import FLAC_TAGS_SCHEMA
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "vendor", "title", "artist", "date", "n_comments"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = parse_ogg_tags(
+                    bytes(payload) if payload is not None else None
+                )
+                if p is None:
+                    rows.append((mid, None, None, None, None, None))
+                else:
+                    vendor, c, n = p
+                    rows.append(
+                        (mid, vendor, c.get("title"), c.get("artist"),
+                         c.get("date"), n)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, FLAC_TAGS_SCHEMA
+    )
+
+
+def documents_as_tagged_ogg(docs):
+    """Adapter: tagged Ogg streams alternating codec framing — even
+    doc_ids OpusTags, odd ids the Vorbis comment-header packet — with
+    the SAME field derivations as `documents_as_tagged_flac` (title
+    ``doc «id» ♪``, artist ``site«id % 40»``, date ``2000 + id % 26``,
+    GENRE on odd ids, duplicate TITLE on ids divisible by 10), so one
+    oracle shape pins the comment block through BOTH Ogg framings.
+    mapInPandas, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tags = [
+                    ("TITLE", f"doc {did} ♪"),
+                    ("ARTIST", f"site{did % 40}"),
+                    ("DATE", str(2000 + did % 26)),
+                ]
+                if did % 2:
+                    tags.append(("GENRE", "corpus"))
+                if did % 10 == 0:
+                    tags.append(("TITLE", "duplicate ignored"))
+                payload = (
+                    build_ogg_opus(tags=tags) if did % 2 == 0
+                    else build_ogg_vorbis(tags=tags)
+                )
                 rows.append((did, "audio", payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 

@@ -205,3 +205,130 @@ def documents_as_warc(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id", "text").mapInPandas(build, schema)
+
+
+HTTP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rec_idx", LongType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("status_code", LongType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("http_body", StringType(), True),
+    ]
+)
+
+
+def split_http_response(body: bytes) -> tuple | None:
+    """WARC ``response`` record body → ``(status_code, headers dict
+    (lower-name), payload bytes)`` — Common Crawl stores the raw HTTP
+    response INSIDE the WARC body; the payload starts after the first
+    CRLFCRLF. None when the body is not an HTTP response (kept opaque).
+    Header names lowercase; first occurrence wins; a malformed header
+    line is skipped, not fatal."""
+    if not body.startswith(b"HTTP/"):
+        return None
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    head = body[:sep].split(b"\r\n")
+    parts = head[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        k, eq, v = line.partition(b":")
+        if eq and k:
+            name = k.decode("ascii", "replace").strip().lower()
+            if name not in headers:
+                headers[name] = v.decode("utf-8", "replace").strip()
+    return status, headers, body[sep + 4 :]
+
+
+def warc_http_records(media: DataFrame) -> DataFrame:
+    """mapInPandas WARC→HTTP explode: one row per ``response`` record
+    whose body is an HTTP response — status code, Content-Type, and the
+    UTF-8-decoded payload after the header block. Records of other
+    types, or response bodies that are not HTTP, are dropped (the plain
+    ``warc_records`` lane keeps them); malformed payloads contribute
+    zero rows. Zero shuffle — the ingest shape of a Common Crawl
+    segment: WARC framing outside, HTTP framing inside."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "rec_idx", "target_uri", "status_code",
+                "content_type", "http_body"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    recs = parse_warc_records(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    continue
+                for k, r in enumerate(recs):
+                    if r["headers"].get("warc-type") != "response":
+                        continue
+                    sp = split_http_response(r["body"])
+                    if sp is None:
+                        continue
+                    status, hh, pay = sp
+                    rows.append(
+                        (mid, k, r["headers"].get("warc-target-uri"),
+                         status, hh.get("content-type"),
+                         pay.decode("utf-8", "replace"))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(extract, HTTP_SCHEMA)
+
+
+def documents_as_http_warc(docs: DataFrame) -> DataFrame:
+    """Adapter: Common-Crawl-shaped WARC per document — a warcinfo
+    record plus a ``response`` record whose body is a REAL HTTP
+    response: status cycles 200/404/301 (with matching reason), a
+    Content-Type cycling text/html / text/plain / application/json, an
+    X-Doc header, and the document text as the payload. Odd ids are
+    per-record-gzipped. Everything ``mm_warc_http`` checks is doc_id
+    arithmetic + the text column. mapInPandas, zero shuffle."""
+    import gzip as _gzip
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def record(wtype: str, body: bytes, extra: dict[str, str]) -> bytes:
+            hdrs = {"WARC-Type": wtype, **extra, "Content-Length": str(len(body))}
+            head = b"WARC/1.0\r\n" + b"".join(
+                f"{k}: {v}\r\n".encode() for k, v in hdrs.items()
+            )
+            return head + b"\r\n" + body + b"\r\n\r\n"
+
+        statuses = [(200, "OK"), (404, "Not Found"), (301, "Moved Permanently")]
+        ctypes = ["text/html; charset=utf-8", "text/plain", "application/json"]
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                code, reason = statuses[did % 3]
+                http = (
+                    f"HTTP/1.1 {code} {reason}\r\n"
+                    f"Content-Type: {ctypes[did % 3]}\r\n"
+                    f"X-Doc: {did}\r\n\r\n"
+                ).encode() + str(text).encode()
+                uri = f"http://site{did % 40}.example.com/doc/{did}"
+                r0 = record("warcinfo", b"software: seaexplorertools_spark", {})
+                r1 = record("response", http, {"WARC-Target-URI": uri})
+                payload = (
+                    _gzip.compress(r0, 1, mtime=0) + _gzip.compress(r1, 1, mtime=0)
+                    if did % 2 else r0 + r1
+                )
+                rows.append((did, "warc", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(build, schema)

@@ -236,3 +236,37 @@ def test_info_magic_also_recognized():
     assert parse_mp3_header(bytes(b))[3] == 3 * 1152
     sr, ch, s = decode_mp3_samples(bytes(b))
     assert s.shape == (3 * 1152, 1)
+
+
+def test_resample_audio_features_replay(spark):
+    """Arbitrary (non-dyadic) factor pinned by a direct numpy replay,
+    plus the degrade contract."""
+    import io
+    import wave as wavemod
+
+    from seaexplorertools_spark.operators.multimodal import (
+        resample_audio_features,
+    )
+
+    rng = np.random.default_rng(11)
+    sig = rng.integers(-20000, 20000, (500, 2)).astype("<i2")
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in
+            resample_audio_features(df, upsample_factor=3).collect()}
+    mono = sig.astype(np.float64).mean(axis=1)
+    n_out = (len(mono) - 1) * 3 + 1
+    out = np.interp(np.arange(n_out) / 3.0, np.arange(len(mono)), mono)
+    assert rows[1]["src_rate"] == 8000 and rows[1]["target_rate"] == 24000
+    assert rows[1]["n_frames"] == n_out
+    assert rows[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(out**2))), rel=1e-12)
+    assert rows[1]["peak"] == pytest.approx(float(np.max(np.abs(out))), rel=1e-12)
+    assert rows[2]["rms"] is None

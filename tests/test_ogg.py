@@ -79,3 +79,33 @@ def test_audio_lane_integration(spark):
         else:
             assert r["n_frames"] == 1024 * (1 + did % 7)
             assert r["n_bytes"] == 102
+
+
+def test_ogg_tags_both_framings():
+    from seaexplorertools_spark.operators.ogg import parse_ogg_tags
+
+    tags = [("TITLE", "t ♪"), ("ARTIST", "a"), ("title", "dup ignored")]
+    for b in (build_ogg_opus(tags=tags), build_ogg_vorbis(tags=tags)):
+        vendor, c, n = parse_ogg_tags(b)
+        assert vendor == "seaexplorertools_spark"
+        assert c["title"] == "t ♪" and c["artist"] == "a" and n == 3
+    # untagged default opus stream: minimal OpusTags, zero comments
+    vendor, c, n = parse_ogg_tags(build_ogg_opus())
+    assert vendor == "spkg" and c == {} and n == 0
+    # untagged vorbis (no comment page at all) and non-ogg: None
+    assert parse_ogg_tags(build_ogg_vorbis()) is None
+    assert parse_ogg_tags(b"junk") is None
+
+
+def test_ogg_tags_spark_lane(spark):
+    from seaexplorertools_spark.operators.ogg import (
+        documents_as_tagged_ogg,
+        extract_ogg_tags,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 10, 13)], "doc_id long")
+    rows = {r["media_id"]: r for r in
+            extract_ogg_tags(documents_as_tagged_ogg(docs)).collect()}
+    assert rows[0]["title"] == "doc 0 ♪" and rows[0]["n_comments"] == 4
+    assert rows[1]["n_comments"] == 4 and rows[13]["artist"] == "site13"
+    assert rows[10]["title"] == "doc 10 ♪"  # duplicate TITLE ignored
