@@ -394,10 +394,11 @@ def _decode_image_pixels_native(payload: bytes) -> tuple[int, int, int, bytes] |
 def _decode_image_pixels(
     payload: bytes, native: bool | None = None
 ) -> tuple[int, int, int, bytes] | None:
-    """Try PNG, JPEG (baseline + progressive), GIF (frame 0), then BMP;
-    None when no codec accepts the payload. The SINGLE place the codec
-    chain and its exception tuple live — decode_real / resize_images /
-    image_signal_features / ahash_images all degrade through here.
+    """Try PNG, JPEG (baseline + progressive), GIF (frame 0), BMP, then
+    baseline TIFF; None when no codec accepts the payload. The SINGLE
+    place the codec chain and its exception tuple live — decode_real /
+    resize_images / image_signal_features / ahash_images all degrade
+    through here.
 
     ``native`` — True: try PIL first (the fast path; ~10-100× on JPEG),
     falling back per-payload to the pure-python chain; False: pure
@@ -405,6 +406,7 @@ def _decode_image_pixels(
     None: the ``SPARK_GRAFT_NATIVE_CODECS`` policy (auto-dispatch when
     PIL is importable)."""
     from .jpegcodec import decode_jpeg_pixels
+    from .tiffcodec import decode_tiff_pixels
 
     if native is None:
         native = _native_codecs_enabled()
@@ -417,6 +419,7 @@ def _decode_image_pixels(
         decode_jpeg_pixels,
         decode_gif_pixels,
         decode_bmp_pixels,
+        decode_tiff_pixels,
     ):
         try:
             return codec(payload)
@@ -1335,8 +1338,8 @@ RESAMPLE_SCHEMA = StructType(
 def resample_audio_features(
     media: DataFrame, upsample_factor: int = 2
 ) -> DataFrame:
-    """Linear-interpolation resample of decoded audio (WAV → FLAC → MP3
-    sniff chain) to ``src_rate × upsample_factor``, reduced to
+    """Linear-interpolation resample of decoded audio (WAV → FLAC →
+    AIFF → MP3 sniff chain) to ``src_rate × upsample_factor``, reduced to
     rms/peak of the resampled channel-mean waveform — the DSP step a
     mixed-rate audio corpus runs before batching into fixed-rate
     training windows. Output grid: t_k = k / factor over the source
@@ -1352,6 +1355,7 @@ def resample_audio_features(
     job. Arrow-batched mapInPandas, zero shuffle."""
     import numpy as np
 
+    from .aiff import decode_aiff_samples
     from .flaccodec import decode_flac_samples
     from .mp3codec import decode_mp3_samples
 
@@ -1359,14 +1363,11 @@ def resample_audio_features(
         raise ValueError("upsample_factor must be >= 1")
 
     def decode_any(payload: bytes):
-        try:
-            return decode_wav_samples(payload)
-        except (ValueError, ZeroDivisionError):
-            pass
-        try:
-            return decode_flac_samples(payload)
-        except (ValueError, ZeroDivisionError):
-            pass
+        for dec in (decode_wav_samples, decode_flac_samples, decode_aiff_samples):
+            try:
+                return dec(payload)
+            except (ValueError, ZeroDivisionError):
+                pass
         return decode_mp3_samples(payload)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1410,8 +1411,9 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
     (mp3codec.decode_mp3_samples — side info, bit reservoir,
     scalefactors, huffman subset, requantize, IMDCT, polyphase
     synthesis; streams outside the documented decode subset degrade to
-    NULL features, see mp3codec's honest-scope docstring) — the same
-    WAV → FLAC → MP3 sniff order as extract_audio_features. Per
+    NULL features, see mp3codec's honest-scope docstring), with AIFF
+    (operators/aiff.py, big-endian PCM 8/16/24) tried between FLAC and
+    MP3 — the same sniff order as extract_audio_features. Per
     payload: RMS and peak of the channel-mean waveform (in the payload's
     native sample units — int16/int24 counts, float [-1,1], or the MP3
     decoder's requantized-spectrum units) and the
@@ -1424,18 +1426,16 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
     resize_images(mode="decode"))."""
     import numpy as np
 
+    from .aiff import decode_aiff_samples
     from .flaccodec import decode_flac_samples
     from .mp3codec import decode_mp3_samples
 
     def decode_any(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-        try:
-            return decode_wav_samples(payload)
-        except (ValueError, ZeroDivisionError):
-            pass
-        try:
-            return decode_flac_samples(payload)
-        except (ValueError, ZeroDivisionError):
-            pass
+        for dec in (decode_wav_samples, decode_flac_samples, decode_aiff_samples):
+            try:
+                return dec(payload)
+            except (ValueError, ZeroDivisionError):
+                pass
         return decode_mp3_samples(payload)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1508,6 +1508,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .aiff import parse_aiff_header
         from .ogg import parse_ogg_header
 
         for pdf in batches:
@@ -1521,6 +1522,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     p = parse_mp3_header(payload)
                 if p is None:
                     p = parse_ogg_header(payload)
+                if p is None:
+                    p = parse_aiff_header(payload)
                 if p is None:
                     rows.append((mid, n, None, None, None, None, None))
                 else:
@@ -1691,6 +1694,46 @@ def documents_as_mp3(docs: DataFrame, vbr: bool = False) -> DataFrame:
     return docs.select("doc_id").mapInPandas(build, schema)
 
 
+def documents_as_aiff(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL AIFF per document with the SAME ramp
+    derivations as documents_as_flac — mono 16-bit samples ``a + b·i``
+    with ``n = 64 + doc_id % 64``, ``a = doc_id % 1000 - 500``,
+    ``b = doc_id % 7 - 3``, rate ``8000 + (doc_id % 8) · 1000`` — so
+    ``mm_aiff_signal`` reuses the proven closed-form signal oracle while
+    exercising the big-endian PCM decode and the 80-bit extended-float
+    rate field, and ``mm_aiff_meta``'s byte count is exact container
+    arithmetic (54 + 2n bytes: FORM+type 12, COMM 8+18, SSND 8+8+2n).
+    Arrow-batched mapInPandas; partition-preserving, no shuffle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .aiff import encode_aiff
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                a = did % 1000 - 500
+                b = did % 7 - 3
+                samples = a + b * np.arange(n, dtype=np.int64)
+                rate = 8000 + (did % 8) * 1000
+                rows.append((did, "audio", encode_aiff(rate, samples), rate))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "sample_rate"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("sample_rate", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
 IMAGE_SIGNAL_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1776,6 +1819,66 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
                 img[:, : w // 2] = a
                 img[:, w // 2 :] = b
                 rows.append((did, "image", encode_jpeg(w, h, img.tobytes()), w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
+def documents_as_tiff(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL baseline TIFF per document
+    (operators/tiffcodec.py::encode_tiff) with pixel value
+    ``a + b·y + c`` at row y / channel c, where ``a = doc_id % 200``,
+    ``b = doc_id % 4``, ``w = 8 + doc_id % 9``, ``h = 5 + doc_id % 7``
+    and channels 1 (even ids, grayscale) or 3 (odd ids, RGB) — max value
+    199 + 3·10 + 2 = 231 < 256, so no wraparound and the decoded
+    mean/min/max are closed-form in doc_id (the mean is a multiple of
+    1/4 ⇒ IEEE-exact). The container variants rotate independently of
+    the value pattern: byte order ``MM`` when (doc_id//2) is odd,
+    PackBits when doc_id % 3 == 0, multi-strip (RowsPerStrip=4) when
+    doc_id % 5 == 0 — one oracle pins both endiannesses, both
+    compressions and the strip walk. Arrow-batched mapInPandas;
+    partition-preserving, no shuffle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tiffcodec import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 9
+                h = 5 + did % 7
+                ch = 1 if did % 2 == 0 else 3
+                a = did % 200
+                b = did % 4
+                img = (
+                    a
+                    + b * np.arange(h, dtype=np.int64)[:, None, None]
+                    + np.arange(ch, dtype=np.int64)[None, None, :]
+                    + np.zeros((1, w, 1), dtype=np.int64)
+                ).astype(np.uint8)
+                payload = encode_tiff(
+                    w,
+                    h,
+                    img.tobytes(),
+                    ch,
+                    big_endian=bool((did // 2) % 2),
+                    packbits=did % 3 == 0,
+                    rows_per_strip=4 if did % 5 == 0 else None,
+                )
+                rows.append((did, "image", payload, w, h))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "width", "height"]
             )
