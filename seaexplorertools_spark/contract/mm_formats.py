@@ -1,0 +1,185 @@
+"""Multimodal container/format lanes added in round 8 — TIFF, AIFF,
+archive (ZIP/TAR) explosion, and the later format additions. Split out
+of llm_quality.py when it hit the contract-module size budget.
+
+Conventions: contract/_base.py; canonical key order: contract/_order.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ._base import ORACLES, QUERIES, q, r6, r6p, table  # noqa: F401
+
+
+@q(
+    "mm_tiff_pixels",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 200 AS a, doc_id % 4 AS b,
+             8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(ch AS BIGINT) AS channels,
+           a + b * (h - 1) / 2.0 + (ch - 1) / 2.0 AS mean_px,
+           CAST(a AS BIGINT) AS min_px,
+           CAST(a + b * (h - 1) + ch - 1 AS BIGINT) AS max_px
+    FROM p
+    """,
+)
+def mm_tiff_pixels(spark, sf_dir):
+    """Baseline TIFF decode → pixel statistics under an EXACT oracle
+    (operators/tiffcodec.py — the fifth codec in the image decode
+    chain, after PNG/JPEG/GIF/BMP): documents_as_tiff writes REAL
+    strip-organized TIFFs whose pixel value is ``a + b·y + c`` (row y,
+    channel c), rotating byte order (II/MM), compression
+    (none/PackBits) and strip layout (single/RowsPerStrip=4)
+    independently of the value pattern — TIFF is lossless, the values
+    stay < 256, and the mean is a multiple of 1/4 (IEEE-exact), so one
+    constructor oracle pins the IFD walk, both endiannesses, the
+    PackBits decoder and the multi-strip reassembly. native=False: the
+    pure-python chain is the oracle authority. mapInPandas, zero
+    shuffle, per-row degrade."""
+    from ..operators.multimodal import documents_as_tiff, image_signal_features
+
+    media = documents_as_tiff(table(spark, sf_dir, "documents"))
+    return image_signal_features(media, native=False)
+
+
+@q(
+    "mm_aiff_signal",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             doc_id % 1000 - 500 AS a, doc_id % 7 - 3 AS b,
+             8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, rate, unnest(range(n)) AS i,
+             a + b * unnest(range(n)) AS v
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n, rate, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels, CAST(max(n) AS BIGINT) AS n_frames,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) AS rms,
+           CAST(max(abs(v)) AS DOUBLE) AS peak,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / (max(n) - 1) AS zero_cross_rate
+    FROM c GROUP BY doc_id
+    """,
+)
+def mm_aiff_signal(spark, sf_dir):
+    """AIFF big-endian PCM decode → signal features
+    (operators/aiff.py::decode_aiff_samples via the shared audio lane):
+    documents_as_aiff reuses documents_as_flac's ramp derivations, so
+    the SAME closed-form oracle that pins the FLAC decode pins the IFF
+    chunk walk, the 80-bit extended-float sample-rate field and the
+    big-endian sample path — a byte-order bug in any of them moves
+    every statistic. Lossless ⇒ exact doubles. mapInPandas, zero
+    shuffle, per-row degrade."""
+    from ..operators.multimodal import documents_as_aiff, wav_signal_features
+
+    media = documents_as_aiff(table(spark, sf_dir, "documents"))
+    return wav_signal_features(media)
+
+
+@q(
+    "mm_aiff_meta",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(54 + 2 * n AS BIGINT) AS n_bytes,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST((n * 1000) // rate AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def mm_aiff_meta(spark, sf_dir):
+    """AIFF COMM-chunk metadata through the audio sniff chain
+    (multimodal.py::extract_audio_features, WAV → FLAC → MP3 → Ogg →
+    AIFF): documents_as_aiff's container layout is fixed (FORM+type 12,
+    COMM 8+18, SSND 8+8+2n bytes), so the payload size 54 + 2n and
+    every COMM field — rate (through the 80-bit extended-float
+    encoding), channels, bits, frame count, duration — are exact doc_id
+    arithmetic. The metadata twin of mm_aiff_signal. mapInPandas, zero
+    shuffle."""
+    from ..operators.multimodal import documents_as_aiff, extract_audio_features
+
+    media = documents_as_aiff(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+@q(
+    "mm_zip_records",
+    """
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS member_idx,
+           'doc/' || doc_id || '/body.txt' AS name,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+           coalesce(text, '') AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'doc/' || doc_id || '/meta.txt',
+           CAST(strlen('lang=' || lang) AS BIGINT), 'lang=' || lang
+    FROM documents
+    """,
+)
+def mm_zip_records(spark, sf_dir):
+    """ZIP archive explosion (operators/archives.py::zip_records — the
+    stdlib central-directory walk with per-member CRC-32 verification
+    and an inflate cap): documents_as_zip packs each document into a
+    real two-member archive, STORED for even doc_ids and DEFLATED for
+    odd, so one constructor oracle pins both compression methods, the
+    member ordering and the lossless byte round-trip. The archive twin
+    of mm_warc_records. mapInPandas explode, zero shuffle, malformed
+    archives degrade to zero rows."""
+    from ..operators.archives import documents_as_zip, zip_records
+
+    media = documents_as_zip(table(spark, sf_dir, "documents"))
+    return zip_records(media)
+
+
+@q(
+    "mm_tar_records",
+    """
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS member_idx,
+           'doc/' || doc_id || '/body.txt' AS name,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+           coalesce(text, '') AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'doc/' || doc_id || '/meta.txt',
+           CAST(strlen('lang=' || lang) AS BIGINT), 'lang=' || lang
+    FROM documents
+    """,
+)
+def mm_tar_records(spark, sf_dir):
+    """TAR archive explosion (operators/archives.py::tar_records):
+    same two-member fixture as mm_zip_records, but through the ustar
+    header walk — plain tar for even doc_ids, gzip-compressed
+    (transparent ``r:*`` detection) for odd, so the SAME oracle pins
+    the 512-byte block framing, the size octal field and the gunzip
+    branch. mapInPandas explode, zero shuffle, per-payload degrade."""
+    from ..operators.archives import documents_as_tar, tar_records
+
+    media = documents_as_tar(table(spark, sf_dir, "documents"))
+    return tar_records(media)
