@@ -183,3 +183,37 @@ def mm_tar_records(spark, sf_dir):
 
     media = documents_as_tar(table(spark, sf_dir, "documents"))
     return tar_records(media)
+
+
+@q(
+    "mm_avro_records",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS seq FROM d)
+    SELECT doc_id AS media_id,
+           doc_id,
+           CAST(seq AS BIGINT) AS seq,
+           CASE WHEN seq = 2 THEN NULL ELSE t END AS body,
+           doc_id % 97 + seq / 8.0 AS score
+    FROM s
+    """,
+)
+def mm_avro_records(spark, sf_dir):
+    """Avro Object Container File ingest (sources/avro.py): per
+    document a REAL OCF — header metadata map with the embedded JSON
+    schema, per-doc sync markers, 1 + doc_id % 3 records of
+    (long, long, [null,string], double) — decoded by the pure-python
+    block walk and exploded one row per record. Codec rotates
+    null/deflate by doc_id parity and payloads with ≥ 2 records are
+    written as TWO blocks, so one constructor oracle pins the varint/
+    zigzag integers, the null-union branch (body NULL at seq 2), the
+    raw-DEFLATE codec, the multi-block walk and the sync verification.
+    Scores are dyadic (seq/8) ⇒ IEEE-exact. mapInPandas explode, zero
+    shuffle, per-payload degrade."""
+    from ..sources.avro import avro_records, documents_as_avro
+
+    media = documents_as_avro(table(spark, sf_dir, "documents"))
+    return avro_records(media)
