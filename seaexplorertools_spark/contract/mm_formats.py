@@ -217,3 +217,39 @@ def mm_avro_records(spark, sf_dir):
 
     media = documents_as_avro(table(spark, sf_dir, "documents"))
     return avro_records(media)
+
+
+@q(
+    "mm_m4a_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  WHEN 2 THEN 32000 ELSE 22050 END AS rate,
+             1024 * (1 + doc_id % 5) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(518 + doc_id % 50 AS BIGINT) AS n_bytes,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST((n * 1000) // rate AS BIGINT) AS duration_ms
+    FROM d
+    """,
+)
+def mm_m4a_meta(spark, sf_dir):
+    """M4A/MP4 audio-track metadata through the audio sniff chain
+    (videocontainers.py::parse_m4a_header — the 'soun'-handler twin of
+    the mm_video_frames MP4 walk): documents_as_m4a writes a real
+    ftyp+moov container whose mdhd timescale equals the sample rate, so
+    frame count, duration, channels, bits and the 16.16 stsd rate are
+    exact doc_id arithmetic, and the trailing 'free' pad box varies the
+    byte count deterministically (518 + doc_id % 50). Completes the
+    web-audio metadata family: WAV, FLAC, MP3 (CBR+VBR), Ogg
+    (Opus+Vorbis), AIFF, M4A. mapInPandas, zero shuffle."""
+    from ..operators.multimodal import documents_as_m4a, extract_audio_features
+
+    media = documents_as_m4a(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)

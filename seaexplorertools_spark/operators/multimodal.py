@@ -1473,7 +1473,8 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """mapInPandas audio-metadata extraction — Arrow-batched, zero
     shuffle. WAV (RIFF chunk walk, nested worker-side copy), then FLAC
-    STREAMINFO, then MPEG Layer III frame headers (module-level parsers
+    STREAMINFO, then MPEG Layer III frame headers, then Ogg
+    (Opus/Vorbis), AIFF and M4A/MP4 audio tracks (module-level parsers
     — workers must import this package, same contract as
     resize_images(mode="decode")); unrecognized payloads yield NULL
     metadata. ``bits`` is NULL for MP3 (lossy); MP3 frame counts are the
@@ -1510,6 +1511,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .aiff import parse_aiff_header
         from .ogg import parse_ogg_header
+        from .videocontainers import parse_m4a_header
 
         for pdf in batches:
             rows = []
@@ -1524,6 +1526,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     p = parse_ogg_header(payload)
                 if p is None:
                     p = parse_aiff_header(payload)
+                if p is None:
+                    p = parse_m4a_header(payload)
                 if p is None:
                     rows.append((mid, n, None, None, None, None, None))
                 else:
@@ -1719,6 +1723,46 @@ def documents_as_aiff(docs: DataFrame) -> DataFrame:
                 samples = a + b * np.arange(n, dtype=np.int64)
                 rate = 8000 + (did % 8) * 1000
                 rows.append((did, "audio", encode_aiff(rate, samples), rate))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "sample_rate"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("sample_rate", LongType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(build, schema)
+
+
+def documents_as_m4a(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a REAL minimal M4A container per document
+    (videocontainers.py::encode_m4a) — rate ∈ {44100, 48000, 32000,
+    22050} by doc_id % 4, channels 1 + doc_id % 2, 16-bit stsd entry,
+    mdhd duration 1024·(1 + doc_id % 5) samples at timescale == rate,
+    and a trailing 'free' pad box of 1 + doc_id % 50 bytes — so the
+    container size (518 + doc_id % 50) and every parsed field are exact
+    doc_id arithmetic for ``mm_m4a_meta``. Arrow-batched mapInPandas;
+    partition-preserving, no shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .videocontainers import encode_m4a
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = (44100, 48000, 32000, 22050)[did % 4]
+                payload = encode_m4a(
+                    rate,
+                    1 + did % 2,
+                    1024 * (1 + did % 5),
+                    pad=1 + did % 50,
+                )
+                rows.append((did, "audio", payload, rate))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "sample_rate"]
             )

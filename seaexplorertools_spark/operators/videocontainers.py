@@ -375,3 +375,122 @@ def encode_avi(frames: list[bytes], us_per_frame: int = 40000,
     movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def parse_m4a_header(payload: bytes | None) -> tuple | None:
+    """MP4/M4A AUDIO-track metadata — the container half of the real-
+    world ``.m4a``/``.mp4`` audio corpus: (sample_rate, channels, bits,
+    n_frames, duration_ms) from the first 'soun'-handler track's mdhd
+    (timescale + duration) and stsd audio sample entry (channel count,
+    sample size, 16.16 sample rate), the same sniff-chain tuple shape
+    as parse_wav/flac/mp3/ogg/aiff headers. ``n_frames`` is the mdhd
+    duration in media-timescale units (equal to the PCM sample count
+    when, as encoders conventionally do, timescale == sample rate);
+    the encoded AAC payload itself stays opaque (decode needs a
+    licensed codec — out of honest pure-python scope). Returns None
+    for non-MP4 payloads or video-only files."""
+    if payload is None or len(payload) < 16:
+        return None
+    b = bytes(payload)
+    try:
+        boxes = list(_iter_boxes(b, 0, len(b)))
+        types = [t for t, _, _ in boxes]
+        if b"ftyp" not in types or b"moov" not in types:
+            return None
+        moov = next((s, e) for t, s, e in boxes if t == b"moov")
+        for typ, ts, te in _iter_boxes(b, *moov):
+            if typ != b"trak":
+                continue
+            mdia = _find_box(b, ts, te, [b"mdia"])
+            if mdia is None:
+                continue
+            hdlr = _find_box(b, *mdia, [b"hdlr"])
+            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+                continue
+            mdhd = _find_box(b, *mdia, [b"mdhd"])
+            if mdhd is None:
+                return None
+            hs, he = mdhd
+            ver = b[hs]
+            if ver == 0:
+                if hs + 20 > he:
+                    return None
+                timescale = _be32(b, hs + 12)
+                duration = _be32(b, hs + 16)
+            else:
+                if hs + 32 > he:
+                    return None
+                timescale = _be32(b, hs + 20)
+                duration = int.from_bytes(b[hs + 24 : hs + 32], "big")
+            stsd = _find_box(b, *mdia, [b"minf", b"stbl", b"stsd"])
+            channels = bits = rate = None
+            if stsd is not None:
+                entry = _full_box(b, stsd) + 4  # past entry count
+                if entry + 36 <= stsd[1]:
+                    channels = int.from_bytes(b[entry + 24 : entry + 26], "big")
+                    bits = int.from_bytes(b[entry + 26 : entry + 28], "big")
+                    rate = _be32(b, entry + 32) >> 16
+            if not rate or not timescale:
+                return None
+            return (
+                rate,
+                channels,
+                bits,
+                duration,
+                (duration * 1000) // timescale,
+            )
+    except ValueError:
+        return None
+    return None
+
+
+def encode_m4a(rate: int, channels: int, n_samples: int, bits: int = 16,
+               pad: int = 0) -> bytes:
+    """Hand-assemble a minimal spec-valid M4A container (fixture
+    generator): ftyp('M4A ') + moov with one 'soun' track — mdhd with
+    timescale == sample rate (so duration IS the sample count), an
+    'mp4a' stsd entry carrying channels/bits/16.16-rate, and empty
+    sample tables (the encoded bitstream is out of scope; metadata is
+    the product). ``pad`` appends a 'free' box of 8+pad bytes so
+    fixture payload sizes can vary deterministically."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    def full(typ: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(typ, bytes([ver, 0, 0, 0]) + body)
+
+    ftyp = box(b"ftyp", b"M4A " + (0).to_bytes(4, "big") + b"M4A mp42isom")
+    mdhd = full(b"mdhd", (0).to_bytes(8, "big") + rate.to_bytes(4, "big")
+                + n_samples.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big")
+                + (0).to_bytes(2, "big"))
+    hdlr = full(b"hdlr", (0).to_bytes(4, "big") + b"soun"
+                + (0).to_bytes(12, "big") + b"\x00")
+    mp4a = ((0).to_bytes(6, "big") + (1).to_bytes(2, "big")
+            + (0).to_bytes(8, "big") + channels.to_bytes(2, "big")
+            + bits.to_bytes(2, "big") + (0).to_bytes(4, "big")
+            + (rate << 16).to_bytes(4, "big"))
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + box(b"mp4a", mp4a))
+    stts = full(b"stts", (0).to_bytes(4, "big"))
+    stsc = full(b"stsc", (0).to_bytes(4, "big"))
+    stsz = full(b"stsz", (0).to_bytes(8, "big"))
+    stco = full(b"stco", (0).to_bytes(4, "big"))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = full(b"smhd", (0).to_bytes(4, "big"))
+    dinf = box(b"dinf", full(b"dref", (1).to_bytes(4, "big")
+               + (12).to_bytes(4, "big") + b"url \x00\x00\x00\x01"))
+    minf = box(b"minf", smhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", (0).to_bytes(8, "big") + (1).to_bytes(4, "big")
+                + (0).to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+                + (0).to_bytes(60, "big"))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", (0).to_bytes(8, "big") + rate.to_bytes(4, "big")
+                + n_samples.to_bytes(4, "big") + (0x10000).to_bytes(4, "big")
+                + (0x100).to_bytes(2, "big") + (0).to_bytes(74, "big")
+                + (2).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + trak)
+    out = ftyp + moov
+    if pad:
+        out += box(b"free", b"\x00" * pad)
+    return out

@@ -200,3 +200,56 @@ def test_video_frame_features_mjpeg_and_degrade(spark):
     assert x[0]["mean_px"] == 70.0
     assert x[1]["mean_px"] is None and x[1]["time_ms"] == 40
     assert 4 not in by  # non-container: vacuous, no rows
+
+
+# ---------------------------------------------------------------- M4A audio
+
+
+def test_m4a_header_roundtrip():
+    from seaexplorertools_spark.operators.videocontainers import (
+        encode_m4a,
+        parse_m4a_header,
+    )
+
+    for rate, ch, n, pad in [(44100, 2, 132300, 0), (22050, 1, 1024, 13),
+                             (48000, 2, 4096, 49)]:
+        p = encode_m4a(rate, ch, n, pad=pad)
+        assert parse_m4a_header(p) == (rate, ch, 16, n, n * 1000 // rate)
+        assert len(p) == 509 + ((8 + pad) if pad else 0)
+
+
+def test_m4a_rejects_and_video_mp4_not_claimed():
+    from seaexplorertools_spark.operators.videocontainers import (
+        encode_mp4,
+        parse_m4a_header,
+        parse_mp4_frames,
+    )
+
+    assert parse_m4a_header(None) is None
+    assert parse_m4a_header(b"") is None
+    assert parse_m4a_header(b"\x00" * 64) is None
+    # a VIDEO-only MP4 must not be claimed by the audio parser, and the
+    # M4A fixture must not be claimed by the video walk
+    vid = encode_mp4([b"frame0", b"frame1"])
+    assert parse_m4a_header(vid) is None
+    from seaexplorertools_spark.operators.videocontainers import encode_m4a
+
+    with __import__("pytest").raises(ValueError):
+        parse_mp4_frames(encode_m4a(44100, 2, 1024))
+
+
+def test_m4a_spark_lane(spark):
+    from seaexplorertools_spark.operators.multimodal import (
+        documents_as_m4a,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = {r["media_id"]: r for r in
+            extract_audio_features(documents_as_m4a(docs)).collect()}
+    for did, r in rows.items():
+        rate = (44100, 48000, 32000, 22050)[did % 4]
+        n = 1024 * (1 + did % 5)
+        assert r["n_bytes"] == 518 + did % 50
+        assert (r["sample_rate"], r["channels"], r["bits"]) == (rate, 1 + did % 2, 16)
+        assert (r["n_frames"], r["duration_ms"]) == (n, n * 1000 // rate)
