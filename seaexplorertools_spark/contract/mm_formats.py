@@ -253,3 +253,35 @@ def mm_m4a_meta(spark, sf_dir):
 
     media = documents_as_m4a(table(spark, sf_dir, "documents"))
     return extract_audio_features(media)
+
+
+@q(
+    "mm_pdf_text",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, k, unnest(range(k)) AS i FROM d)
+    SELECT doc_id AS media_id,
+           CAST(max(k) AS BIGINT) AS n_pages,
+           string_agg('Doc ' || doc_id || ' page ' || i || chr(10) || t,
+                      chr(10) ORDER BY i) AS text
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_pdf_text(spark, sf_dir):
+    """PDF text extraction (operators/pdfcodec.py): per document a
+    REAL multi-page PDF (valid xref, shared font, Tj/T* content
+    streams; FlateDecode on odd ids) built by encode_pdf, then parsed
+    back by the object-scan extractor — page count from /Type /Page
+    objects, text from the content-stream operator walk. The document
+    text rides through the literal-string escape bijection (parens,
+    backslashes, newlines), so a single constructor oracle pins the
+    whole build→walk→inflate→operator-scan path including the page
+    order and the T* line separators. mapInPandas, zero shuffle,
+    per-row degrade."""
+    from ..operators.pdfcodec import documents_as_pdf, pdf_text
+
+    media = documents_as_pdf(table(spark, sf_dir, "documents"))
+    return pdf_text(media)
