@@ -285,3 +285,53 @@ def mm_pdf_text(spark, sf_dir):
 
     media = documents_as_pdf(table(spark, sf_dir, "documents"))
     return pdf_text(media)
+
+
+@q(
+    "mm_docx_text",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_paragraphs,
+           'Doc ' || doc_id || ' & <"notes">' || chr(10) || coalesce(text, '')
+             || CASE WHEN doc_id % 2 = 1 THEN chr(10) || 'fin' ELSE '' END AS text
+    FROM documents
+    """,
+)
+def mm_docx_text(spark, sf_dir):
+    """DOCX text extraction (operators/docx.py): per document a REAL
+    Office Open XML package — [Content_Types], package rels, and a
+    word/document.xml whose first paragraph carries &, < and " through
+    the XML entity escaping — unpacked by the stdlib ZIP walk and
+    scanned for <w:p>/<w:t> runs. ZIP and entity escaping are both
+    lossless, so the constructor oracle pins the package walk, the run
+    concatenation, the paragraph join and the entity decode (&amp;
+    last). mapInPandas, zero shuffle, per-row degrade."""
+    from ..operators.docx import documents_as_docx, docx_text
+
+    media = documents_as_docx(table(spark, sf_dir, "documents"))
+    return docx_text(media)
+
+
+@q(
+    "mm_compressed_text",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
+                ELSE 'xz' END AS codec,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+           coalesce(text, '') AS text
+    FROM documents
+    """,
+)
+def mm_compressed_text(spark, sf_dir):
+    """Transparent dump-file decompression
+    (operators/archives.py::decompress_text): documents compressed
+    with gzip / bzip2 / xz rotating on doc_id % 3, sniffed by magic and
+    inflated under the member cap — all three codecs lossless, so one
+    constructor oracle pins every sniff branch, the inflate byte count
+    and the UTF-8 round-trip. The single-file twin of the WARC gzip
+    path. mapInPandas, zero shuffle, per-row degrade."""
+    from ..operators.archives import decompress_text, documents_as_compressed
+
+    media = documents_as_compressed(table(spark, sf_dir, "documents"))
+    return decompress_text(media)

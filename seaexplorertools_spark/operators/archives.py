@@ -191,3 +191,106 @@ def documents_as_tar(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id", "text", "lang").mapInPandas(build, schema)
+
+
+COMPRESSED_TEXT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _sniff_decompress(b: bytes) -> tuple[str, bytes]:
+    """(codec name, decompressed bytes) for gzip / bzip2 / xz payloads
+    by magic, each behind the same inflate cap. ValueError otherwise."""
+    if b[:2] == b"\x1f\x8b":
+        import zlib
+
+        d = zlib.decompressobj(31)  # gzip wrapper
+        out = d.decompress(b, _MAX_MEMBER)
+        if d.unconsumed_tail:
+            raise ValueError("gzip payload exceeds inflate cap")
+        return "gzip", out
+    if b[:3] == b"BZh":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(b, _MAX_MEMBER)
+        if not d.eof and d.needs_input is False:
+            raise ValueError("bzip2 payload exceeds inflate cap")
+        return "bzip2", out
+    if b[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        d = lzma.LZMADecompressor()
+        out = d.decompress(b, _MAX_MEMBER)
+        if not d.eof and d.needs_input is False:
+            raise ValueError("xz payload exceeds inflate cap")
+        return "xz", out
+    raise ValueError("not a gzip/bzip2/xz payload")
+
+
+def decompress_text(media: DataFrame) -> DataFrame:
+    """Transparent single-file decompression — the lane a dump-file
+    corpus (\\*.txt.gz, \\*.bz2 wiki dumps, \\*.xz tarball shards) runs at
+    ingest: sniff gzip/bzip2/xz by magic, inflate under the member cap,
+    decode UTF-8 with replacement. (media_id, codec, n_bytes, text);
+    unrecognized/corrupt payloads degrade to NULLs. Arrow-batched
+    mapInPandas, zero shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "codec", "n_bytes", "text"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                try:
+                    codec, out = _sniff_decompress(bytes(payload))
+                except Exception:
+                    rows.append((mid, None, None, None))
+                    continue
+                rows.append((mid, codec, len(out), out.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, COMPRESSED_TEXT_SCHEMA
+    )
+
+
+def documents_as_compressed(docs: DataFrame) -> DataFrame:
+    """Adapter: each document's text compressed with gzip (mtime=0) /
+    bzip2 / xz rotating on doc_id % 3 — all three codecs lossless, so
+    ``mm_compressed_text``'s constructor oracle pins every sniff branch
+    and the inflate byte counts in one query."""
+    import bz2
+    import gzip
+    import lzma
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = (text or "").encode("utf-8")
+                if did % 3 == 0:
+                    payload = gzip.compress(raw, mtime=0)
+                elif did % 3 == 1:
+                    payload = bz2.compress(raw)
+                else:
+                    payload = lzma.compress(raw)
+                rows.append((did, "compressed", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(build, schema)
