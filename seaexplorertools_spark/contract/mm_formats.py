@@ -335,3 +335,35 @@ def mm_compressed_text(spark, sf_dir):
 
     media = documents_as_compressed(table(spark, sf_dir, "documents"))
     return decompress_text(media)
+
+
+@q(
+    "mm_msgpack_records",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS seq FROM d)
+    SELECT doc_id AS media_id,
+           doc_id,
+           CAST(seq AS BIGINT) AS seq,
+           CASE WHEN seq = 2 THEN NULL ELSE t END AS body,
+           doc_id % 89 + seq / 4.0 AS score
+    FROM s
+    """,
+)
+def mm_msgpack_records(spark, sf_dir):
+    """MessagePack dump ingest (sources/msgpack.py): per document a
+    real concatenated-map stream — 1 + doc_id % 3 record maps plus a
+    trailing bare-int value the lane must structurally skip — decoded
+    by the pure-python wire walk (fixint→uint ladder, nil at seq 2,
+    float64 scores, length-bounded strings) and exploded onto the fixed
+    (doc_id, seq, body, score) shape. The schemaless twin of
+    mm_avro_records, under the same constructor oracle pattern; scores
+    are dyadic (seq/4) ⇒ IEEE-exact. mapInPandas explode, zero shuffle,
+    per-payload degrade."""
+    from ..sources.msgpack import documents_as_msgpack, msgpack_records
+
+    media = documents_as_msgpack(table(spark, sf_dir, "documents"))
+    return msgpack_records(media)
