@@ -367,3 +367,36 @@ def mm_msgpack_records(spark, sf_dir):
 
     media = documents_as_msgpack(table(spark, sf_dir, "documents"))
     return msgpack_records(media)
+
+
+@q(
+    "mm_subtitle_cues",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             replace(replace(coalesce(text, ''), chr(13), ' '), chr(10), ' ') AS t,
+             1 + doc_id % 4 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS i FROM d)
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS cue_idx,
+           CAST(i * 2000 + (doc_id % 5) * 100 AS BIGINT) AS start_ms,
+           CAST(i * 2000 + (doc_id % 5) * 100 + 1500 AS BIGINT) AS end_ms,
+           CASE WHEN i = 0 THEN t ELSE 'Cue ' || i END AS text
+    FROM s
+    """,
+)
+def mm_subtitle_cues(spark, sf_dir):
+    """Subtitle/transcript ingest (operators/subtitles.py): per
+    document a REAL subtitle file — SRT block framing for even ids,
+    WebVTT (header + dot-milliseconds) for odd — exploded one row per
+    cue. The timestamps are integer arithmetic formatted and re-parsed
+    through HH:MM:SS±mmm in both dialects and cue 0 carries the
+    document text, so one constructor oracle pins the block framing,
+    both timing syntaxes and the text passthrough. mapInPandas explode,
+    zero shuffle, per-payload degrade."""
+    from ..operators.subtitles import documents_as_subtitles, subtitle_cues
+
+    media = documents_as_subtitles(table(spark, sf_dir, "documents"))
+    return subtitle_cues(media)
