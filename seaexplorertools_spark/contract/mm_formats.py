@@ -400,3 +400,80 @@ def mm_subtitle_cues(spark, sf_dir):
 
     media = documents_as_subtitles(table(spark, sf_dir, "documents"))
     return subtitle_cues(media)
+
+
+@q(
+    "mm_mbox_records",
+    """
+    WITH d AS (
+      SELECT doc_id, replace(coalesce(text, ''), chr(13), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS msg_idx,
+           'user' || (doc_id % 40) || '@example.com' AS from_addr,
+           'Thread ' || (doc_id % 17) AS subject,
+           'Thu, 01 Jan 1970 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ' +0000' AS date,
+           t || chr(10) || 'From the archive' AS body
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1,
+           'user' || ((doc_id + 1) % 40) || '@example.com',
+           'Re: Thread ' || (doc_id % 17),
+           'Thu, 01 Jan 1970 00:01:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ' +0000',
+           'reply to doc ' || doc_id
+    FROM d
+    """,
+)
+def mm_mbox_records(spark, sf_dir):
+    """mbox mailing-list ingest (operators/mailbox.py): per document a
+    real two-message mbox — a plain 7-bit message whose body carries
+    the document text plus an mboxrd-stuffed ``>From `` line (the
+    extractor must unstuff it, and the stuffing is what keeps the
+    envelope split unambiguous), and a multipart/alternative reply
+    whose text/plain leaf the MIME walk must pick over the text/html
+    one. Headers are closed-form doc_id arithmetic, so one constructor
+    oracle pins the envelope split, the stdlib header parse, the
+    multipart selection and the unstuffing. mapInPandas explode, zero
+    shuffle, per-payload degrade."""
+    from ..operators.mailbox import documents_as_mbox, mbox_records
+
+    media = documents_as_mbox(table(spark, sf_dir, "documents"))
+    return mbox_records(media)
+
+
+@q(
+    "mm_notebook_cells",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS cell_idx,
+           'markdown' AS cell_type,
+           '# Doc ' || doc_id || chr(10) || 'source ' || (doc_id % 9) AS source,
+           CAST(2 AS BIGINT) AS n_lines
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'code',
+           'x = ' || doc_id || chr(10) || '# ' || t,
+           2
+    FROM d
+    UNION ALL
+    SELECT doc_id, 2, 'raw', '', 0 FROM d
+    """,
+)
+def mm_notebook_cells(spark, sf_dir):
+    """Jupyter notebook cell explosion (operators/notebooks.py): per
+    document a real nbformat-4 JSON notebook — markdown cell with
+    LIST-shaped source, code cell with STRING source carrying the
+    document text through JSON escaping, raw cell with empty source —
+    one row per cell with type and line count. JSON is lossless, so
+    the constructor oracle pins the parse, both source shapes and the
+    n_lines arithmetic. The code-corpus twin of the mm_zip_records
+    ingest shape. mapInPandas explode, zero shuffle, per-payload
+    degrade."""
+    from ..operators.notebooks import documents_as_notebooks, notebook_cells
+
+    media = documents_as_notebooks(table(spark, sf_dir, "documents"))
+    return notebook_cells(media)

@@ -1,0 +1,129 @@
+"""mbox and .ipynb ingest: envelope split + MIME walk + unstuffing,
+RFC-2047 headers, quoted-printable transfer decode, notebook source
+shapes, hostile degrade, and the Spark explode lanes."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from seaexplorertools_spark.operators.mailbox import (
+    parse_mbox,
+    split_mbox,
+)
+from seaexplorertools_spark.operators.notebooks import parse_notebook_cells
+
+
+def _msg(frm, subject, body, extra_headers=""):
+    return (
+        f"From {frm} Thu Jan  1 00:00:00 1970\n"
+        f"From: {frm}\nSubject: {subject}\n"
+        "Content-Type: text/plain; charset=utf-8\n"
+        f"{extra_headers}\n{body}\n"
+    )
+
+
+def test_split_and_parse():
+    blob = (_msg("a@example.com", "one", "hello\n>From stuffed line")
+            + "\n" + _msg("b@example.com", "two", "world")).encode()
+    msgs = parse_mbox(blob)
+    assert [m["subject"] for m in msgs] == ["one", "two"]
+    assert msgs[0]["body"] == "hello\nFrom stuffed line"
+    assert msgs[1]["from_addr"] == "b@example.com"
+    with pytest.raises(ValueError):
+        split_mbox(b"not an mbox")
+
+
+def test_rfc2047_and_quoted_printable():
+    blob = (
+        "From x@example.com Thu Jan  1 00:00:00 1970\n"
+        "From: x@example.com\n"
+        "Subject: =?utf-8?q?na=C3=AFve_subject?=\n"
+        "Content-Type: text/plain; charset=utf-8\n"
+        "Content-Transfer-Encoding: quoted-printable\n"
+        "\nna=C3=AFve body =E2=99=AA\n"
+    ).encode()
+    msgs = parse_mbox(blob)
+    assert msgs[0]["subject"] == "naïve subject"
+    assert msgs[0]["body"] == "naïve body ♪"
+
+
+def test_multipart_picks_text_plain():
+    blob = (
+        "From m@example.com Thu Jan  1 00:00:00 1970\n"
+        "From: m@example.com\nSubject: mp\n"
+        'Content-Type: multipart/alternative; boundary="X"\n'
+        "\n--X\nContent-Type: text/html\n\n<b>html</b>\n"
+        "--X\nContent-Type: text/plain\n\nplain wins\n--X--\n"
+    ).encode()
+    assert parse_mbox(blob)[0]["body"] == "plain wins"
+
+
+def test_html_only_degrades_to_empty():
+    blob = (
+        "From h@example.com Thu Jan  1 00:00:00 1970\n"
+        "From: h@example.com\nSubject: h\nContent-Type: text/html\n"
+        "\n<p>only html</p>\n"
+    ).encode()
+    assert parse_mbox(blob)[0]["body"] == ""
+
+
+def test_notebook_cells():
+    nb = {
+        "nbformat": 4,
+        "cells": [
+            {"cell_type": "markdown", "source": ["# a\n", "b"]},
+            {"cell_type": "code", "source": "x = 1\ny = 2\nz = 3"},
+            {"cell_type": "raw", "source": ""},
+            "not a dict — skipped",
+            {"cell_type": "code", "source": 42},
+        ],
+    }
+    cells = parse_notebook_cells(json.dumps(nb).encode())
+    assert [(c["cell_type"], c["n_lines"]) for c in cells] == [
+        ("markdown", 2), ("code", 3), ("raw", 0), ("code", 0),
+    ]
+    assert cells[0]["source"] == "# a\nb"
+    for bad in (b"not json", b"[1,2]", b'{"cells": 5}', None):
+        with pytest.raises(ValueError):
+            parse_notebook_cells(bad)
+
+
+def test_spark_lanes(spark):
+    from seaexplorertools_spark.operators.mailbox import (
+        documents_as_mbox,
+        mbox_records,
+    )
+    from seaexplorertools_spark.operators.notebooks import (
+        documents_as_notebooks,
+        notebook_cells,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(4)], "doc_id long, text string"
+    )
+    mrows = sorted(
+        mbox_records(documents_as_mbox(docs)).collect(),
+        key=lambda r: (r["media_id"], r["msg_idx"]),
+    )
+    assert len(mrows) == 8
+    for r in mrows:
+        did = r["media_id"]
+        if r["msg_idx"] == 0:
+            assert r["body"] == f"text {did}\nFrom the archive"
+            assert r["subject"] == f"Thread {did % 17}"
+        else:
+            assert r["body"] == f"reply to doc {did}"
+    nrows = sorted(
+        notebook_cells(documents_as_notebooks(docs)).collect(),
+        key=lambda r: (r["media_id"], r["cell_idx"]),
+    )
+    assert len(nrows) == 12
+    assert [r["cell_type"] for r in nrows[:3]] == ["markdown", "code", "raw"]
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [b"garbage", None]})
+    )
+    assert mbox_records(mixed).count() == 0
+    assert notebook_cells(mixed).count() == 0
