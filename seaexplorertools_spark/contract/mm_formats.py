@@ -477,3 +477,150 @@ def mm_notebook_cells(spark, sf_dir):
 
     media = documents_as_notebooks(table(spark, sf_dir, "documents"))
     return notebook_cells(media)
+
+
+@q(
+    "q_chat_flatten",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CASE WHEN doc_id % 7 = 0 THEN 'dangling'
+                  WHEN doc_id % 2 = 1 THEN 'extra' ELSE 'base' END AS kind
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, t, kind,
+        '<|system|>' || chr(10) || 'You are a helpful assistant.'
+          || chr(10) || '<|end|>' || chr(10)
+          || '<|user|>' || chr(10) || t || chr(10) || '<|end|>' || chr(10)
+          || '<|assistant|>' || chr(10) || 'ack ' || doc_id || chr(10)
+          || '<|end|>' AS base_r,
+        'ack ' || doc_id AS a1,
+        'detail ' || (doc_id % 13) AS a2
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(CASE kind WHEN 'dangling' THEN 4 WHEN 'extra' THEN 5
+           ELSE 3 END AS BIGINT) AS n_turns,
+      kind <> 'dangling' AS valid,
+      CASE kind
+        WHEN 'dangling' THEN base_r || chr(10) || '<|user|>' || chr(10)
+          || 'are you there?' || chr(10) || '<|end|>'
+        WHEN 'extra' THEN base_r || chr(10) || '<|user|>' || chr(10)
+          || 'more on ' || (doc_id % 13) || chr(10) || '<|end|>' || chr(10)
+          || '<|assistant|>' || chr(10) || a2 || chr(10) || '<|end|>'
+        ELSE base_r END AS rendered,
+      CAST(CASE WHEN kind = 'extra' THEN length(a1) + length(a2)
+           ELSE length(a1) END AS BIGINT) AS n_assistant_chars
+    FROM r
+    """,
+)
+def q_chat_flatten(spark, sf_dir):
+    """Chat-transcript SFT prep (operators/chat.py) — the deliberately
+    PURE-JVM lane: JSON transcripts are parsed with ``from_json``,
+    validated with higher-order functions (known roles, one leading
+    system turn, strict user/assistant alternation, assistant-final,
+    non-empty content), rendered with the role-tag template via
+    ``transform``+``concat_ws``, and the supervised-char budget summed
+    with ``aggregate`` over a ``filter`` — zero Python workers, zero
+    shuffle, one whole-stage-codegen projection. The fixture plants a
+    dangling-user violation on doc_id % 7 == 0 so BOTH validity
+    outcomes are oracle-pinned, and the fixture itself is built
+    JVM-side with ``to_json``."""
+    from ..operators.chat import chat_flatten, documents_as_transcripts
+
+    tr = documents_as_transcripts(table(spark, sf_dir, "documents"))
+    return chat_flatten(tr).select(
+        "doc_id", "n_turns", "valid", "rendered", "n_assistant_chars"
+    )
+
+
+@q(
+    "q_robots_rules",
+    """
+    SELECT doc_id, CAST(1 AS BIGINT) AS group_id, '*' AS ua,
+           'disallow' AS directive,
+           '/private/' || (doc_id % 5) || '/' AS path
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, '*', 'allow', '/public/' FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'gptbot', 'disallow', '/' FROM documents
+    WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, 2, 'ccbot', 'disallow', '/' FROM documents
+    WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, -1, CAST(NULL AS VARCHAR), 'sitemap',
+           'https://site' || (doc_id % 40) || '.example.com/sitemap-'
+             || doc_id || '.xml'
+    FROM documents
+    """,
+)
+def q_robots_rules(spark, sf_dir):
+    """robots.txt → denormalized rules table (operators/robots.py):
+    the RFC-9309 group state machine as Spark primitives — posexplode
+    lines, codegen regex directive split, group ids via a host-
+    partitioned window (running sum of group starts, where a group
+    starts at a User-agent line NOT preceded by another), then one
+    (host, group) equi-join to fan rules out per user-agent. The
+    fixture plants stacked User-agent lines (gptbot+ccbot — a wrong
+    group-start predicate merges or splits them), an inline comment, a
+    Crawl-delay line that must drop, and a group-independent Sitemap.
+    All host-partitioned: one shuffle on the host key, no global
+    ordering."""
+    from ..operators.robots import documents_as_robots, robots_rules
+
+    media = documents_as_robots(table(spark, sf_dir, "documents"))
+    return robots_rules(media)
+
+
+@q(
+    "q_robots_allowed",
+    """
+    WITH f AS (
+      SELECT doc_id, '/private/' || (doc_id % 5) || '/x' AS path,
+             doc_id % 3 = 0 AS star_group
+      FROM documents
+      UNION ALL
+      SELECT doc_id, '/public/doc', doc_id % 3 = 0 FROM documents
+      UNION ALL
+      SELECT doc_id, '/other', doc_id % 3 = 0 FROM documents
+    )
+    SELECT doc_id, path,
+           CASE WHEN NOT star_group THEN FALSE
+                WHEN path = '/public/doc' THEN TRUE
+                WHEN path = '/other' THEN TRUE
+                ELSE FALSE END AS allowed
+    FROM f
+    """,
+)
+def q_robots_allowed(spark, sf_dir):
+    """Longest-match fetch-permission join (RFC 9309 §2.2.2,
+    operators/robots.py::robots_allowed): a 3-path frontier per host
+    joins the host's rules for ua='gptbot' — hosts WITH a gptbot group
+    (doc_id % 3 ≠ 0) use it (Disallow / ⇒ everything blocked), hosts
+    without fall back to the '*' group (longest-prefix pick between
+    /private/<k>/ disallow, /public/ allow, and the default-allow
+    no-match case). One host-keyed join + one argmax aggregation —
+    the decision never leaves the executors."""
+    from ..operators.robots import (
+        documents_as_robots,
+        robots_allowed,
+        robots_rules,
+    )
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    rules = robots_rules(documents_as_robots(docs))
+    frontier = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/private/"), (F.col("doc_id") % 5).cast("string"), F.lit("/x")),
+                F.lit("/public/doc"),
+                F.lit("/other"),
+            )
+        ).alias("path"),
+    )
+    return robots_allowed(rules, frontier, ua="gptbot")
