@@ -624,3 +624,76 @@ def q_robots_allowed(spark, sf_dir):
         ).alias("path"),
     )
     return robots_allowed(rules, frontier, ua="gptbot")
+
+
+@q(
+    "q_sitemap_urls",
+    """
+    WITH u AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 4)) AS i
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS entry_idx,
+           'https://site' || (doc_id % 40) || '.example.com/page/'
+             || doc_id || '-' || i AS loc,
+           CASE WHEN i % 2 = 0
+                THEN '20' || lpad(CAST((doc_id + i) % 30 AS VARCHAR), 2, '0')
+                     || '-01-15' END AS lastmod,
+           CASE WHEN i % 3 = 0
+                THEN CAST('0.' || ((doc_id + i) % 9 + 1) AS DOUBLE) END AS priority,
+           FALSE AS is_index
+    FROM u
+    UNION ALL
+    SELECT doc_id, 0,
+           'https://site' || (doc_id % 40) || '.example.com/sitemap-a.xml',
+           NULL, NULL, TRUE
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, 1,
+           'https://site' || (doc_id % 40) || '.example.com/sitemap-b.xml',
+           NULL, NULL, TRUE
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap explosion (operators/markup.py::sitemap_urls) — the
+    crawl-frontier feed, pure codegen: regexp_extract_all over <url>
+    (or <sitemap> for a sitemapindex, doc_id % 5 == 0) blocks + one
+    posexplode; lastmod/priority optional per entry. Pairs with
+    q_robots_rules (which surfaces the Sitemap pointers) and
+    txt_url_canon (which keys the frontier). Zero Python, one explode,
+    no shuffle."""
+    from ..operators.markup import documents_as_sitemaps, sitemap_urls
+
+    media = documents_as_sitemaps(table(spark, sf_dir, "documents"))
+    return sitemap_urls(media)
+
+
+@q(
+    "mm_svg_meta",
+    """
+    SELECT doc_id,
+           CAST(10 + doc_id % 90 AS DOUBLE) AS width,
+           CAST(5 + doc_id % 45 AS DOUBLE) AS height,
+           CAST(0 AS DOUBLE) AS vb_x, CAST(0 AS DOUBLE) AS vb_y,
+           CAST(10 + doc_id % 90 AS DOUBLE) AS vb_w,
+           CAST(5 + doc_id % 45 AS DOUBLE) AS vb_h,
+           CAST(doc_id % 4 AS BIGINT) AS n_paths,
+           CAST(1 AS BIGINT) AS n_rects,
+           CAST(doc_id % 2 AS BIGINT) AS n_circles,
+           coalesce(text, '') || ' tail' AS text
+    FROM documents
+    """,
+)
+def mm_svg_meta(spark, sf_dir):
+    """SVG markup metadata (operators/markup.py::svg_meta) — vector
+    images are markup, not pixels: unit-stripped ("px") width/height
+    from the root tag only (the [^>]* anchor cannot cross into child
+    elements' width attributes), the viewBox quad, per-element counts,
+    and <text> content with inner <tspan> tags stripped. The document
+    text rides through the text extraction. Pure codegen projection,
+    zero Python, zero shuffle."""
+    from ..operators.markup import documents_as_svg, svg_meta
+
+    media = documents_as_svg(table(spark, sf_dir, "documents"))
+    return svg_meta(media)

@@ -1,0 +1,182 @@
+"""XML-ish markup lanes that stay JVM-side — sitemap.xml and SVG.
+
+Both formats are regular enough at the fields a pipeline wants that
+codegen ``regexp_extract`` / ``regexp_extract_all`` + ``explode`` cover
+them without a Python worker — the same design call text.py made for
+HTML extraction. Full XML parsing (namespaces, CDATA, entities beyond
+the standard five) is deliberately out of scope; payloads that don't
+match emit zero rows / NULL fields.
+
+- ``sitemap_urls``: the crawl-frontier feed — explode ``<url>`` blocks
+  of a urlset (or ``<sitemap>`` blocks of a sitemapindex) into
+  (loc, lastmod, priority, is_index) rows. Pairs with
+  operators/robots.py (which surfaces the Sitemap pointers) and
+  text.py::canonicalize_url (which keys the frontier).
+- ``svg_meta``: vector images ride web corpora as markup, not pixels —
+  width/height (unit-stripped), the viewBox quad, element counts
+  (path/rect/circle), and the concatenated ``<text>`` content.
+
+Reference parity: no markup path exists in the reference
+(`/root/reference/seaexplorertools/process_adcp.py`); part of the
+web-ingest surface the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sitemap_urls(df: DataFrame, key: str = "doc_id", xml: str = "sitemap_xml") -> DataFrame:
+    """Explode a sitemap document into one row per entry:
+    (key, entry_idx, loc, lastmod, priority, is_index). Handles both
+    urlset ``<url>`` and sitemapindex ``<sitemap>`` blocks; lastmod /
+    priority are NULL when absent. Pure codegen + one explode."""
+    x = F.col(xml)
+    is_index = x.contains("<sitemapindex")
+    blocks = F.when(
+        is_index, F.regexp_extract_all(x, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), F.lit(1))
+    ).otherwise(
+        F.regexp_extract_all(x, F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))
+    )
+    exploded = df.select(
+        key,
+        is_index.alias("is_index"),
+        F.posexplode(blocks).alias("entry_idx", "block"),
+    )
+    loc = F.regexp_extract("block", r"<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("block", r"<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract("block", r"<priority>\s*(.*?)\s*</priority>", 1)
+    return exploded.select(
+        key,
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        loc.alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+        F.when(prio != "", prio.cast("double")).alias("priority"),
+        "is_index",
+    ).filter(F.col("loc") != "")
+
+
+def svg_meta(df: DataFrame, key: str = "doc_id", svg: str = "svg_text") -> DataFrame:
+    """Per-SVG metadata row: unit-stripped width/height, the viewBox
+    quad (as 4 doubles), path/rect/circle element counts, and the
+    concatenated <text> content (tags inside stripped). NULL fields for
+    payloads without an <svg> root."""
+    x = F.col(svg)
+    has_svg = x.rlike("<svg[\\s>]")
+    dim = lambda name: F.regexp_extract(  # noqa: E731
+        x, rf'<svg[^>]*\b{name}="\s*([0-9.]+)', 1
+    )
+    vb = F.regexp_extract(x, r'<svg[^>]*\bviewBox="([^"]*)"', 1)
+    vbp = F.split(F.trim(vb), r"[\s,]+")
+    count = lambda tag: F.size(  # noqa: E731
+        F.regexp_extract_all(x, F.lit(f"<{tag}[\\s/>]"), F.lit(0))
+    ).cast("long")
+    texts = F.array_join(
+        F.transform(
+            F.regexp_extract_all(x, F.lit(r"(?s)<text[^>]*>(.*?)</text>"), F.lit(1)),
+            lambda t: F.regexp_replace(t, "<[^>]*>", ""),
+        ),
+        " ",
+    )
+    out = df.select(
+        key,
+        F.when(dim("width") != "", dim("width").cast("double")).alias("width"),
+        F.when(dim("height") != "", dim("height").cast("double")).alias("height"),
+        F.when(vb != "", vbp.getItem(0).cast("double")).alias("vb_x"),
+        F.when(vb != "", vbp.getItem(1).cast("double")).alias("vb_y"),
+        F.when(vb != "", vbp.getItem(2).cast("double")).alias("vb_w"),
+        F.when(vb != "", vbp.getItem(3).cast("double")).alias("vb_h"),
+        count("path").alias("n_paths"),
+        count("rect").alias("n_rects"),
+        count("circle").alias("n_circles"),
+        F.when(texts != "", texts).alias("text"),
+        has_svg.alias("_ok"),
+    )
+    nulled = [
+        F.when(F.col("_ok"), F.col(c)).alias(c)
+        for c in out.columns
+        if c not in (key, "_ok")
+    ]
+    return out.select(key, *nulled)
+
+
+def documents_as_sitemaps(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a real urlset sitemap of ``1 + doc_id % 4``
+    url entries (lastmod on even entries, priority on entries divisible
+    by 3), or a sitemapindex of 2 entries when doc_id % 5 == 0 — all
+    fields closed-form for ``q_sitemap_urls``."""
+    d = F.col("doc_id")
+
+    def url_entry(i):
+        loc = F.concat(
+            F.lit("https://site"), (d % 40).cast("string"),
+            F.lit(".example.com/page/"), d.cast("string"),
+            F.lit("-"), F.lit(str(i)),
+        )
+        lastmod = (
+            F.concat(F.lit("<lastmod>20"), F.lpad(((d + i) % 30).cast("string"), 2, "0"),
+                     F.lit("-01-15</lastmod>"))
+            if i % 2 == 0 else F.lit("")
+        )
+        prio = (
+            F.concat(F.lit("<priority>0."), ((d + i) % 9 + 1).cast("string"),
+                     F.lit("</priority>"))
+            if i % 3 == 0 else F.lit("")
+        )
+        return F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod, prio,
+                        F.lit("</url>"))
+
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        url_entry(0),
+        F.when(d % 4 >= 1, url_entry(1)).otherwise(F.lit("")),
+        F.when(d % 4 >= 2, url_entry(2)).otherwise(F.lit("")),
+        F.when(d % 4 >= 3, url_entry(3)).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.lit("<sitemap><loc>https://site"), (d % 40).cast("string"),
+        F.lit(".example.com/sitemap-a.xml</loc></sitemap>"),
+        F.lit("<sitemap><loc>https://site"), (d % 40).cast("string"),
+        F.lit(".example.com/sitemap-b.xml</loc></sitemap>"),
+        F.lit("</sitemapindex>"),
+    )
+    xml = F.when(d % 5 == 0, index).otherwise(urlset)
+    return docs.select("doc_id", xml.alias("sitemap_xml"))
+
+
+def documents_as_svg(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a real SVG — unit-suffixed width/height
+    (the parser must strip "px"), a viewBox, ``doc_id % 4`` paths, one
+    rect, a circle on odd ids, and a <text> element carrying the
+    document text with an inner <tspan> (the tag-strip case) — all
+    closed-form for ``mm_svg_meta``."""
+    d = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    # NB: sequence(1, 0) counts DOWN in Spark — guard the empty case
+    paths = F.when(
+        d % 4 > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (d % 4).cast("int")),
+                lambda i: F.concat(
+                    F.lit('<path d="M0 0 L'), i.cast("string"), F.lit(' 1"/>')
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+    svg = F.concat(
+        F.lit('<svg xmlns="http://www.w3.org/2000/svg" width="'),
+        (10 + d % 90).cast("string"),
+        F.lit('px" height="'), (5 + d % 45).cast("string"),
+        F.lit('px" viewBox="0 0 '), (10 + d % 90).cast("string"),
+        F.lit(" "), (5 + d % 45).cast("string"), F.lit('">'),
+        paths,
+        F.lit('<rect x="0" y="0" width="1" height="1"/>'),
+        F.when(d % 2 == 1, F.lit('<circle cx="1" cy="1" r="1"/>')).otherwise(F.lit("")),
+        F.lit('<text x="0" y="0">'), t, F.lit("<tspan> tail</tspan></text></svg>"),
+    )
+    return docs.select("doc_id", svg.alias("svg_text"))
