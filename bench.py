@@ -103,6 +103,25 @@ EXTRA = [
     "dd_substring_dedup_apply",  # span cut + in-aggregate reassembly
     "q_source_cap",         # per-source domain cap (local top-k combine)
     "ann_hard_negatives",   # contrastive hard-negative miner
+    # round-8 continuation: format/ingest lanes
+    "mm_tiff_pixels",       # baseline TIFF decode → pixel stats
+    "mm_aiff_signal",       # AIFF BE-PCM decode → signal features
+    "mm_zip_records",       # ZIP member explosion
+    "mm_tar_records",       # TAR (plain/gz) member explosion
+    "mm_avro_records",      # Avro OCF block walk
+    "mm_m4a_meta",          # MP4 'soun' track metadata
+    "mm_pdf_text",          # PDF operator-level text extraction
+    "mm_docx_text",         # OOXML document part scan
+    "mm_compressed_text",   # gzip/bz2/xz dump decompression
+    "mm_msgpack_records",   # MessagePack wire walk
+    "mm_subtitle_cues",     # SRT/WebVTT cue explosion
+    "mm_mbox_records",      # mbox + MIME walk (heaviest text lane)
+    "mm_notebook_cells",    # nbformat cell explosion
+    "mm_svg_meta",          # codegen SVG metadata
+    "q_chat_flatten",       # pure-JVM SFT transcript prep
+    "q_robots_rules",       # RFC-9309 group parse (host-partitioned window)
+    "q_robots_allowed",     # longest-match fetch permission join
+    "q_sitemap_urls",       # crawl-frontier sitemap explosion
 ]
 
 

@@ -697,3 +697,41 @@ def mm_svg_meta(spark, sf_dir):
 
     media = documents_as_svg(table(spark, sf_dir, "documents"))
     return svg_meta(media)
+
+
+@q(
+    "mm_ico_pixels",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 180 AS a, doc_id % 3 AS b,
+             4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS ch
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(ch AS BIGINT) AS channels,
+           a + b * (h - 1) / 2.0 + (ch - 1) / 2.0 AS mean_px,
+           CAST(a AS BIGINT) AS min_px,
+           CAST(a + b * (h - 1) + ch - 1 AS BIGINT) AS max_px
+    FROM p
+    """,
+)
+def mm_ico_pixels(spark, sf_dir):
+    """ICO (favicon) decode → pixel statistics
+    (operators/icocodec.py, the seventh image container after
+    PNG/JPEG/GIF/BMP/TIFF/WebP-dims): each fixture is a real two-entry
+    ICO whose 2×2 decoy must LOSE the largest-entry pick; even ids
+    store the real image as a 32-bpp bottom-up BGRA DIB (decoded RGBA,
+    channels 4 — the swizzle and flip move mean/min/max if wrong),
+    odd ids as an embedded PNG (channels 3, routed through the
+    existing PNG codec). Means are multiples of 1/4 ⇒ IEEE-exact.
+    native=False: pure-python oracle authority. mapInPandas, zero
+    shuffle, per-row degrade."""
+    from ..operators.icocodec import documents_as_ico
+    from ..operators.multimodal import image_signal_features
+
+    media = documents_as_ico(table(spark, sf_dir, "documents"))
+    return image_signal_features(media, native=False)

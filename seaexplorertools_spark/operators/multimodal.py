@@ -405,6 +405,7 @@ def _decode_image_pixels(
     python only (the oracle authority — contract queries pin this);
     None: the ``SPARK_GRAFT_NATIVE_CODECS`` policy (auto-dispatch when
     PIL is importable)."""
+    from .icocodec import decode_ico_pixels
     from .jpegcodec import decode_jpeg_pixels
     from .tiffcodec import decode_tiff_pixels
 
@@ -420,6 +421,7 @@ def _decode_image_pixels(
         decode_gif_pixels,
         decode_bmp_pixels,
         decode_tiff_pixels,
+        decode_ico_pixels,
     ):
         try:
             return codec(payload)
