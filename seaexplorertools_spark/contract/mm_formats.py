@@ -735,3 +735,73 @@ def mm_ico_pixels(spark, sf_dir):
 
     media = documents_as_ico(table(spark, sf_dir, "documents"))
     return image_signal_features(media, native=False)
+
+
+@q(
+    "mm_epub_text",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             replace(replace(coalesce(text, ''), chr(13), ' '), chr(10), ' ') AS t,
+             1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k, unnest(range(k)) AS i,
+             'Chapter ' || unnest(range(k)) || '.'
+               || CASE WHEN unnest(range(k)) = 0 AND t <> ''
+                       THEN ' ' || t ELSE '' END AS ch
+      FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(k) AS BIGINT) AS n_chapters,
+           'Book ' || doc_id || ' & Co.' AS title,
+           string_agg(ch, chr(10) ORDER BY i) AS text
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_epub_text(spark, sf_dir):
+    """EPUB extraction (operators/epub.py): per document a REAL EPUB
+    package — stored mimetype, container.xml → OPF discovery,
+    dc:title with an entity round-trip ('&'), a relative-href manifest
+    and an ordered spine of XHTML chapters (chapter 0 carries the
+    document text inside a <p>, heads/styles must be dropped). ZIP and
+    XML escaping are lossless, so the constructor oracle pins the
+    whole container chain, the spine ORDER and the chapter text
+    decode. The books twin of mm_pdf_text/mm_docx_text. mapInPandas,
+    zero shuffle, per-row degrade."""
+    from ..operators.epub import documents_as_epub, epub_text
+
+    media = documents_as_epub(table(spark, sf_dir, "documents"))
+    return epub_text(media)
+
+
+@q(
+    "mm_arrow_records",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS seq FROM d)
+    SELECT doc_id AS media_id,
+           doc_id,
+           CAST(seq AS BIGINT) AS seq,
+           CASE WHEN seq = 2 THEN NULL ELSE t END AS body,
+           doc_id % 83 + seq / 16.0 AS score
+    FROM s
+    """,
+)
+def mm_arrow_records(spark, sf_dir):
+    """Arrow IPC ingest (sources/arrow_ipc.py): per document a real
+    IPC payload — the STREAMING format for even ids, the FILE/ARROW1
+    (Feather-V2) format for odd, two record batches whenever a payload
+    holds ≥ 2 rows, a NULL body at seq 2 and dyadic scores — exploded
+    onto the fixed (doc_id, seq, body, score) ingest shape shared with
+    mm_avro_records / mm_msgpack_records. One constructor oracle pins
+    the magic sniff, both readers and the batch walk. mapInPandas
+    explode, zero shuffle, per-payload degrade."""
+    from ..sources.arrow_ipc import arrow_records, documents_as_arrow
+
+    media = documents_as_arrow(table(spark, sf_dir, "documents"))
+    return arrow_records(media)
