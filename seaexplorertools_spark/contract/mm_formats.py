@@ -805,3 +805,45 @@ def mm_arrow_records(spark, sf_dir):
 
     media = documents_as_arrow(table(spark, sf_dir, "documents"))
     return arrow_records(media)
+
+
+@q(
+    "txt_markdown_meta",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CASE doc_id % 4 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache-2.0'
+                  WHEN 2 THEN 'cc-by-4.0' ELSE 'unlicense' END AS lic,
+             doc_id % 7 = 0 AS bare
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bare THEN NULL ELSE 'Doc ' || doc_id END AS title,
+           CASE WHEN bare THEN NULL ELSE lic END AS license,
+           CAST(1 + least(doc_id % 3, 2) AS BIGINT) AS n_headings,
+           CAST(1 AS BIGINT) AS n_links,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_code_blocks,
+           '# H0' || chr(10)
+             || CASE WHEN doc_id % 3 >= 1 THEN '## H1' || chr(10) ELSE '' END
+             || CASE WHEN doc_id % 3 >= 2 THEN '### H2' || chr(10) ELSE '' END
+             || t || chr(10) || 'see [link](https://example.com/'
+             || doc_id || ')' || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '```py' || chr(10) || 'x = 1' || chr(10) || '```' || chr(10)
+                     ELSE '' END AS body
+    FROM d
+    """,
+)
+def txt_markdown_meta(spark, sf_dir):
+    """Markdown + YAML-front-matter metadata
+    (operators/markup.py::markdown_meta) — pure codegen: the leading
+    ``---`` fence pair yields title/license (quoted title unquoted,
+    the list-valued ``tags:`` field correctly ignored by the flat
+    parser), ids divisible by 7 have NO front matter (NULL branch +
+    whole-payload body), and the body profile counts ATX headings,
+    links and fenced code blocks. Zero Python, zero shuffle."""
+    from ..operators.markup import documents_as_markdown, markdown_meta
+
+    media = documents_as_markdown(table(spark, sf_dir, "documents"))
+    return markdown_meta(media)

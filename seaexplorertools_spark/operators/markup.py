@@ -180,3 +180,74 @@ def documents_as_svg(docs: DataFrame) -> DataFrame:
         F.lit('<text x="0" y="0">'), t, F.lit("<tspan> tail</tspan></text></svg>"),
     )
     return docs.select("doc_id", svg.alias("svg_text"))
+
+
+def markdown_meta(df: DataFrame, key: str = "doc_id", md: str = "markdown") -> DataFrame:
+    """Markdown + YAML-front-matter metadata — the docs-site /
+    dataset-card corpus shape (Jekyll/Hugo pages, model cards), pure
+    codegen: the front-matter block is the leading ``---`` fence pair;
+    flat ``key: value`` pairs are extracted positionally for the two
+    fields card pipelines filter on (``title``, ``license``), and the
+    body is profiled with regexp counts — ATX headings, links, fenced
+    code blocks — plus the body text with headings/fences kept (a
+    markdown corpus trains on the markup itself; stripping is
+    html_extract's job, not this one's).
+
+    Columns: title, license (NULL when absent), n_headings, n_links,
+    n_code_blocks, body. Documents without a front-matter fence get
+    NULL title/license and the whole payload as body."""
+    x = F.coalesce(F.col(md), F.lit(""))
+    has_fm = x.rlike(r"(?s)^---\n.*?\n---\n")
+    fm = F.regexp_extract(x, r"(?s)^---\n(.*?)\n---\n", 1)
+    body = F.when(has_fm, F.regexp_replace(x, r"(?s)^---\n.*?\n---\n", "")).otherwise(x)
+
+    def fm_field(name: str):
+        v = F.regexp_extract(fm, rf"(?m)^{name}:\s*(.+?)\s*$", 1)
+        return F.when(has_fm & (v != ""), F.regexp_replace(v, "^\"|\"$", ""))
+
+    n_code = F.size(F.regexp_extract_all(body, F.lit(r"(?m)^```"), F.lit(0))).cast("long") / 2
+    return df.select(
+        key,
+        fm_field("title").alias("title"),
+        fm_field("license").alias("license"),
+        F.size(F.regexp_extract_all(body, F.lit(r"(?m)^#{1,6} "), F.lit(0)))
+        .cast("long").alias("n_headings"),
+        F.size(F.regexp_extract_all(body, F.lit(r"\[[^\]]*\]\([^)]*\)"), F.lit(0)))
+        .cast("long").alias("n_links"),
+        F.floor(n_code).cast("long").alias("n_code_blocks"),
+        body.alias("body"),
+    )
+
+
+def documents_as_markdown(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a real markdown page — YAML front matter
+    (title quoted, license rotating over four SPDX ids, a list field
+    the flat parser must ignore) on ids not divisible by 7 (those get
+    a bare body: the NULL-front-matter branch), a heading per
+    ``1 + doc_id % 3``, one link, and a fenced code block on even ids
+    — all closed-form for ``txt_markdown_meta``."""
+    d = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lic = (
+        F.when(d % 4 == 0, F.lit("mit"))
+        .when(d % 4 == 1, F.lit("apache-2.0"))
+        .when(d % 4 == 2, F.lit("cc-by-4.0"))
+        .otherwise(F.lit("unlicense"))
+    )
+    fm = F.concat(
+        F.lit('---\ntitle: "Doc '), d.cast("string"), F.lit('"\n'),
+        F.lit("license: "), lic, F.lit("\n"),
+        F.lit("tags:\n  - a\n  - b\n---\n"),
+    )
+    headings = F.concat(
+        F.lit("# H0\n"),
+        F.when(d % 3 >= 1, F.lit("## H1\n")).otherwise(F.lit("")),
+        F.when(d % 3 >= 2, F.lit("### H2\n")).otherwise(F.lit("")),
+    )
+    code = F.when(d % 2 == 0, F.lit("```py\nx = 1\n```\n")).otherwise(F.lit(""))
+    body = F.concat(
+        headings, t, F.lit("\nsee [link](https://example.com/"),
+        d.cast("string"), F.lit(")\n"), code,
+    )
+    md = F.when(d % 7 == 0, body).otherwise(F.concat(fm, body))
+    return docs.select("doc_id", md.alias("markdown"))

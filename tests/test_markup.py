@@ -101,3 +101,42 @@ def test_fixture_empty_paths_case(spark):
     rows = {r["doc_id"]: r for r in svg_meta(documents_as_svg(docs)).collect()}
     assert rows[4]["n_paths"] == 0
     assert rows[5]["n_paths"] == 1
+
+
+def test_markdown_meta(spark):
+    from seaexplorertools_spark.operators.markup import markdown_meta
+
+    md = (
+        '---\ntitle: "My Page"\nlicense: mit\ntags:\n  - a\n---\n'
+        "# Top\n## Sub\nbody text [a](http://x) and [b](http://y)\n"
+        "```py\nx=1\n```\ncode done\n"
+    )
+    df = spark.createDataFrame([(1, md)], "doc_id long, markdown string")
+    r = markdown_meta(df).collect()[0]
+    assert (r["title"], r["license"]) == ("My Page", "mit")
+    assert (r["n_headings"], r["n_links"], r["n_code_blocks"]) == (2, 2, 1)
+    assert r["body"].startswith("# Top")
+
+
+def test_markdown_no_frontmatter(spark):
+    from seaexplorertools_spark.operators.markup import markdown_meta
+
+    df = spark.createDataFrame(
+        [(1, "# Just a doc\nno fences"), (2, None)],
+        "doc_id long, markdown string",
+    )
+    rows = {r["doc_id"]: r for r in markdown_meta(df).collect()}
+    assert rows[1]["title"] is None and rows[1]["n_headings"] == 1
+    assert rows[1]["body"] == "# Just a doc\nno fences"
+    assert rows[2]["n_headings"] == 0 and rows[2]["body"] == ""
+
+
+def test_markdown_plan_jvm(spark):
+    from seaexplorertools_spark.operators.markup import (
+        documents_as_markdown,
+        markdown_meta,
+    )
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    plan = markdown_meta(documents_as_markdown(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
