@@ -122,6 +122,10 @@ EXTRA = [
     "q_robots_rules",       # RFC-9309 group parse (host-partitioned window)
     "q_robots_allowed",     # longest-match fetch permission join
     "q_sitemap_urls",       # crawl-frontier sitemap explosion
+    "mm_ico_pixels",        # favicon decode (largest-entry, dual route)
+    "mm_epub_text",         # EPUB container-chain extraction
+    "mm_arrow_records",     # Arrow IPC (stream + file formats)
+    "txt_markdown_meta",    # YAML front-matter + body profile (codegen)
 ]
 
 
