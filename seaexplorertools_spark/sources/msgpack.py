@@ -219,6 +219,8 @@ def _unpack_map(b, i, n, depth):
     for _ in range(n):
         k, i = unpack_value(b, i, depth + 1)
         v, i = unpack_value(b, i, depth + 1)
+        if isinstance(k, (dict, list)):  # wire-legal, python-unhashable
+            raise ValueError("msgpack: container-typed map key unsupported")
         out[k] = v
     return out, i
 
