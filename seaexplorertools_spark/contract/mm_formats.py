@@ -847,3 +847,67 @@ def txt_markdown_meta(spark, sf_dir):
 
     media = documents_as_markdown(table(spark, sf_dir, "documents"))
     return markdown_meta(media)
+
+
+@q(
+    "mm_protobuf_fields",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CASE WHEN doc_id % 9 = 0 AND doc_id > 0
+                  THEN -doc_id ELSE doc_id END AS v1,
+             doc_id % 1000 - 500 AS v3,
+             doc_id % 77 AS v4
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS field_idx,
+           CAST(1 AS BIGINT) AS field_no, CAST(0 AS BIGINT) AS wire_type,
+           CAST(v1 AS BIGINT) AS varint,
+           CAST(CASE
+             WHEN doc_id = 0 THEN 0
+             WHEN doc_id % 9 <> 0 THEN
+               CASE WHEN doc_id % 2 = 0 THEN doc_id // 2
+                    ELSE -((doc_id + 1) // 2) END
+             WHEN doc_id % 2 = 0 THEN (9223372036854775807 - doc_id // 2) + 1
+             ELSE ((doc_id + 1) // 2 - 1 - 9223372036854775807) - 1
+           END AS BIGINT) AS zigzag,
+           CAST(NULL AS BIGINT) AS fixed_long,
+           CAST(NULL AS DOUBLE) AS fixed_double,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS text
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 2, 2, NULL, NULL, NULL, NULL,
+           CAST(strlen(t) AS BIGINT), t
+    FROM d
+    UNION ALL
+    SELECT doc_id, 2, 3, 1, NULL, NULL, CAST(v3 AS BIGINT),
+           CASE WHEN v3 >= 0 THEN v3 * pow(2.0, -1074) END,
+           NULL, NULL
+    FROM d
+    UNION ALL
+    SELECT doc_id, 3, 4, 5, NULL, NULL, CAST(v4 AS BIGINT),
+           v4 * pow(2.0, -149), NULL, NULL
+    FROM d
+    UNION ALL
+    SELECT doc_id, 4, 5, 2, NULL, NULL, NULL, NULL, 3, NULL
+    FROM d
+    """,
+)
+def mm_protobuf_fields(spark, sf_dir):
+    """Protobuf wire-format walk (sources/protowire.py) — the
+    schemaless field extraction a service-log corpus gets WITHOUT its
+    .proto: tag split, varint (two's-complement + zigzag readings,
+    incl. the 10-byte negative form on ids divisible by 9 — the
+    zigzag closed form crosses ±2^63 and pins 64-bit wrap exactly),
+    length-delimited bytes (UTF-8 text surfaced only when it decodes:
+    the planted 0xFF 0xFE blob must yield NULL text with n_bytes 3),
+    and fixed64/fixed32 in both integer and finite-double readings
+    (the small-int fixtures reinterpret as EXACT denormals; negative
+    fixed64 bit patterns are NaN and surface NULL by the lane's
+    finite-only contract). mapInPandas explode, zero shuffle,
+    per-payload degrade."""
+    from ..sources.protowire import documents_as_protobuf, pb_fields
+
+    media = documents_as_protobuf(table(spark, sf_dir, "documents"))
+    return pb_fields(media)
