@@ -8,10 +8,10 @@ registries by contract/_order.py's canonical list.
 """
 
 from . import _base
-from . import refparity, llm_core, relational, llm_scale, llm_quality, llm_train, warehouse, olap_deep, driver_tail, mm_formats
+from . import refparity, llm_core, relational, llm_scale, llm_quality, llm_train, warehouse, olap_deep, driver_tail, mm_formats, llm_prep
 from ._order import CANONICAL_ORDER
 
-_MODULES = (_base, refparity, llm_core, relational, llm_scale, llm_quality, llm_train, warehouse, olap_deep, driver_tail, mm_formats)
+_MODULES = (_base, refparity, llm_core, relational, llm_scale, llm_quality, llm_train, warehouse, olap_deep, driver_tail, mm_formats, llm_prep)
 
 # flat-module compatibility: surface every top-level name (underscore
 # helpers included — tests import e.g. _MIX_BUDGET) at the package root

@@ -133,6 +133,109 @@ def chat_flatten(df: DataFrame, json_col: str = "transcript") -> DataFrame:
     )
 
 
+PAIR_SCHEMA = "struct<prompt:string,chosen:string,rejected:string>"
+
+
+def parse_pair(json_col) -> Column:
+    """JSON preference record → struct(prompt, chosen, rejected)
+    (JVM ``from_json``; malformed JSON → NULL struct, the degrade
+    contract shared with :func:`parse_turns`)."""
+    return F.from_json(json_col, PAIR_SCHEMA)
+
+
+def render_exchange(prompt: Column, response: Column) -> Column:
+    """One user/assistant exchange in the role-tag template — the DPO
+    twin of :func:`render_template` (both the chosen and the rejected
+    sequence go through this so the policy/reference forward passes see
+    identical formatting)."""
+    return F.concat(
+        F.lit("<|user|>\n"), prompt, F.lit("\n<|end|>\n<|assistant|>\n"),
+        response, F.lit("\n<|end|>"),
+    )
+
+
+def preference_prep(df: DataFrame, json_col: str = "pair") -> DataFrame:
+    """DPO/RLHF preference-pair prep in ONE codegen projection (no
+    shuffle, no Python): parse the JSON record, validate it the way a
+    preference-training filter does — parseable; prompt, chosen and
+    rejected all non-empty; chosen ≠ rejected (a tie carries no
+    preference signal) — and add the training-side columns: rendered
+    chosen sequence, per-side char counts, and the length margin
+    (chosen − rejected), the standard length-bias diagnostic.
+
+    Invalid-but-parseable rows keep their counts (the filter report
+    wants them); unparseable rows degrade to NULLs with ``valid=false``.
+    """
+    p = parse_pair(F.col(json_col))
+    prompt, chosen, rejected = p["prompt"], p["chosen"], p["rejected"]
+    valid = F.coalesce(
+        (F.length(prompt) > 0)
+        & (F.length(chosen) > 0)
+        & (F.length(rejected) > 0)
+        & (chosen != rejected),
+        F.lit(False),
+    )
+    return df.select(
+        "*",
+        prompt.alias("prompt"),
+        valid.alias("valid"),
+        F.length(chosen).cast("long").alias("chosen_chars"),
+        F.length(rejected).cast("long").alias("rejected_chars"),
+        (F.length(chosen) - F.length(rejected)).cast("long").alias("margin"),
+        F.when(p.isNotNull(), render_exchange(prompt, chosen)).alias(
+            "rendered_chosen"
+        ),
+    )
+
+
+def keep_first_per_prompt(
+    df: DataFrame, prompt_col: str = "prompt", order_col: str = "doc_id",
+    valid_col: str = "valid",
+) -> DataFrame:
+    """Prompt-level dedup for preference corpora: among VALID rows
+    sharing a prompt, keep the first by ``order_col`` (DPO training
+    assumes one pair per prompt; duplicated prompts double-count their
+    gradient). One hash shuffle on the prompt — the min-over-window
+    form, no row_number over a filtered self-join."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(prompt_col)
+    first_valid = F.min(
+        F.when(F.col(valid_col), F.col(order_col))
+    ).over(w)
+    keep = F.col(valid_col) & (F.col(order_col) == first_valid)
+    return df.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def documents_as_preference_pairs(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a JSON preference record built JVM-side.
+    Prompts collide on purpose (``q <doc_id % 97>``) so the prompt-dedup
+    step has real work; planted violations rotate on coprime moduli so
+    every validity branch exists under the oracle: doc_id % 19 → raw
+    junk (unparseable), % 11 → chosen == rejected (tie), % 13 → empty
+    rejected."""
+    d = F.col("doc_id")
+    prompt = F.concat(F.lit("q "), (d % 97).cast("string"))
+    chosen = F.concat(F.lit("good "), (d % 17).cast("string"))
+    rejected = (
+        F.when(d % 11 == 0, chosen)
+        .when(d % 13 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("meh "), (d % 5).cast("string")))
+    )
+    record = F.to_json(
+        F.struct(
+            prompt.alias("prompt"),
+            chosen.alias("chosen"),
+            rejected.alias("rejected"),
+        )
+    )
+    junk = F.lit("not json {")
+    return docs.select(
+        "doc_id",
+        F.when(d % 19 == 0, junk).otherwise(record).alias("pair"),
+    )
+
+
 def documents_as_transcripts(docs: DataFrame) -> DataFrame:
     """Adapter: per document a JSON transcript built JVM-side
     (``to_json`` over struct arrays — the fixture itself stays codegen):
