@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from ._base import ORACLES, QUERIES, q, r6, r6p, table  # noqa: F401
+from ..operators.wordpiece import DEFAULT_VOCAB as _WP_VOCAB
+
+_WP_VOCAB_SQL = ", ".join(f"'{p}'" for p in _WP_VOCAB)
 
 
 @q(
@@ -73,3 +76,70 @@ def q_dpo_pairs(spark, sf_dir):
         "doc_id", "prompt", "valid", "keep", "chosen_chars",
         "rejected_chars", "margin", "rendered_chosen",
     )
+
+
+@q(
+    "txt_wordpiece",
+    f"""
+    WITH RECURSIVE
+    vocab AS (SELECT unnest([{_WP_VOCAB_SQL}]) AS piece),
+    t AS (
+      SELECT doc_id,
+             coalesce(lower(text), '') || ' z' || (doc_id % 2) AS txt
+      FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, regexp_extract_all(txt, '[a-z0-9]+') AS ws FROM t
+    ),
+    words AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS word_idx, ws[u.i] AS word
+      FROM lists, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+    ),
+    step AS (
+      SELECT doc_id, word_idx, word, 1 AS pos, '' AS enc,
+             FALSE AS failed, FALSE AS done
+      FROM words
+      UNION ALL
+      SELECT doc_id, word_idx, word,
+             CASE WHEN m IS NULL THEN pos ELSE pos + m END AS pos,
+             CASE WHEN m IS NULL THEN enc
+                  WHEN pos = 1 THEN substr(word, pos, m)
+                  ELSE enc || ' ##' || substr(word, pos, m) END AS enc,
+             m IS NULL AS failed,
+             m IS NULL OR pos + m > length(word) AS done
+      FROM (
+        SELECT s.*,
+               (SELECT max(length(v.piece)) FROM vocab v
+                WHERE v.piece = substr(s.word, s.pos, length(v.piece))) AS m
+        FROM step s WHERE NOT s.done
+      )
+    )
+    SELECT doc_id, word_idx, word,
+           CASE WHEN failed THEN '[UNK]' ELSE enc END AS encoded
+    FROM step WHERE done
+    """,
+)
+def txt_wordpiece(spark, sf_dir):
+    """WordPiece greedy longest-match subword encode
+    (operators/wordpiece.py — BERT-family tokenizer, the third
+    tokenizer surface after the BPE pair in operators/bpe.py). Pure
+    JVM: pre-tokenize with regexp_extract_all + posexplode, then ONE
+    ``F.aggregate`` scan per word whose longest-match probe is a
+    bounded when-chain against the literal vocab — no Python, no UDF,
+    no shuffle. The oracle replays the greedy scan as a recursive CTE
+    whose per-step longest match is a correlated max over the same
+    vocab list (generated from the SAME ``DEFAULT_VOCAB`` constant, so
+    the two sides cannot drift). The fixture appends a planted
+    ``z0``/``z1`` token per doc — 'z' and digits are excluded from the
+    vocab, so the ``[UNK]`` branch exists under the oracle."""
+    from ..operators.wordpiece import wordpiece_encode
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" z"),
+            (F.col("doc_id") % 2).cast("string"),
+        ).alias("text"),
+    )
+    return wordpiece_encode(docs)
