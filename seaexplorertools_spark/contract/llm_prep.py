@@ -143,3 +143,36 @@ def txt_wordpiece(spark, sf_dir):
         ).alias("text"),
     )
     return wordpiece_encode(docs)
+
+
+@q(
+    "mm_cbor_records",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS seq FROM d)
+    SELECT doc_id AS media_id,
+           doc_id,
+           CAST(seq AS BIGINT) AS seq,
+           CASE WHEN seq = 2 THEN NULL ELSE t END AS body,
+           doc_id % 89 + seq / 4.0 AS score
+    FROM s
+    """,
+)
+def mm_cbor_records(spark, sf_dir):
+    """CBOR dump ingest (sources/cbor.py — RFC 8949, the IETF twin of
+    the msgpack lane): documents_as_cbor writes REAL CBOR streams (k
+    record maps + a trailing TAGGED bare int the lane must skip —
+    exercising the transparent-tag path), cbor_records walks them back
+    onto the shared (doc_id, seq, body, score) ingest shape. The
+    fixture's value domain encodes bijectively (dyadic scores, null
+    body byte at seq 2), so one constructor oracle pins the head/
+    argument decode across the uint width ladder, text strings, null,
+    float64 and the map walk. mapInPandas, zero shuffle, per-payload
+    degrade."""
+    from ..sources.cbor import cbor_records, documents_as_cbor
+
+    media = documents_as_cbor(table(spark, sf_dir, "documents"))
+    return cbor_records(media)

@@ -85,6 +85,27 @@ def test_msgpack_never_crashes(b):
 
 
 @settings(**COMMON)
+@given(v=_values)
+def test_cbor_roundtrip(v):
+    from seaexplorertools_spark.sources.cbor import decode_value, encode_value
+
+    enc = encode_value(v)
+    got, i = decode_value(enc)
+    assert got == v and i == len(enc)
+
+
+@settings(**COMMON)
+@given(b=st.binary(max_size=200))
+def test_cbor_never_crashes(b):
+    from seaexplorertools_spark.sources.cbor import decode_stream
+
+    try:
+        decode_stream(b)
+    except ValueError:
+        pass  # the only allowed failure mode
+
+
+@settings(**COMMON)
 @given(
     n=st.integers(0, 8),
     codec=st.sampled_from(["null", "deflate"]),
