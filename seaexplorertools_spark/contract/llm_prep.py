@@ -176,3 +176,44 @@ def mm_cbor_records(spark, sf_dir):
 
     media = documents_as_cbor(table(spark, sf_dir, "documents"))
     return cbor_records(media)
+
+
+@q(
+    "mm_ics_events",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS k,
+             '2026' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS ymd,
+             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') AS hh
+      FROM documents
+    ),
+    s AS (SELECT doc_id, ymd, hh, unnest(range(k)) AS i FROM d)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS event_idx,
+           'ev-' || doc_id || '-' || i AS uid,
+           'Event ' || doc_id AS summary,
+           strptime(ymd || ' ' || hh || ':'
+                    || lpad(CAST(i * 10 AS VARCHAR), 2, '0'),
+                    '%Y%m%d %H:%M') AS dtstart,
+           strptime(ymd || ' ' || hh || ':'
+                    || CAST(i * 10 + 30 + (doc_id % 2) * 5 AS VARCHAR),
+                    '%Y%m%d %H:%M') AS dtend,
+           CASE WHEN i % 2 = 0 THEN 'Room ' || i || ', A' END AS location,
+           CAST(1800 + (doc_id % 2) * 300 AS BIGINT) AS duration_s
+    FROM s
+    """,
+)
+def mm_ics_events(spark, sf_dir):
+    """iCalendar (RFC 5545) VEVENT explosion
+    (operators/markup.py::ics_events): line UNFOLDING (CRLF +
+    space continuation), DOTALL block explode, parameter-tolerant
+    property heads (``DTSTART;TZID=…:`` on even doc_ids), TEXT
+    unescaping (``\\,`` in LOCATION), timestamp_ntz DATE-TIMEs
+    (session-timezone-independent — survives the driverlike non-UTC
+    session), and a VTIMEZONE decoy component that must yield no rows.
+    Pure codegen + one explode, zero shuffle. Constructor oracle:
+    every output field rebuilt closed-form from doc_id."""
+    from ..operators.markup import documents_as_ics, ics_events
+
+    return ics_events(documents_as_ics(table(spark, sf_dir, "documents")))

@@ -251,3 +251,133 @@ def documents_as_markdown(docs: DataFrame) -> DataFrame:
     )
     md = F.when(d % 7 == 0, body).otherwise(F.concat(fm, body))
     return docs.select("doc_id", md.alias("markdown"))
+
+
+def _ics_unescape(v):
+    """RFC 5545 §3.3.11 TEXT unescaping for the values we surface:
+    ``\\n`` → newline, ``\\,`` → ',', ``\;`` → ';' (no ``\\\\`` pass —
+    documented scope)."""
+    v = F.regexp_replace(v, r"\\n", "\n")
+    v = F.regexp_replace(v, r"\\,", ",")
+    return F.regexp_replace(v, r"\;", ";")
+
+
+def _ics_prop(block, name: str):
+    """One content line's value: ``NAME[;params]:value`` with (?m)
+    anchors; '' → absent (NULL at the caller)."""
+    return F.regexp_extract(block, rf"(?m)^{name}(?:;[^:\r\n]*)?:([^\r\n]*)", 1)
+
+
+def _ics_ts(v):
+    """DATE-TIME value (``yyyyMMdd'T'HHmmss`` with optional trailing
+    'Z') → timestamp_ntz — session-timezone-independent on purpose (the
+    driver may run non-UTC). Shape-guarded BEFORE the parse: under ANSI
+    mode (Spark 4 default) ``to_timestamp_ntz`` THROWS on junk instead
+    of returning NULL, so the degrade contract needs the rlike gate."""
+    shaped = F.when(v.rlike(r"^\d{8}T\d{6}Z?$"), v)
+    part = lambda a, b: F.substring(shaped, a, b).cast("int")  # noqa: E731
+    # try_make_* stays NULL on range-invalid fields (month 13) where a
+    # format parse would still throw under ANSI
+    return F.try_make_timestamp_ntz(
+        part(1, 4), part(5, 2), part(7, 2),
+        part(10, 2), part(12, 2), part(14, 2),
+    )
+
+
+def ics_events(df: DataFrame, key: str = "doc_id", ics: str = "ics_text") -> DataFrame:
+    """Explode iCalendar (RFC 5545) payloads into one row per VEVENT:
+    (key, event_idx, uid, summary, dtstart, dtend, duration_s,
+    location). Fully codegen: line UNFOLDING first (CRLF + single
+    space/tab continuation, §3.1), then a DOTALL block explode
+    (BEGIN:VEVENT…END:VEVENT — non-VEVENT components like VTIMEZONE
+    never match), then per-property regex with parameter-tolerant
+    ``NAME[;params]:`` heads and TEXT unescaping on summary/location.
+    Absent properties are NULL; unparseable DATE-TIMEs are NULL (the
+    to_timestamp_ntz degrade)."""
+    unfolded = F.regexp_replace(F.col(ics), r"\r?\n[ \t]", "")
+    blocks = F.regexp_extract_all(
+        unfolded, F.lit(r"(?s)BEGIN:VEVENT(.*?)END:VEVENT"), F.lit(1)
+    )
+    exploded = df.select(
+        key, F.posexplode(blocks).alias("event_idx", "block")
+    )
+    b = F.col("block")
+    uid = _ics_prop(b, "UID")
+    summary = _ics_prop(b, "SUMMARY")
+    loc = _ics_prop(b, "LOCATION")
+    dtstart = _ics_ts(_ics_prop(b, "DTSTART"))
+    dtend = _ics_ts(_ics_prop(b, "DTEND"))
+    return exploded.select(
+        key,
+        F.col("event_idx").cast("long").alias("event_idx"),
+        F.when(uid != "", uid).alias("uid"),
+        F.when(summary != "", _ics_unescape(summary)).alias("summary"),
+        dtstart.alias("dtstart"),
+        dtend.alias("dtend"),
+        F.when(loc != "", _ics_unescape(loc)).alias("location"),
+    ).withColumn(
+        "duration_s", F.expr("timestampdiff(SECOND, dtstart, dtend)")
+    )
+
+
+def documents_as_ics(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a REAL iCalendar payload with a VTIMEZONE
+    decoy component (must yield no rows), ``1 + doc_id % 3`` VEVENTs,
+    a FOLDED summary line (CRLF + space continuation — pins §3.1
+    unfolding), a parameterized ``DTSTART;TZID=Etc/UTC:`` head on even
+    doc_ids, an escaped comma in LOCATION, and LOCATION only on even
+    event indices (NULL branch). All closed-form in doc_id for
+    ``mm_ics_events``."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    date = F.concat(
+        F.lit("2026"),
+        F.lpad(s(1 + d % 12), 2, "0"),
+        F.lpad(s(1 + d % 28), 2, "0"),
+    )
+
+    def event(i: int):
+        start_min = i * 10
+        end_min = i * 10 + 30  # + 5 on odd docs, stays < 60
+        dtstart_val = F.concat(
+            date, F.lit("T"), F.lpad(s(d % 24), 2, "0"),
+            F.lit(f"{start_min:02d}00Z"),
+        )
+        dtend_val = F.concat(
+            date, F.lit("T"), F.lpad(s(d % 24), 2, "0"),
+            F.when(d % 2 == 1, F.lit(f"{end_min + 5:02d}00Z")).otherwise(
+                F.lit(f"{end_min:02d}00Z")
+            ),
+        )
+        dtstart_line = F.when(
+            d % 2 == 0,
+            F.concat(F.lit("DTSTART;TZID=Etc/UTC:"), dtstart_val),
+        ).otherwise(F.concat(F.lit("DTSTART:"), dtstart_val))
+        parts = [
+            F.lit("BEGIN:VEVENT"),
+            F.concat(F.lit(f"UID:ev-"), s(d), F.lit(f"-{i}")),
+            # folded summary: 'Ev' + CRLF + SPACE + 'ent <doc_id>'
+            F.concat(F.lit("SUMMARY:Ev\r\n ent "), s(d)),
+            dtstart_line,
+            F.concat(F.lit("DTEND:"), dtend_val),
+        ]
+        if i % 2 == 0:
+            parts.append(F.lit(f"LOCATION:Room {i}\\, A"))
+        parts.append(F.lit("END:VEVENT"))
+        return F.concat_ws("\r\n", *parts)
+
+    k = 1 + d % 3
+    tz_decoy = (
+        "BEGIN:VTIMEZONE\r\nTZID:Etc/UTC\r\nEND:VTIMEZONE"
+    )
+    body = F.concat_ws(
+        "\r\n",
+        F.lit("BEGIN:VCALENDAR"),
+        F.lit("VERSION:2.0"),
+        F.lit(tz_decoy),
+        event(0),
+        F.when(k >= 2, event(1)).otherwise(F.lit("")),
+        F.when(k >= 3, event(2)).otherwise(F.lit("")),
+        F.lit("END:VCALENDAR"),
+    )
+    return docs.select("doc_id", body.alias("ics_text"))
