@@ -217,3 +217,55 @@ def mm_ics_events(spark, sf_dir):
     from ..operators.markup import documents_as_ics, ics_events
 
     return ics_events(documents_as_ics(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "mm_hls_entries",
+    """
+    WITH med AS (
+      SELECT doc_id, unnest(range(2 + doc_id % 3)) AS i
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS entry_idx, 'segment' AS kind,
+             'seg' || i || '.ts' AS uri,
+             4 + i / 4.0 AS duration_s,
+             CASE WHEN i % 2 = 0 THEN 'Seg ' || (doc_id % 50) END AS title,
+             CAST(NULL AS BIGINT) AS bandwidth,
+             CAST(NULL AS BIGINT) AS width,
+             CAST(NULL AS BIGINT) AS height,
+             CAST(5 + doc_id % 3 AS BIGINT) AS target_duration,
+             doc_id % 4 = 0 AS endlist
+      FROM med
+    ),
+    mas AS (
+      SELECT doc_id, unnest([0, 1]) AS i
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    var AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS entry_idx, 'variant' AS kind,
+             CASE WHEN i = 0 THEN 'hi.m3u8' ELSE 'lo.m3u8' END AS uri,
+             CAST(NULL AS DOUBLE) AS duration_s,
+             CAST(NULL AS VARCHAR) AS title,
+             CAST((1 + doc_id % 7) * 100000 / (1 + i) AS BIGINT) AS bandwidth,
+             CAST(CASE WHEN i = 0 THEN 1280 ELSE 640 END AS BIGINT) AS width,
+             CAST(CASE WHEN i = 0 THEN 720 ELSE 360 END AS BIGINT) AS height,
+             CAST(NULL AS BIGINT) AS target_duration,
+             FALSE AS endlist
+      FROM mas
+    )
+    SELECT * FROM seg UNION ALL SELECT * FROM var
+    """,
+)
+def mm_hls_entries(spark, sf_dir):
+    """HLS playlist explosion (operators/markup.py::hls_entries — RFC
+    8216, the video-delivery manifest format crawls are full of): media
+    playlists (#EXTINF + URI pairing, dyadic durations, optional
+    titles, TARGETDURATION/ENDLIST headers) and master playlists
+    (#EXT-X-STREAM-INF attrs: BANDWIDTH, RESOLUTION WxH) onto ONE row
+    shape with a kind discriminator. Pure codegen full-match
+    regexp_extract_all + posexplode, zero shuffle. Constructor oracle:
+    even doc_ids media / odd master, every field closed-form."""
+    from ..operators.markup import documents_as_m3u8, hls_entries
+
+    return hls_entries(documents_as_m3u8(table(spark, sf_dir, "documents")))

@@ -381,3 +381,91 @@ def documents_as_ics(docs: DataFrame) -> DataFrame:
         F.lit("END:VCALENDAR"),
     )
     return docs.select("doc_id", body.alias("ics_text"))
+
+
+def hls_entries(df: DataFrame, key: str = "doc_id", m3u8: str = "m3u8_text") -> DataFrame:
+    """Explode HLS playlists (RFC 8216) into one row per entry — both
+    flavors in one shape:
+
+    - media playlists: ``#EXTINF:<duration>,[title]`` + URI line →
+      kind='segment' rows with duration_s/title
+    - master playlists: ``#EXT-X-STREAM-INF:<attrs>`` + URI line →
+      kind='variant' rows with bandwidth/width/height
+
+    plus the playlist-level columns every row carries:
+    target_duration (media), endlist flag. Pure codegen: the
+    tag+URI pairing is a full-match ``regexp_extract_all`` (URI = next
+    non-comment line), then per-entry field regexes. Zero shuffle."""
+    x = F.col(m3u8)
+    seg_re = r"#EXTINF:[^\n]*\n[^#\n][^\n]*"
+    var_re = r"#EXT-X-STREAM-INF:[^\n]*\n[^#\n][^\n]*"
+    is_master = x.contains("#EXT-X-STREAM-INF:")
+    blocks = F.when(
+        is_master, F.regexp_extract_all(x, F.lit(var_re), F.lit(0))
+    ).otherwise(F.regexp_extract_all(x, F.lit(seg_re), F.lit(0)))
+    target = F.regexp_extract(x, r"#EXT-X-TARGETDURATION:(\d+)", 1)
+    exploded = df.select(
+        key,
+        is_master.alias("is_master"),
+        F.when(target != "", target.cast("long")).alias("target_duration"),
+        x.contains("#EXT-X-ENDLIST").alias("endlist"),
+        F.posexplode(blocks).alias("entry_idx", "block"),
+    )
+    b = F.col("block")
+    dur = F.regexp_extract(b, r"#EXTINF:([0-9.]+)", 1)
+    title = F.regexp_extract(b, r"#EXTINF:[0-9.]+,([^\n]*)", 1)
+    bw = F.regexp_extract(b, r"BANDWIDTH=(\d+)", 1)
+    res_w = F.regexp_extract(b, r"RESOLUTION=(\d+)x\d+", 1)
+    res_h = F.regexp_extract(b, r"RESOLUTION=\d+x(\d+)", 1)
+    uri = F.regexp_extract(b, r"\n([^\n]+)$", 1)
+    return exploded.select(
+        key,
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        F.when(F.col("is_master"), F.lit("variant"))
+        .otherwise(F.lit("segment"))
+        .alias("kind"),
+        uri.alias("uri"),
+        F.when(dur != "", dur.cast("double")).alias("duration_s"),
+        F.when(title != "", title).alias("title"),
+        F.when(bw != "", bw.cast("long")).alias("bandwidth"),
+        F.when(res_w != "", res_w.cast("long")).alias("width"),
+        F.when(res_h != "", res_h.cast("long")).alias("height"),
+        "target_duration",
+        "endlist",
+    )
+
+
+def documents_as_m3u8(docs: DataFrame) -> DataFrame:
+    """Adapter: even doc_ids get a MEDIA playlist (``2 + doc_id % 3``
+    segments, dyadic durations ``4 + i/4``, title only on even i, a
+    TARGETDURATION header, ENDLIST on doc_id % 4 == 0); odd doc_ids a
+    MASTER playlist (2 variants, bandwidth ``(1 + doc_id % 7)·100000``
+    and half of it, 1280x720 / 640x360). Closed-form in doc_id for
+    ``mm_hls_entries``."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def seg(i: int):
+        t = F.when(F.lit(i % 2 == 0), F.concat(F.lit(f"Seg "), s(d % 50))).otherwise(F.lit(""))
+        return F.concat(
+            F.lit(f"#EXTINF:{4 + i / 4.0},"), t, F.lit(f"\nseg{i}.ts"),
+        )
+
+    k = 2 + d % 3
+    media = F.concat(
+        F.lit("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:"),
+        s(5 + d % 3),
+        F.lit("\n"),
+        seg(0), F.lit("\n"), seg(1),
+        F.when(k >= 3, F.concat(F.lit("\n"), seg(2))).otherwise(F.lit("")),
+        F.when(k >= 4, F.concat(F.lit("\n"), seg(3))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("\n#EXT-X-ENDLIST")).otherwise(F.lit("")),
+    )
+    bw = (1 + d % 7) * 100000
+    master = F.concat(
+        F.lit("#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH="), s(bw),
+        F.lit(",RESOLUTION=1280x720\nhi.m3u8\n#EXT-X-STREAM-INF:BANDWIDTH="),
+        s((bw / 2).cast("long")), F.lit(",RESOLUTION=640x360\nlo.m3u8"),
+    )
+    body = F.when(d % 2 == 0, media).otherwise(master)
+    return docs.select("doc_id", body.alias("m3u8_text"))
