@@ -269,3 +269,35 @@ def mm_hls_entries(spark, sf_dir):
     from ..operators.markup import documents_as_m3u8, hls_entries
 
     return hls_entries(documents_as_m3u8(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "txt_po_entries",
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+    s AS (SELECT doc_id, unnest(range(k)) AS i FROM d)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS entry_idx,
+           CASE WHEN i = 2 THEN 'menu' END AS msgctxt,
+           CASE WHEN i = 0 AND doc_id % 6 = 0
+                THEN 'Say "hi" ' || doc_id || '-0'
+                ELSE 'Hello ' || doc_id || '-' || i END AS msgid,
+           CASE WHEN (doc_id + i) % 5 = 0 THEN ''
+                ELSE 'Bonjour ' || doc_id || '-' || i END AS msgstr,
+           (doc_id + i) % 4 = 0 AS fuzzy,
+           (doc_id + i) % 5 <> 0 AS translated
+    FROM s
+    """,
+)
+def txt_po_entries(spark, sf_dir):
+    """gettext PO catalog explosion (operators/gettext.py — the
+    parallel-corpus mining lane): blank-line entry split, multi-line
+    quoted-run reassembly, C-escape handling (``\\"``, ``\\n``),
+    msgctxt, ``#, fuzzy`` flags, untranslated detection, header-entry
+    drop. Codegen except one per-catalog window for the post-drop
+    entry renumbering (partitioned by doc — no global window).
+    Constructor oracle: every entry rebuilt closed-form from doc_id,
+    including the escaped-quote and multi-line msgid branches."""
+    from ..operators.gettext import documents_as_po, po_entries
+
+    return po_entries(documents_as_po(table(spark, sf_dir, "documents")))
