@@ -301,3 +301,60 @@ def txt_po_entries(spark, sf_dir):
     from ..operators.gettext import documents_as_po, po_entries
 
     return po_entries(documents_as_po(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "q_geojson_features",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 2)) AS i FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS feat_idx,
+             CASE WHEN doc_id % 3 = 0 THEN 'Point'
+                  WHEN doc_id % 3 = 1 THEN 'LineString'
+                  ELSE 'Polygon' END AS geom_type,
+             CASE WHEN i = 0 THEN 'f' || doc_id || '-0' END AS name,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                       WHEN doc_id % 3 = 1 THEN 3
+                       ELSE 5 END AS BIGINT) AS n_points,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 10 + 0.5
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id % 4 AS DOUBLE)
+                  ELSE CAST(doc_id % 6 AS DOUBLE) END AS min_x,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 0.25
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id % 3 AS DOUBLE)
+                  ELSE CAST(doc_id % 5 AS DOUBLE) END AS min_y,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 10 + 0.5
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id % 4 + 4 AS DOUBLE)
+                  ELSE CAST(doc_id % 6 + 2 AS DOUBLE) END AS max_x,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 0.25
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id % 3 + 2 AS DOUBLE)
+                  ELSE CAST(doc_id % 5 + 3 AS DOUBLE) END AS max_y
+      FROM base
+    ),
+    dec AS (
+      SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS feat_idx,
+             'Weird' AS geom_type, CAST(NULL AS VARCHAR) AS name,
+             CAST(NULL AS BIGINT) AS n_points,
+             CAST(NULL AS DOUBLE) AS min_x, CAST(NULL AS DOUBLE) AS min_y,
+             CAST(NULL AS DOUBLE) AS max_x, CAST(NULL AS DOUBLE) AS max_y
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT * FROM feat UNION ALL SELECT * FROM dec
+    """,
+)
+def q_geojson_features(spark, sf_dir):
+    """GeoJSON feature explosion on Spark 4 VARIANT
+    (operators/geojson.py — RFC 7946): ``parse_json`` → VARIANT,
+    ``try_variant_get`` typed path access, VARIANT-array transform for
+    the bbox math. GeoJSON's type-dependent coordinates nesting is
+    exactly what VARIANT exists for (a fixed from_json schema cannot
+    hold Point/LineString/Polygon at once). Zero shuffle, no Python.
+    Fixture rotates all three geometry types by doc_id % 3, plants a
+    name-less properties branch and an unknown-geometry decoy
+    (doc_id % 7) whose fields must all be NULL."""
+    from ..operators.geojson import documents_as_geojson, geojson_features
+
+    return geojson_features(
+        documents_as_geojson(table(spark, sf_dir, "documents"))
+    )
