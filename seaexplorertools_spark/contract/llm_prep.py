@@ -358,3 +358,35 @@ def q_geojson_features(spark, sf_dir):
     return geojson_features(
         documents_as_geojson(table(spark, sf_dir, "documents"))
     )
+
+
+@q(
+    "mm_midi_notes",
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+    s AS (SELECT doc_id, unnest(range(k)) AS i FROM d)
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS note_idx,
+           CAST(doc_id % 4 AS BIGINT) AS channel,
+           CAST(60 + (doc_id + i) % 12 AS BIGINT) AS key,
+           CAST(64 + i AS BIGINT) AS velocity,
+           CAST(i * 48 AS BIGINT) AS start_tick,
+           CAST(24 + (doc_id % 2) * 12 AS BIGINT) AS dur_ticks,
+           CAST(96 AS BIGINT) AS division
+    FROM s
+    """,
+)
+def mm_midi_notes(spark, sf_dir):
+    """Standard-MIDI-File note extraction (operators/midicodec.py —
+    the symbolic-music multimodal lane): documents_as_midi writes REAL
+    single-track SMFs (tempo meta event, varint delta-times, note-offs
+    in BOTH wire encodings — explicit 0x8n and running-status
+    vel-0 note-on, alternating by key parity), midi_notes walks them
+    back into paired (start, duration, channel, key, velocity) rows.
+    MIDI is lossless and integer-valued, so one constructor oracle pins
+    the header parse, the varint walk, running status, meta skipping
+    and the on/off pairing. mapInPandas, zero shuffle, per-payload
+    degrade."""
+    from ..operators.midicodec import documents_as_midi, midi_notes
+
+    return midi_notes(documents_as_midi(table(spark, sf_dir, "documents")))
