@@ -390,3 +390,33 @@ def mm_midi_notes(spark, sf_dir):
     from ..operators.midicodec import documents_as_midi, midi_notes
 
     return midi_notes(documents_as_midi(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "mm_rtf_text",
+    """
+    SELECT doc_id,
+           coalesce(text, '') || chr(10) || 'Caf' || chr(233) || ' '
+             || chr(8212) || ' row ' || (doc_id % 50) || ' ' || chr(10)
+             AS text,
+           CAST(length(coalesce(text, '') || chr(10) || 'Caf' || chr(233)
+             || ' ' || chr(8212) || ' row ' || (doc_id % 50) || ' '
+             || chr(10)) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def mm_rtf_text(spark, sf_dir):
+    """RTF text extraction (operators/rtf.py — the word-processor
+    sibling of mm_docx_text): stack-based group walker (destination
+    groups including nested sub-groups and starred destinations are
+    dropped wholesale — beyond regex), control-word delimiter-space
+    consumption, ``\\'hh`` hex and ``\\uN``+fallback unicode escapes,
+    ``\\par``/``\\b`` handling. The fixture threads the document text
+    through a realistic formatted body (font/color tables, generator
+    destination, bold toggles, é and an em-dash escape), so the
+    constructor oracle pins every walker rule. mapInPandas, zero
+    shuffle, per-payload degrade (length(text) counts é/— as ONE char
+    on both sides — both are UTF-8-aware)."""
+    from ..operators.rtf import documents_as_rtf, rtf_extract
+
+    return rtf_extract(documents_as_rtf(table(spark, sf_dir, "documents")))
