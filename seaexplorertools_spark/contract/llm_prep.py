@@ -420,3 +420,36 @@ def mm_rtf_text(spark, sf_dir):
     from ..operators.rtf import documents_as_rtf, rtf_extract
 
     return rtf_extract(documents_as_rtf(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "mm_vcard_contacts",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 2)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS card_idx,
+           'Person ' || doc_id || '-' || i AS fn,
+           'Last' || (doc_id % 30) AS family,
+           'First' || (i % 5) AS given,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'Acme, Inc ' || (doc_id % 20) END AS org,
+           CAST(1 + (doc_id + i) % 2 AS BIGINT) AS n_emails,
+           'p' || doc_id || '-' || i || '-0@example.com' AS first_email,
+           CASE WHEN i % 2 = 0 THEN '+1-555-010' || i END AS tel
+    FROM base
+    """,
+)
+def mm_vcard_contacts(spark, sf_dir):
+    """vCard contact explosion (operators/markup.py::vcard_contacts —
+    RFC 6350, the contact-graph ingest lane): shares the iCalendar
+    machinery (unfolding, block explode, parameter heads, unescaping)
+    plus the structured N split on unescaped ';' and repeated-EMAIL
+    counting. The fixture folds the FN line, escapes a comma in ORG,
+    parameterizes the first EMAIL, and rotates every NULL branch on
+    coprime moduli. Pure codegen + one explode, zero shuffle;
+    constructor oracle closed-form in doc_id."""
+    from ..operators.markup import documents_as_vcf, vcard_contacts
+
+    return vcard_contacts(documents_as_vcf(table(spark, sf_dir, "documents")))

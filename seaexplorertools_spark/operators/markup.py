@@ -255,11 +255,11 @@ def documents_as_markdown(docs: DataFrame) -> DataFrame:
 
 def _ics_unescape(v):
     """RFC 5545 §3.3.11 TEXT unescaping for the values we surface:
-    ``\\n`` → newline, ``\\,`` → ',', ``\;`` → ';' (no ``\\\\`` pass —
+    ``\\n`` → newline, ``\\,`` → ',', ``\\;`` → ';' (no ``\\\\`` pass —
     documented scope)."""
     v = F.regexp_replace(v, r"\\n", "\n")
     v = F.regexp_replace(v, r"\\,", ",")
-    return F.regexp_replace(v, r"\;", ";")
+    return F.regexp_replace(v, r"\\;", ";")
 
 
 def _ics_prop(block, name: str):
@@ -469,3 +469,84 @@ def documents_as_m3u8(docs: DataFrame) -> DataFrame:
     )
     body = F.when(d % 2 == 0, media).otherwise(master)
     return docs.select("doc_id", body.alias("m3u8_text"))
+
+
+def vcard_contacts(df: DataFrame, key: str = "doc_id", vcf: str = "vcf_text") -> DataFrame:
+    """Explode vCard payloads (RFC 6350) into one row per card:
+    (key, card_idx, fn, family, given, org, n_emails, first_email,
+    tel). Shares the iCalendar machinery: line unfolding, DOTALL block
+    explode, parameter-tolerant property heads, TEXT unescaping. The
+    structured N property is split on unescaped ';' (family, given =
+    components 0, 1); EMAIL may repeat — the lane surfaces the count
+    and the first. Pure codegen + one explode, zero shuffle."""
+    unfolded = F.regexp_replace(F.col(vcf), r"\r?\n[ \t]", "")
+    blocks = F.regexp_extract_all(
+        unfolded, F.lit(r"(?s)BEGIN:VCARD(.*?)END:VCARD"), F.lit(1)
+    )
+    exploded = df.select(key, F.posexplode(blocks).alias("card_idx", "block"))
+    b = F.col("block")
+    fn = _ics_prop(b, "FN")
+    n = _ics_prop(b, "N")
+    org = _ics_prop(b, "ORG")
+    tel = _ics_prop(b, "TEL")
+    emails = F.regexp_extract_all(
+        b, F.lit(r"(?m)^EMAIL(?:;[^:\r\n]*)?:([^\r\n]*)"), F.lit(1)
+    )
+    n_parts = F.split(n, r"(?<!\\);")
+    return exploded.select(
+        key,
+        F.col("card_idx").cast("long").alias("card_idx"),
+        F.when(fn != "", _ics_unescape(fn)).alias("fn"),
+        F.when(n != "", _ics_unescape(n_parts.getItem(0))).alias("family"),
+        F.when(
+            (n != "") & (F.size(n_parts) >= 2), _ics_unescape(n_parts.getItem(1))
+        ).alias("given"),
+        F.when(org != "", _ics_unescape(org)).alias("org"),
+        F.size(emails).cast("long").alias("n_emails"),
+        F.when(F.size(emails) > 0, emails.getItem(0)).alias("first_email"),
+        F.when(tel != "", tel).alias("tel"),
+    )
+
+
+def documents_as_vcf(docs: DataFrame) -> DataFrame:
+    """Adapter: per document ``1 + doc_id % 2`` vCards — FOLDED FN
+    line, structured N, ORG with an escaped comma on doc_id % 3 == 0,
+    ``1 + (doc_id + i) % 2`` EMAILs (the first with a TYPE param), TEL
+    only on even card index. Closed-form in doc_id for
+    ``mm_vcard_contacts``."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def card(i: int):
+        parts = [
+            F.lit("BEGIN:VCARD"),
+            F.lit("VERSION:4.0"),
+            # folded FN: 'Per' + CRLF + SPACE + 'son <d>-<i>'
+            F.concat(F.lit("FN:Per\r\n son "), s(d), F.lit(f"-{i}")),
+            F.concat(
+                F.lit("N:Last"), s(d % 30), F.lit(f";First{i % 5};;;")
+            ),
+            F.concat(
+                F.lit("EMAIL;TYPE=work:p"), s(d), F.lit(f"-{i}-0@example.com")
+            ),
+        ]
+        second_mail = F.concat(
+            F.lit("\r\nEMAIL:p"), s(d), F.lit(f"-{i}-1@example.com")
+        )
+        org = F.concat(F.lit("\r\nORG:Acme\\, Inc "), s(d % 20))
+        tel = F.lit(f"\r\nTEL;TYPE=cell:+1-555-010{i}")
+        head = F.concat_ws("\r\n", *parts)
+        return F.concat(
+            head,
+            F.when((d + F.lit(i)) % 2 == 1, second_mail).otherwise(F.lit("")),
+            F.when(d % 3 == 0, org).otherwise(F.lit("")),
+            tel if i % 2 == 0 else F.lit(""),
+            F.lit("\r\nEND:VCARD"),
+        )
+
+    body = F.concat_ws(
+        "\r\n",
+        card(0),
+        F.when(d % 2 == 1, card(1)),
+    )
+    return docs.select("doc_id", body.alias("vcf_text"))
