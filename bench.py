@@ -126,6 +126,16 @@ EXTRA = [
     "mm_epub_text",         # EPUB container-chain extraction
     "mm_arrow_records",     # Arrow IPC (stream + file formats)
     "txt_markdown_meta",    # YAML front-matter + body profile (codegen)
+    "q_dpo_pairs",          # DPO preference-pair prep + prompt dedup
+    "txt_wordpiece",        # JVM-aggregate greedy WordPiece encode
+    "mm_cbor_records",      # CBOR (RFC 8949) wire walk
+    "mm_ics_events",        # iCalendar VEVENT explosion (codegen)
+    "mm_hls_entries",       # HLS media/master playlist explosion
+    "txt_po_entries",       # gettext PO parallel-pair mining
+    "q_geojson_features",   # VARIANT GeoJSON bbox explosion
+    "mm_midi_notes",        # SMF note pairing walk
+    "mm_rtf_text",          # RTF group-walker extraction
+    "mm_vcard_contacts",    # vCard contact explosion (codegen)
 ]
 
 

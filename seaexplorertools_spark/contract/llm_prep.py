@@ -453,3 +453,46 @@ def mm_vcard_contacts(spark, sf_dir):
     from ..operators.markup import documents_as_vcf, vcard_contacts
 
     return vcard_contacts(documents_as_vcf(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "q_toml_entries",
+    """
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS section, 'title' AS key_name,
+           'string' AS vtype, 'Doc ' || doc_id AS str_val,
+           CAST(NULL AS DOUBLE) AS num_val, CAST(NULL AS BOOLEAN) AS bool_val
+    FROM documents
+    UNION ALL
+    SELECT doc_id, NULL, 'count', 'int', NULL,
+           CAST(doc_id % 100 AS DOUBLE), NULL FROM documents
+    UNION ALL
+    SELECT doc_id, NULL, 'ratio', 'float', NULL,
+           doc_id % 7 + 0.25, NULL FROM documents
+    UNION ALL
+    SELECT doc_id, NULL, 'active', 'bool', NULL, NULL,
+           doc_id % 2 = 0 FROM documents
+    UNION ALL
+    SELECT doc_id, NULL, 'tags', 'other', '[1, 2]', NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'owner', 'name', 'string', 'User ' || (doc_id % 30),
+           NULL, NULL FROM documents
+    UNION ALL
+    SELECT doc_id, 'owner', 'level', 'int', NULL,
+           CAST(doc_id % 5 AS DOUBLE), NULL FROM documents
+    UNION ALL
+    SELECT doc_id, 'features', 'flag', 'bool', NULL, NULL, TRUE
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_toml_entries(spark, sf_dir):
+    """TOML config mining (operators/configs.py): line explode →
+    section-header FORWARD FILL over a doc-partitioned line-ordered
+    window (the windows.py ffill idiom applied to parsing) → typed
+    key/value rows (string/int/float/bool, arrays as vtype='other').
+    Comment stripping (full-line + trailing) pinned by the fixture.
+    Codegen + one doc-partitioned window, no Python. Constructor
+    oracle: the full key inventory rebuilt closed-form as a UNION."""
+    from ..operators.configs import documents_as_toml, toml_entries
+
+    return toml_entries(documents_as_toml(table(spark, sf_dir, "documents")))
