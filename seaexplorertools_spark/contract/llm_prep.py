@@ -496,3 +496,33 @@ def q_toml_entries(spark, sf_dir):
     from ..operators.configs import documents_as_toml, toml_entries
 
     return toml_entries(documents_as_toml(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "mm_bson_records",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, unnest(range(k)) AS seq FROM d)
+    SELECT doc_id AS media_id,
+           doc_id,
+           CAST(seq AS BIGINT) AS seq,
+           CASE WHEN seq = 2 THEN NULL ELSE t END AS body,
+           doc_id % 89 + seq / 4.0 AS score
+    FROM s
+    """,
+)
+def mm_bson_records(spark, sf_dir):
+    """BSON dump ingest (sources/bson.py — bsonspec.org v1.1, the
+    mongodump format): documents_as_bson writes REAL concatenated BSON
+    documents (int32/int64 width rotation via a 2^40 shadow field the
+    lane must ignore, null body element at seq 2, dyadic double
+    scores), bson_records walks them back onto the shared (doc_id,
+    seq, body, score) ingest shape — the third schemaless dump family
+    next to mm_msgpack_records and mm_cbor_records, same oracle form.
+    mapInPandas, zero shuffle, per-payload degrade."""
+    from ..sources.bson import bson_records, documents_as_bson
+
+    return bson_records(documents_as_bson(table(spark, sf_dir, "documents")))

@@ -105,6 +105,50 @@ def test_cbor_never_crashes(b):
         pass  # the only allowed failure mode
 
 
+# BSON documents: string keys only (the spec's element names are
+# cstrings), no bytes values (0x05 binary is skip-only by design)
+_bson_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40).filter(lambda s: "\x00" not in s),
+)
+_bson_keys = st.text(max_size=8).filter(lambda s: "\x00" not in s)
+_bson_values = st.recursive(
+    _bson_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5),
+        st.dictionaries(_bson_keys, inner, max_size=5),
+    ),
+    max_leaves=20,
+)
+
+
+@settings(**COMMON)
+@given(v=st.dictionaries(_bson_keys, _bson_values, max_size=5))
+def test_bson_roundtrip(v):
+    from seaexplorertools_spark.sources.bson import (
+        decode_document,
+        encode_document,
+    )
+
+    enc = encode_document(v)
+    got, i = decode_document(enc)
+    assert got == v and i == len(enc)
+
+
+@settings(**COMMON)
+@given(b=st.binary(max_size=200))
+def test_bson_never_crashes(b):
+    from seaexplorertools_spark.sources.bson import decode_dump
+
+    try:
+        decode_dump(b)
+    except ValueError:
+        pass  # the only allowed failure mode
+
+
 @settings(**COMMON)
 @given(
     n=st.integers(0, 8),
