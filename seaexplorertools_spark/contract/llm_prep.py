@@ -526,3 +526,54 @@ def mm_bson_records(spark, sf_dir):
     from ..sources.bson import bson_records, documents_as_bson
 
     return bson_records(documents_as_bson(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "q_xml_records",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS rec_idx,
+           CAST(doc_id * 10 + i AS BIGINT) AS id,
+           CASE WHEN doc_id % 4 = 0 THEN 'A & B ' || (doc_id % 60)
+                ELSE 'Part ' || (doc_id % 60) END AS name,
+           doc_id % 90 + 0.25 AS price,
+           CASE WHEN doc_id % 2 = 0 THEN 'usd' ELSE 'eur' END AS currency,
+           CASE WHEN i % 2 = 0 THEN 'say "hi" item ' || i END AS "desc"
+    FROM base
+    """,
+)
+def q_xml_records(spark, sf_dir):
+    """Generic XML record explosion
+    (operators/markup.py::xml_records — the spark-xml-lite surface): a
+    caller-specified record tag and field paths (child text,
+    record-tag attribute, child attribute) onto one row per record,
+    entities unescaped. Pure codegen + one explode, zero shuffle;
+    string columns cast by the caller (the CSV-lane division of
+    labor). Fixture: catalog <item> records with id attribute,
+    entity-laden <name>, attribute-on-child currency, and an optional
+    <desc>; constructor oracle closed-form in doc_id."""
+    from ..operators.markup import documents_as_xml, xml_records
+
+    raw = xml_records(
+        documents_as_xml(table(spark, sf_dir, "documents")),
+        record_tag="item",
+        fields=[
+            ("id", "@id"),
+            ("name", "name"),
+            ("price", "price"),
+            ("currency", "price@currency"),
+            ("desc", "desc"),
+        ],
+    )
+    return raw.select(
+        "doc_id",
+        "rec_idx",
+        F.col("id").cast("long").alias("id"),
+        "name",
+        F.col("price").cast("double").alias("price"),
+        "currency",
+        "desc",
+    )

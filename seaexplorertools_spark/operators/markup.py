@@ -550,3 +550,98 @@ def documents_as_vcf(docs: DataFrame) -> DataFrame:
         F.when(d % 2 == 1, card(1)),
     )
     return docs.select("doc_id", body.alias("vcf_text"))
+
+
+def _xml_unescape(v):
+    """The five standard XML entities (the module's documented scope —
+    numeric character references are out, same as the sitemap/SVG/EPUB
+    lanes). ``&amp;`` last so double-escapes resolve one level."""
+    v = F.regexp_replace(v, "&lt;", "<")
+    v = F.regexp_replace(v, "&gt;", ">")
+    v = F.regexp_replace(v, "&quot;", '"')
+    v = F.regexp_replace(v, "&apos;", "'")
+    return F.regexp_replace(v, "&amp;", "&")
+
+
+def xml_records(
+    df: DataFrame,
+    record_tag: str,
+    fields: list[tuple[str, str]],
+    key: str = "doc_id",
+    xml: str = "xml_text",
+) -> DataFrame:
+    """Generic XML record explosion (the spark-xml-lite surface): one
+    row per ``<record_tag>…</record_tag>`` block, one string column per
+    requested field. Field paths are the subset data XML needs:
+
+    - ``'child'`` — text of the first ``<child>`` element
+    - ``'@attr'`` — attribute on the record tag itself
+    - ``'child@attr'`` — attribute on the first ``<child>`` element
+
+    Values get the five standard entities unescaped. Missing fields
+    are NULL; documents without the record tag yield zero rows. Pure
+    codegen + one explode, zero shuffle; callers cast columns to their
+    types (the established CSV-lane division of labor)."""
+    x = F.col(xml)
+    blocks = F.regexp_extract_all(
+        x,
+        F.lit(rf"(?s)<{record_tag}(?:\s[^>]*)?>(.*?)</{record_tag}>"),
+        F.lit(0),
+    )
+    exploded = df.select(key, F.posexplode(blocks).alias("rec_idx", "block"))
+    b = F.col("block")
+    cols = [F.col(key), F.col("rec_idx").cast("long").alias("rec_idx")]
+    for name, path in fields:
+        if path.startswith("@"):
+            raw = F.regexp_extract(
+                b, rf'<{record_tag}[^>]*\s{path[1:]}="([^"]*)"', 1
+            )
+        elif "@" in path:
+            child, attr = path.split("@", 1)
+            raw = F.regexp_extract(b, rf'<{child}[^>]*\s{attr}="([^"]*)"', 1)
+        else:
+            raw = F.regexp_extract(
+                b, rf"(?s)<{path}(?:\s[^>]*)?>(.*?)</{path}>", 1
+            )
+        cols.append(F.when(raw != "", _xml_unescape(raw)).alias(name))
+    return exploded.select(*cols)
+
+
+def documents_as_xml(docs: DataFrame) -> DataFrame:
+    """Adapter: per document a catalog of ``1 + doc_id % 3`` <item>
+    records — id attribute on the record tag, <name> with an entity on
+    doc_id % 4 == 0, <price currency=…> (attribute-on-child), <desc>
+    with quote entities only on even item index (the NULL branch on
+    odd). Closed-form in doc_id for ``q_xml_records``."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def item(i: int):
+        name = F.when(
+            d % 4 == 0,
+            F.concat(F.lit("A &amp; B "), s(d % 60)),
+        ).otherwise(F.concat(F.lit("Part "), s(d % 60)))
+        desc = (
+            F.lit(f"<desc>say &quot;hi&quot; item {i}</desc>")
+            if i % 2 == 0
+            else F.lit("")
+        )
+        return F.concat(
+            F.lit(f'<item id="'), s(d * 10 + i), F.lit('">'),
+            F.lit("<name>"), name, F.lit("</name>"),
+            F.lit('<price currency="'),
+            F.when(d % 2 == 0, F.lit("usd")).otherwise(F.lit("eur")),
+            F.lit('">'), s(d % 90), F.lit(".25</price>"),
+            desc,
+            F.lit("</item>"),
+        )
+
+    k = 1 + d % 3
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><catalog>'),
+        item(0),
+        F.when(k >= 2, item(1)).otherwise(F.lit("")),
+        F.when(k >= 3, item(2)).otherwise(F.lit("")),
+        F.lit("</catalog>"),
+    )
+    return docs.select("doc_id", body.alias("xml_text"))
