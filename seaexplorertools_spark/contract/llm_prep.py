@@ -577,3 +577,41 @@ def q_xml_records(spark, sf_dir):
         "currency",
         "desc",
     )
+
+
+@q(
+    "txt_latex_extract",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, 1 + doc_id % 3 AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           'Study ' || (doc_id % 70) AS title,
+           CAST(k AS BIGINT) AS n_sections,
+           CAST(k AS BIGINT) AS n_cites,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_equations,
+           chr(10) || 'Part 0' || chr(10) || t || ' cited.'
+           || CASE WHEN k >= 2 THEN chr(10) || 'Part 1' || chr(10)
+                || 'More 1 of doc ' || doc_id || ' cited.' ELSE '' END
+           || CASE WHEN k >= 3 THEN chr(10) || 'Part 2' || chr(10)
+                || 'More 2 of doc ' || doc_id || ' cited.' ELSE '' END
+           || chr(10) || 'Rate is 100% with gap noted.' || chr(10) AS text
+    FROM d
+    """,
+)
+def txt_latex_extract(spark, sf_dir):
+    """LaTeX prose extraction (operators/latex.py — the arXiv-paper
+    ingest lane): comment stripping with escaped-``\\%`` lookbehind,
+    equation/figure environment drops (counted first), preamble cut at
+    ``\\begin{document}``, inline-math and cite/ref removal,
+    section/emphasis commands keeping their arguments, generic
+    one-level command collapse, TeX escape unescaping. Pure codegen
+    regexp chain, zero shuffle. The fixture threads the document text
+    through a realistic paper skeleton; constructor oracle rebuilds
+    the full extracted text closed-form (documents text verified free
+    of TeX specials at all SFs)."""
+    from ..operators.latex import documents_as_latex, latex_extract
+
+    return latex_extract(documents_as_latex(table(spark, sf_dir, "documents")))
