@@ -615,3 +615,95 @@ def txt_latex_extract(spark, sf_dir):
     from ..operators.latex import documents_as_latex, latex_extract
 
     return latex_extract(documents_as_latex(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "q_wordpiece_stats",
+    f"""
+    WITH RECURSIVE
+    vocab AS (SELECT unnest([{_WP_VOCAB_SQL}]) AS piece),
+    t AS (
+      SELECT doc_id,
+             coalesce(lower(text), '') || ' z' || (doc_id % 2) AS txt
+      FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, regexp_extract_all(txt, '[a-z0-9]+') AS ws FROM t
+    ),
+    words AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS word_idx, ws[u.i] AS word
+      FROM lists, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+    ),
+    step AS (
+      SELECT doc_id, word_idx, word, 1 AS pos, '' AS enc,
+             FALSE AS failed, FALSE AS done
+      FROM words
+      UNION ALL
+      SELECT doc_id, word_idx, word,
+             CASE WHEN m IS NULL THEN pos ELSE pos + m END AS pos,
+             CASE WHEN m IS NULL THEN enc
+                  WHEN pos = 1 THEN substr(word, pos, m)
+                  ELSE enc || ' ##' || substr(word, pos, m) END AS enc,
+             m IS NULL AS failed,
+             m IS NULL OR pos + m > length(word) AS done
+      FROM (
+        SELECT s.*,
+               (SELECT max(length(v.piece)) FROM vocab v
+                WHERE v.piece = substr(s.word, s.pos, length(v.piece))) AS m
+        FROM step s WHERE NOT s.done
+      )
+    ),
+    enc AS (
+      SELECT doc_id, failed,
+             CASE WHEN failed THEN NULL
+                  ELSE len(string_split(enc, ' ')) END AS n_pieces
+      FROM step WHERE done
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           CAST(coalesce(sum(n_pieces), 0) AS BIGINT) AS n_pieces,
+           round(CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS unk_rate,
+           round(CAST(sum(n_pieces) AS DOUBLE)
+                 / nullif(count(*) - sum(CASE WHEN failed THEN 1 ELSE 0 END),
+                          0), 6) AS fertility
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_wordpiece_stats(spark, sf_dir):
+    """Tokenizer evaluation report over the WordPiece lane: per-doc
+    word count, [UNK] count/rate, subword piece count, and FERTILITY
+    (pieces per covered word — the number tokenizer papers actually
+    report; Rust et al. 2021). One groupBy over the zero-shuffle
+    encode; ANSI-safe nullif division. The oracle wraps the same
+    recursive-CTE greedy replay in the aggregate."""
+    from ..operators.wordpiece import UNK, wordpiece_encode
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" z"),
+            (F.col("doc_id") % 2).cast("string"),
+        ).alias("text"),
+    )
+    enc = wordpiece_encode(docs)
+    failed = F.col("encoded") == UNK
+    pieces = F.when(~failed, F.size(F.split(F.col("encoded"), " ")))
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(failed.cast("long")).alias("n_unk"),
+        F.coalesce(F.sum(pieces), F.lit(0)).cast("long").alias("n_pieces"),
+        F.round(
+            F.sum(failed.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("unk_rate"),
+        F.round(
+            F.sum(pieces).cast("double")
+            / F.nullif(
+                (F.count("*") - F.sum(failed.cast("long"))).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("fertility"),
+    )

@@ -68,6 +68,23 @@ def test_arrow_path_is_result_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_fertility_report(spark, sf_dir):
+    from seaexplorertools_spark.contract import QUERIES
+
+    rows = QUERIES["q_wordpiece_stats"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_unk"] >= 1  # the planted z0/z1 token
+        assert r["n_words"] >= r["n_unk"]
+        covered = r["n_words"] - r["n_unk"]
+        if covered:
+            assert r["fertility"] >= 1.0  # ≥1 piece per covered word
+            assert r["n_pieces"] >= covered
+        else:
+            assert r["fertility"] is None and r["n_pieces"] == 0
+        assert 0.0 < r["unk_rate"] <= 1.0
+
+
 def test_default_path_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     plan = wordpiece_encode(df)._jdf.queryExecution().executedPlan().toString()
