@@ -707,3 +707,58 @@ def q_wordpiece_stats(spark, sf_dir):
             6,
         ).alias("fertility"),
     )
+
+
+@q(
+    "q_access_logs",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 11 = 0 AS junk FROM documents)
+    SELECT doc_id,
+           CASE WHEN junk THEN NULL
+                ELSE '10.0.' || (doc_id % 50) || '.7' END AS host,
+           CASE WHEN junk THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+           CASE WHEN junk THEN NULL
+                ELSE '/page/' || (doc_id % 200) || '?q=' || (doc_id % 9)
+                END AS path,
+           CASE WHEN junk THEN NULL
+                ELSE CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                          WHEN 2 THEN 404 ELSE 503 END AS BIGINT)
+                END AS status,
+           CASE WHEN junk THEN NULL
+                WHEN doc_id % 9 = 0 THEN 0
+                ELSE CAST(512 + doc_id % 4096 AS BIGINT) END AS bytes,
+           CASE WHEN junk OR doc_id % 3 = 0 THEN NULL
+                ELSE 'https://ref' || (doc_id % 12) || '.example.com/'
+                END AS referer,
+           CASE WHEN junk THEN NULL
+                WHEN doc_id % 5 = 0
+                THEN 'FetchBot/2.1 (+https://bots.example.com)'
+                ELSE 'Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101'
+                END AS user_agent,
+           CASE WHEN junk THEN NULL
+                ELSE make_timestamp(2026, 3, 1 + doc_id % 28, doc_id % 24,
+                                    doc_id % 60, (doc_id * 7) % 60)
+                     - CASE WHEN doc_id % 7 = 0 THEN INTERVAL 2 HOUR
+                            ELSE INTERVAL 0 HOUR END
+                END AS ts_utc,
+           CASE WHEN junk THEN FALSE ELSE doc_id % 5 = 0 END AS bot,
+           NOT junk AS parsed
+    FROM d
+    """,
+)
+def q_access_logs(spark, sf_dir):
+    """Apache/nginx combined access-log parsing
+    (operators/weblogs.py — the crawl/ops telemetry lane): anchored
+    combined-format regex, '-'-as-zero bytes, locale-proof month
+    lookup, ARITHMETIC timezone-offset normalization to UTC
+    timestamp_ntz (survives the driverlike non-UTC session — the
+    fixture plants +0200 lines on doc_id % 7), bot classification from
+    the user-agent, and a parsed=false degrade branch for junk lines
+    (doc_id % 11). Pure codegen, zero shuffle; constructor oracle
+    closed-form in doc_id."""
+    from ..operators.weblogs import access_log_entries, documents_as_access_logs
+
+    return access_log_entries(
+        documents_as_access_logs(table(spark, sf_dir, "documents"))
+    )
