@@ -762,3 +762,42 @@ def q_access_logs(spark, sf_dir):
     return access_log_entries(
         documents_as_access_logs(table(spark, sf_dir, "documents"))
     )
+
+
+@q(
+    "mm_sqldump_rows",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS n_stmt, 2 + doc_id % 2 AS n_tup
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tup, unnest(range(n_stmt)) AS stmt FROM d),
+    t AS (SELECT doc_id, stmt, unnest(range(n_tup)) AS i FROM s)
+    SELECT doc_id,
+           CAST(stmt AS BIGINT) AS stmt_idx,
+           CAST(i AS BIGINT) AS tuple_idx,
+           CAST(doc_id * 100 + stmt * 10 + i AS VARCHAR) AS id,
+           CASE WHEN doc_id % 6 = 0 THEN 'it''s page ' || (doc_id % 40)
+                ELSE 'page ' || (doc_id % 40) END AS title,
+           (doc_id % 9) || '.25' AS score,
+           CASE WHEN i % 2 = 1 THEN NULL
+                ELSE CAST(doc_id % 8 AS VARCHAR) END AS flags
+    FROM t
+    """,
+)
+def mm_sqldump_rows(spark, sf_dir):
+    """mysqldump INSERT-tuple extraction (operators/sqldump.py — the
+    format Wikipedia/Wikidata actually publish): DDL prologue and
+    decoy-table INSERTs ignored, multi-row VALUES lists exploded,
+    quoted strings with ``''`` escapes folded, bare NULL → NULL. Pure
+    codegen (statement → tuple → field regexp_extract_all chain), zero
+    shuffle, string-typed output (the CSV/XML-lane casting contract).
+    Constructor oracle closed-form in doc_id, including the
+    escaped-quote branch."""
+    from ..operators.sqldump import documents_as_sqldump, sqldump_rows
+
+    return sqldump_rows(
+        documents_as_sqldump(table(spark, sf_dir, "documents")),
+        "page",
+        ["id", "title", "score", "flags"],
+    )
