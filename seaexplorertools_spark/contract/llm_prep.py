@@ -801,3 +801,53 @@ def mm_sqldump_rows(spark, sf_dir):
         "page",
         ["id", "title", "score", "flags"],
     )
+
+
+@q(
+    "q_span_corruption",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS i, ws[u.i] AS tok, len(ws) AS n
+      FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+    ),
+    agg AS (
+      SELECT doc_id,
+             max(n) AS n_tokens,
+             sum(CASE WHEN i % 7 < 2 THEN 1 ELSE 0 END) AS n_masked,
+             string_agg(
+               CASE WHEN i % 7 = 0 THEN '<extra_id_' || (i // 7) || '>'
+                    WHEN i % 7 < 2 THEN NULL ELSE tok END,
+               ' ' ORDER BY i) AS input,
+             string_agg(
+               CASE WHEN i % 7 = 0
+                    THEN '<extra_id_' || (i // 7) || '> ' || tok
+                    WHEN i % 7 < 2 THEN tok END,
+               ' ' ORDER BY i) AS target
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+           coalesce(a.input, '') AS input,
+           coalesce(a.target, '') AS target
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_span_corruption(spark, sf_dir):
+    """T5/UL2 span-corruption prep (operators/denoise.py — the
+    denoising-objective twin of the packing/chunking lanes): mask a
+    2-token span every 7 tokens with <extra_id_k> sentinels, emit the
+    (input, target) pair plus token/mask counts. Deterministic-stride
+    variant so the whole map is exactly oracle-able (the same seeded-
+    determinism trade the sampling lanes make). Pure JVM higher-order
+    functions on the token array — transform-with-index + NULL-skipping
+    array_join — zero shuffle, no explode, no Python. Oracle replays it
+    as unnest-with-ordinality + ordered string_agg."""
+    from ..operators.denoise import span_corrupt
+
+    out = span_corrupt(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "n_masked", "input", "target")
