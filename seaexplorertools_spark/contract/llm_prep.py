@@ -851,3 +851,48 @@ def q_span_corruption(spark, sf_dir):
 
     out = span_corrupt(table(spark, sf_dir, "documents"))
     return out.select("doc_id", "n_tokens", "n_masked", "input", "target")
+
+
+@q(
+    "q_fim_transform",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, n,
+             CAST(floor(n * (CAST(1 AS DOUBLE) / 3)) AS INT) AS c1,
+             CAST(floor(n * (CAST(2 AS DOUBLE) / 3)) AS INT) AS c2
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(c1 AS BIGINT) AS n_prefix,
+           CAST(c2 - c1 AS BIGINT) AS n_middle,
+           CAST(n - c2 AS BIGINT) AS n_suffix,
+           CASE WHEN doc_id % 2 = 0 THEN
+             '<PRE>' || substr(t, 1, c1) || '<SUF>' || substr(t, c2 + 1)
+             || '<MID>' || substr(t, c1 + 1, c2 - c1)
+           ELSE
+             '<SUF>' || substr(t, c2 + 1) || '<PRE>' || substr(t, 1, c1)
+             || '<MID>' || substr(t, c1 + 1, c2 - c1)
+           END AS fim
+    FROM c
+    """,
+)
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle prep (operators/denoise.py::fim_transform —
+    Bavarian et al. 2022, the code-model pretraining objective): split
+    at deterministic character-fraction cut points, rejoin with
+    <PRE>/<SUF>/<MID> sentinels — PSM order on even doc_ids, SPM on
+    odd, so both renders sit under the oracle. Pure codegen substring
+    arithmetic, zero shuffle. The cut points use the same IEEE double
+    (1/3, 2/3) on both engines, so floor() agrees exactly."""
+    from ..operators.denoise import fim_transform
+
+    docs = table(spark, sf_dir, "documents")
+    psm = fim_transform(docs.filter(F.col("doc_id") % 2 == 0), mode="psm")
+    spm = fim_transform(docs.filter(F.col("doc_id") % 2 == 1), mode="spm")
+    cols = ["doc_id", "n_prefix", "n_middle", "n_suffix", "fim"]
+    return psm.select(*cols).unionAll(spm.select(*cols))

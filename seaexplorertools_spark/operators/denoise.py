@@ -85,3 +85,43 @@ def span_corrupt(
         inp.alias("input"),
         tgt.alias("target"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = "psm",
+    lo: float = 1 / 3,
+    hi: float = 2 / 3,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle") — the code-
+    pretraining objective: split the document at two cut points into
+    (prefix, middle, suffix) and rejoin with sentinels in PSM
+    (``<PRE> p <SUF> s <MID> m``) or SPM (``<SUF> s <PRE> p <MID> m``)
+    order. Deterministic character-fraction cuts (production randomizes
+    them; the fraction rule keeps the lane exactly oracle-able — the
+    span_corrupt trade). Pure codegen ``substring`` arithmetic, zero
+    shuffle; adds (n_prefix, n_middle, n_suffix, fim)."""
+    if mode not in ("psm", "spm"):
+        raise ValueError("fim_transform: mode must be 'psm' or 'spm'")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    c1 = F.floor(n * F.lit(lo)).cast("int")
+    c2 = F.floor(n * F.lit(hi)).cast("int")
+    prefix = t.substr(F.lit(1), c1)
+    middle = t.substr(c1 + 1, c2 - c1)
+    suffix = t.substr(c2 + 1, n - c2)
+    psm = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    spm = F.concat(
+        F.lit("<SUF>"), suffix, F.lit("<PRE>"), prefix, F.lit("<MID>"), middle
+    )
+    return df.select(
+        "*",
+        c1.cast("long").alias("n_prefix"),
+        (c2 - c1).cast("long").alias("n_middle"),
+        (n - c2).cast("long").alias("n_suffix"),
+        (psm if mode == "psm" else spm).alias("fim"),
+    )

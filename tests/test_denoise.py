@@ -73,3 +73,50 @@ def test_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = span_corrupt(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_fim_psm_and_spm(spark):
+    from seaexplorertools_spark.operators.denoise import fim_transform
+
+    df = spark.createDataFrame([(1, "abcdefghi")], "doc_id long, text string")
+    psm = fim_transform(df, mode="psm").collect()[0]
+    # 9 chars: cuts at 3 and 6
+    assert (psm["n_prefix"], psm["n_middle"], psm["n_suffix"]) == (3, 3, 3)
+    assert psm["fim"] == "<PRE>abc<SUF>ghi<MID>def"
+    spm = fim_transform(df, mode="spm").collect()[0]
+    assert spm["fim"] == "<SUF>ghi<PRE>abc<MID>def"
+
+
+def test_fim_reconstruction_property(spark, sf_dir):
+    from seaexplorertools_spark.operators.denoise import fim_transform
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    for r in fim_transform(docs, mode="psm").collect():
+        import re
+
+        m = re.match(r"<PRE>(.*)<SUF>(.*)<MID>(.*)$", r["fim"], re.S)
+        pre, suf, mid = m.groups()
+        assert pre + mid + suf == r["text"]
+        assert (len(pre), len(mid), len(suf)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"],
+        )
+
+
+def test_fim_short_and_empty(spark):
+    from seaexplorertools_spark.operators.denoise import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    assert rows[1]["fim"] == "<PRE><SUF>b<MID>a"  # cuts at 0 and 1
+    assert rows[2]["fim"] == "<PRE><SUF><MID>" and rows[3]["fim"] == "<PRE><SUF><MID>"
+
+
+def test_fim_invalid_mode():
+    from seaexplorertools_spark.operators.denoise import fim_transform
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fim_transform(None, mode="pms")
