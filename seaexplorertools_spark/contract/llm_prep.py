@@ -896,3 +896,40 @@ def q_fim_transform(spark, sf_dir):
     spm = fim_transform(docs.filter(F.col("doc_id") % 2 == 1), mode="spm")
     cols = ["doc_id", "n_prefix", "n_middle", "n_suffix", "fim"]
     return psm.select(*cols).unionAll(spm.select(*cols))
+
+
+@q(
+    "q_rss_items",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 3)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS rec_idx,
+           CASE WHEN doc_id % 4 = 0 THEN 'News & views ' || (doc_id % 80)
+                ELSE 'Episode ' || (doc_id % 80) END AS title,
+           'https://pod' || (doc_id % 30) || '.example.com/' || doc_id
+             || '-' || i AS link,
+           'tag:' || doc_id || '-' || i AS guid,
+           CASE WHEN i % 2 = 0
+                THEN 'https://cdn.example.com/ep' || doc_id || '-' || i
+                     || '.mp3' END AS enclosure_url,
+           CASE WHEN i % 2 = 0
+                THEN CAST(10000 + doc_id % 5000 AS BIGINT)
+                END AS enclosure_bytes,
+           make_timestamp(2026, 4, 1 + doc_id % 28, doc_id % 24, i, 0)
+             - CASE WHEN doc_id % 5 = 0 THEN INTERVAL 2 HOUR
+                    ELSE INTERVAL 0 HOUR END AS pub_ts
+    FROM base
+    """,
+)
+def q_rss_items(spark, sf_dir):
+    """RSS 2.0 feed explosion (operators/markup.py::rss_items — the
+    syndication/podcast ingest lane), built as a COMPOSITION of the
+    generic xml_records operator (child-text + attribute-on-child
+    paths) plus an RFC-822 pubDate parse with arithmetic UTC offset
+    normalization (GMT and +0200 branches both planted). Pure codegen,
+    zero shuffle; constructor oracle closed-form in doc_id."""
+    from ..operators.markup import documents_as_rss, rss_items
+
+    return rss_items(documents_as_rss(table(spark, sf_dir, "documents")))

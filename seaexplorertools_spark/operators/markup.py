@@ -645,3 +645,119 @@ def documents_as_xml(docs: DataFrame) -> DataFrame:
         F.lit("</catalog>"),
     )
     return docs.select("doc_id", body.alias("xml_text"))
+
+
+_RSS_MONTHS = "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()
+
+
+def _rfc822_ts(v):
+    """RSS pubDate (`Tue, 03 Jun 2026 09:39:21 GMT` / `+0200`) → UTC
+    timestamp_ntz — month by array position (locale-proof), offset
+    subtracted arithmetically, try_make_* degrade (the weblogs-lane
+    policy applied to feeds)."""
+    part = lambda i: F.regexp_extract(  # noqa: E731
+        v,
+        r"^(?:[A-Za-z]{3}, )?(\d{2}) ([A-Za-z]{3}) (\d{4}) "
+        r"(\d{2}):(\d{2}):(\d{2}) (GMT|UT|[+-]\d{4})$",
+        i,
+    )
+    mon_arr = F.array(*[F.lit(m) for m in _RSS_MONTHS])
+    month = F.array_position(mon_arr, part(2)).cast("int")
+    local = F.try_make_timestamp_ntz(
+        part(3).try_cast("int"), F.when(month > 0, month),
+        part(1).try_cast("int"), part(4).try_cast("int"),
+        part(5).try_cast("int"), part(6).try_cast("int"),
+    )
+    off = part(7)
+    numeric = off.rlike(r"^[+-]\d{4}$")
+    off_minutes = F.when(
+        numeric,
+        (F.substring(off, 2, 2).try_cast("int") * 60
+         + F.substring(off, 4, 2).try_cast("int"))
+        * F.when(F.substring(off, 1, 1) == "-", -1).otherwise(1),
+    ).otherwise(F.lit(0))
+    return local - F.make_dt_interval(F.lit(0), F.lit(0), off_minutes)
+
+
+def rss_items(df: DataFrame, key: str = "doc_id", xml: str = "xml_text") -> DataFrame:
+    """RSS 2.0 feed explosion — a COMPOSITION of the generic
+    :func:`xml_records` (record tag ``item``; title/link/guid child
+    text, podcast ``enclosure`` url/length attributes) plus the
+    RFC-822 pubDate parse. One row per item: (key, rec_idx, title,
+    link, guid, enclosure_url, enclosure_bytes, pub_ts). Pure codegen,
+    zero shuffle."""
+    raw = xml_records(
+        df,
+        record_tag="item",
+        fields=[
+            ("title", "title"),
+            ("link", "link"),
+            ("guid", "guid"),
+            ("pubdate", "pubDate"),
+            ("enclosure_url", "enclosure@url"),
+            ("enclosure_len", "enclosure@length"),
+        ],
+        key=key,
+        xml=xml,
+    )
+    return raw.select(
+        key,
+        "rec_idx",
+        "title",
+        "link",
+        "guid",
+        "enclosure_url",
+        F.col("enclosure_len").cast("long").alias("enclosure_bytes"),
+        _rfc822_ts(F.col("pubdate")).alias("pub_ts"),
+    )
+
+
+def documents_as_rss(docs: DataFrame) -> DataFrame:
+    """Adapter: per document an RSS 2.0 feed with a channel header,
+    ``1 + doc_id % 3`` items — entity-bearing titles on doc_id % 4,
+    enclosures (podcast mp3) only on even item index, pubDate with a
+    +0200 offset on doc_id % 5 == 0 and GMT otherwise. Closed-form in
+    doc_id for ``q_rss_items``."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def item(i: int):
+        title = F.when(
+            d % 4 == 0, F.concat(F.lit("News &amp; views "), s(d % 80))
+        ).otherwise(F.concat(F.lit("Episode "), s(d % 80)))
+        enc = (
+            F.concat(
+                F.lit('<enclosure url="https://cdn.example.com/ep'),
+                s(d), F.lit(f"-{i}"),
+                F.lit('.mp3" length="'), s(10000 + d % 5000),
+                F.lit('" type="audio/mpeg"/>'),
+            )
+            if i % 2 == 0
+            else F.lit("")
+        )
+        tz = F.when(d % 5 == 0, F.lit("+0200")).otherwise(F.lit("GMT"))
+        pub = F.concat(
+            F.lit("Mon, "), F.lpad(s(1 + d % 28), 2, "0"),
+            F.lit(" Apr 2026 "), F.lpad(s(d % 24), 2, "0"),
+            F.lit(f":{i:02d}:00 "), tz,
+        )
+        return F.concat(
+            F.lit("<item><title>"), title, F.lit("</title><link>"),
+            F.lit("https://pod"), s(d % 30), F.lit(".example.com/"), s(d),
+            F.lit(f"-{i}"), F.lit("</link><guid>tag:"), s(d),
+            F.lit(f"-{i}"), F.lit("</guid><pubDate>"), pub,
+            F.lit("</pubDate>"), enc, F.lit("</item>"),
+        )
+
+    k = 1 + d % 3
+    body = F.concat(
+        F.lit(
+            '<?xml version="1.0"?><rss version="2.0"><channel>'
+            "<title>Feed</title>"
+        ),
+        item(0),
+        F.when(k >= 2, item(1)).otherwise(F.lit("")),
+        F.when(k >= 3, item(2)).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    return docs.select("doc_id", body.alias("xml_text"))

@@ -46,14 +46,15 @@ def _ts_utc(stamp: Column) -> Column:
     mon_arr = F.array(*[F.lit(m) for m in _MONTHS])
     month = F.array_position(mon_arr, part(2)).cast("int")
     local = F.try_make_timestamp_ntz(
-        part(3).cast("int"), F.when(month > 0, month), part(1).cast("int"),
-        part(4).cast("int"), part(5).cast("int"), part(6).cast("int"),
+        part(3).try_cast("int"), F.when(month > 0, month),
+        part(1).try_cast("int"), part(4).try_cast("int"),
+        part(5).try_cast("int"), part(6).try_cast("int"),
     )
     off = part(7)
     off_minutes = F.when(
         off != "",
-        (F.substring(off, 2, 2).cast("int") * 60
-         + F.substring(off, 4, 2).cast("int"))
+        (F.substring(off, 2, 2).try_cast("int") * 60
+         + F.substring(off, 4, 2).try_cast("int"))
         * F.when(F.substring(off, 1, 1) == "-", -1).otherwise(1),
     )
     return local - F.make_dt_interval(F.lit(0), F.lit(0), off_minutes)
