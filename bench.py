@@ -136,6 +136,16 @@ EXTRA = [
     "mm_midi_notes",        # SMF note pairing walk
     "mm_rtf_text",          # RTF group-walker extraction
     "mm_vcard_contacts",    # vCard contact explosion (codegen)
+    "q_toml_entries",       # TOML key mining (section ffill window)
+    "mm_bson_records",      # BSON dump walk
+    "q_xml_records",        # generic XML record explosion
+    "txt_latex_extract",    # LaTeX prose extraction (regex chain)
+    "q_wordpiece_stats",    # tokenizer fertility report
+    "q_access_logs",        # combined access-log parse + tz math
+    "mm_sqldump_rows",      # mysqldump INSERT tuples
+    "q_span_corruption",    # T5 span-corruption prep
+    "q_fim_transform",      # fill-in-the-middle prep
+    "q_rss_items",          # RSS feed explosion (xml_records composition)
 ]
 
 
