@@ -933,3 +933,65 @@ def q_rss_items(spark, sf_dir):
     from ..operators.markup import documents_as_rss, rss_items
 
     return rss_items(documents_as_rss(table(spark, sf_dir, "documents")))
+
+
+@q(
+    "q_merge_upsert",
+    """
+    WITH b AS (SELECT doc_id FROM documents)
+    SELECT doc_id AS k,
+           CASE WHEN doc_id % 5 = 1 AND doc_id % 3 <> 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'u' || (doc_id % 100)
+                ELSE 'v' || (doc_id % 100) END AS val,
+           CASE WHEN doc_id % 5 = 1 AND doc_id % 3 <> 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id % 7 + 1 AS BIGINT)
+                ELSE CAST(doc_id % 7 AS BIGINT) END AS score,
+           CASE WHEN doc_id % 5 = 1 AND doc_id % 3 <> 0 THEN 'delete'
+                WHEN doc_id % 3 = 0 THEN 'update'
+                ELSE 'keep' END AS action
+    FROM b
+    UNION ALL
+    SELECT doc_id + 1000000 AS k,
+           'n' || (doc_id % 100) AS val,
+           CAST(9 AS BIGINT) AS score,
+           'insert' AS action
+    FROM documents WHERE doc_id % 7 = 2
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE / CDC apply (operators/merge.py — the lakehouse upsert
+    Spark only ships via table formats, computed engine-level): ONE
+    full-outer hash join applies a change batch (updates %3, tombstone
+    deletes %5 exclusive of updates, inserts on fresh keys %7) to the
+    base snapshot, emitting the audited action column. Constructor
+    oracle: the post-merge snapshot rebuilt closed-form as CASE + an
+    insert UNION."""
+    from ..operators.merge import merge_upsert
+
+    d = F.col("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        d.alias("k"),
+        F.concat(F.lit("v"), (d % 100).cast("string")).alias("val"),
+        (d % 7).cast("long").alias("score"),
+    )
+    updates = docs.filter(d % 3 == 0).select(
+        d.alias("k"),
+        F.concat(F.lit("u"), (d % 100).cast("string")).alias("val"),
+        (d % 7 + 1).cast("long").alias("score"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = docs.filter((d % 5 == 1) & (d % 3 != 0)).select(
+        d.alias("k"),
+        F.lit(None).cast("string").alias("val"),
+        F.lit(None).cast("long").alias("score"),
+        F.lit(True).alias("is_delete"),
+    )
+    inserts = docs.filter(d % 7 == 2).select(
+        (d + 1000000).alias("k"),
+        F.concat(F.lit("n"), (d % 100).cast("string")).alias("val"),
+        F.lit(9).cast("long").alias("score"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = updates.unionAll(deletes).unionAll(inserts)
+    return merge_upsert(base, changes, key="k", payload=["val", "score"])

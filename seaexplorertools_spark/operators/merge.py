@@ -1,0 +1,65 @@
+"""MERGE / CDC-apply — the lakehouse upsert operator.
+
+Every table-maintenance pipeline ends in a MERGE: apply a batch of
+changes (upserts + tombstone deletes) to a base snapshot, producing
+the next snapshot. Spark has no MERGE INTO without a table format
+(Delta/Iceberg), but the OPERATION is a one-shuffle outer join — this
+implements it engine-level, the way an incremental lakehouse job
+actually computes the new snapshot:
+
+- changes win over base on key collision (SCD type 1)
+- change rows flagged ``is_delete`` tombstone the key
+- base rows with no change pass through
+- change keys absent from base are inserts
+- an ``action`` column ('insert' | 'update' | 'delete' | 'keep')
+  makes the apply auditable (the snapshot-diff lane's vocabulary)
+
+Scale: ONE full-outer hash join on the key — AQE handles skew; with a
+bucketed base (operators/../sources bucketing lanes) the join is
+shuffle-free on the base side. Deletes are emitted with the action
+flag rather than silently dropped so callers can write either the
+compacted snapshot (``filter(action != 'delete')``) or the audit log.
+
+Reference parity: none (warehouse surface the brief adds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    payload: list[str],
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """Apply ``changes`` to ``base`` → (key, <payload…>, action).
+    Payload columns are taken from the change row when one exists
+    (NULL payload for deletes), else from the base row."""
+    b = base.select(key, *payload).alias("b")
+    c = changes.select(key, *payload, delete_col).alias("c")
+    j = b.join(c, on=F.col(f"b.{key}") == F.col(f"c.{key}"), how="full_outer")
+    has_change = F.col(f"c.{key}").isNotNull()
+    has_base = F.col(f"b.{key}").isNotNull()
+    is_del = F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
+    action = (
+        F.when(has_change & is_del, F.lit("delete"))
+        .when(has_change & ~has_base, F.lit("insert"))
+        .when(has_change & has_base, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    cols = [
+        F.coalesce(F.col(f"c.{key}"), F.col(f"b.{key}")).alias(key),
+        *[
+            F.when(is_del, F.lit(None))
+            .when(has_change, F.col(f"c.{p}"))
+            .otherwise(F.col(f"b.{p}"))
+            .alias(p)
+            for p in payload
+        ],
+        action.alias("action"),
+    ]
+    return j.select(*cols)
