@@ -68,6 +68,17 @@ def test_arrow_path_is_result_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_distinct_path_is_result_identical(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    a = wordpiece_encode(docs, via_distinct=True).orderBy(
+        "doc_id", "word_idx"
+    ).collect()
+    b = wordpiece_encode(docs, via_distinct=False).orderBy(
+        "doc_id", "word_idx"
+    ).collect()
+    assert a == b and len(a) > 0
+
+
 def test_fertility_report(spark, sf_dir):
     from seaexplorertools_spark.contract import QUERIES
 
