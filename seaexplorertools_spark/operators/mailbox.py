@@ -78,19 +78,104 @@ def _body_text(msg) -> str:
     return ""
 
 
-def parse_mbox(payload: bytes) -> list[dict]:
+def _fast_message(raw: bytes) -> dict | None:
+    """Header-subset fast path for the COMMON message shape — the
+    SCALING.md round-8 note made real (stdlib ``policy=default`` runs
+    full RFC-5322 header machinery per message, ~10 header objects at
+    ~0.2 ms each; most list mail doesn't need it). Handles: pure-ASCII
+    headers with no RFC-2047 encoded-words, bodies that are
+    ``text/plain`` (7bit/8bit) directly or the first such part of a
+    single-level ``multipart/*``. Returns None for ANYTHING else
+    (encoded-words, qp/base64, nested multiparts, non-UTF8 bytes) —
+    the caller falls back to the stdlib parser, so the fast path can
+    only ever be a result-identical shortcut (identity is test-pinned
+    against the stdlib answer on every fixture class)."""
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    head, sep, body = text.partition("\n\n")
+    if not sep:
+        return None
+    if "=?" in head:  # RFC-2047 encoded-word anywhere → stdlib
+        return None
+    headers: dict[str, str] = {}
+    last = None
+    for ln in head.split("\n"):
+        if ln[:1] in (" ", "\t"):  # folded continuation
+            if last is None:
+                return None
+            headers[last] += " " + ln.strip()
+            continue
+        name, colon, val = ln.partition(":")
+        if not colon:
+            return None
+        last = name.strip().lower()
+        headers[last] = val.strip()
+    cte = headers.get("content-transfer-encoding", "7bit").lower()
+    if cte not in ("7bit", "8bit", "binary"):
+        return None
+    ctype = headers.get("content-type", "text/plain").lower()
+    if ctype.startswith("multipart/"):
+        import re as _re
+
+        mb = _re.search(r'boundary="?([^";\s]+)"?', headers.get("content-type", ""))
+        if not mb:
+            return None
+        for part in body.split("--" + mb.group(1))[1:]:
+            if part.startswith("--"):
+                break
+            sub = _fast_message(part.lstrip("\n").encode("utf-8"))
+            if sub is None:
+                return None
+            if sub["_ctype"].startswith("text/plain"):
+                return {**sub, "from_addr": headers.get("from"),
+                        "subject": headers.get("subject"),
+                        "date": headers.get("date"), "_ctype": ctype}
+        body_text = ""
+    elif ctype.startswith("text/plain"):
+        body_text = body
+    else:
+        body_text = ""
+    return {
+        "from_addr": headers.get("from"),
+        "subject": headers.get("subject"),
+        "date": headers.get("date"),
+        "body": body_text,
+        "_ctype": ctype,
+    }
+
+
+def parse_mbox(payload: bytes, fast: bool = True) -> list[dict]:
     """One dict per message: {msg_idx, from_addr, subject, date, body}
-    with mboxrd ``>From `` unstuffing on the body."""
+    with mboxrd ``>From `` unstuffing on the body. ``fast=True`` tries
+    the header-subset shortcut first and falls back to the stdlib
+    parser per message (see :func:`_fast_message`)."""
     msgs = []
     for k, raw in enumerate(split_mbox(payload)):
         try:
-            m = email.message_from_bytes(raw, policy=email.policy.default)
-            body = _body_text(m)
+            fm = _fast_message(raw) if fast else None
+            if fm is not None:
+                body = fm["body"]
+            else:
+                m = email.message_from_bytes(raw, policy=email.policy.default)
+                body = _body_text(m)
             body = "\n".join(
                 ln[1:] if ln.startswith(">") and ln.lstrip(">").startswith("From ")
                 else ln
                 for ln in body.split("\n")
             ).rstrip("\n")
+            if fm is not None:
+                msgs.append(
+                    {
+                        "msg_idx": k,
+                        "from_addr": fm["from_addr"],
+                        "subject": fm["subject"],
+                        "date": fm["date"],
+                        "body": body,
+                    }
+                )
+                continue
             msgs.append(
                 {
                     "msg_idx": k,

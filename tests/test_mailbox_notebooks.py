@@ -127,3 +127,33 @@ def test_spark_lanes(spark):
     )
     assert mbox_records(mixed).count() == 0
     assert notebook_cells(mixed).count() == 0
+
+
+def test_fast_path_is_result_identical_to_stdlib():
+    """The header-subset fast path must agree with policy=default on
+    every fixture class AND fall back (still agreeing) on encoded
+    words, quoted-printable, and folded headers."""
+    from seaexplorertools_spark.operators.mailbox import parse_mbox
+
+    plain = (
+        b"From a@x Thu Jan  1 00:00:00 1970\nFrom: u7@example.com\n"
+        b"Subject: Thread 3\nDate: Thu, 01 Jan 1970 00:00:07 +0000\n"
+        b"Content-Type: text/plain; charset=utf-8\n"
+        b"Content-Transfer-Encoding: 8bit\n\nbody text\n>From stuffed\n"
+    )
+    multi = (
+        b"From b@x Thu Jan  1 00:00:01 1970\nFrom: u8@example.com\n"
+        b"Subject: Re: Thread 3\n"
+        b'Content-Type: multipart/alternative; boundary="B"\n\n'
+        b"--B\nContent-Type: text/plain; charset=utf-8\n\nreply\n"
+        b"--B\nContent-Type: text/html\n\n<p>x</p>\n--B--\n"
+    )
+    tricky = (
+        b"From c@x Thu Jan  1 00:00:02 1970\n"
+        b"From: =?utf-8?B?SsO2cmc=?= <j@x>\n"
+        b"Subject: long\n subject folded\n"
+        b"Content-Type: text/plain\n"
+        b"Content-Transfer-Encoding: quoted-printable\n\ncaf=C3=A9\n"
+    )
+    for payload in (plain, multi, tricky, plain + b"\n" + multi):
+        assert parse_mbox(payload, fast=True) == parse_mbox(payload, fast=False)
