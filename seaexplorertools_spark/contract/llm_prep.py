@@ -951,7 +951,7 @@ def q_rss_items(spark, sf_dir):
                 ELSE 'keep' END AS action
     FROM b
     UNION ALL
-    SELECT doc_id + 1000000 AS k,
+    SELECT -doc_id - 1 AS k,
            'n' || (doc_id % 100) AS val,
            CAST(9 AS BIGINT) AS score,
            'insert' AS action
@@ -987,8 +987,11 @@ def q_merge_upsert(spark, sf_dir):
         F.lit(None).cast("long").alias("score"),
         F.lit(True).alias("is_delete"),
     )
+    # insert keys live in the negative range — disjoint from base keys
+    # (doc_id >= 0) BY CONSTRUCTION at every scale factor, unlike the
+    # old +1000000 offset which collided once a SF had >1M documents
     inserts = docs.filter(d % 7 == 2).select(
-        (d + 1000000).alias("k"),
+        (-d - 1).alias("k"),
         F.concat(F.lit("n"), (d % 100).cast("string")).alias("val"),
         F.lit(9).cast("long").alias("score"),
         F.lit(False).alias("is_delete"),

@@ -83,13 +83,15 @@ def _fast_message(raw: bytes) -> dict | None:
     SCALING.md round-8 note made real (stdlib ``policy=default`` runs
     full RFC-5322 header machinery per message, ~10 header objects at
     ~0.2 ms each; most list mail doesn't need it). Handles: pure-ASCII
-    headers with no RFC-2047 encoded-words, bodies that are
-    ``text/plain`` (7bit/8bit) directly or the first such part of a
-    single-level ``multipart/*``. Returns None for ANYTHING else
-    (encoded-words, qp/base64, nested multiparts, non-UTF8 bytes) —
-    the caller falls back to the stdlib parser, so the fast path can
-    only ever be a result-identical shortcut (identity is test-pinned
-    against the stdlib answer on every fixture class)."""
+    headers with no RFC-2047 encoded-words, single-space folding,
+    bodies that are ``text/plain`` (7bit/8bit, charset us-ascii/utf-8)
+    directly or the first such part of a single-level ``multipart/*``
+    with line-anchored RFC-2046 delimiters. Returns None for ANYTHING
+    else (encoded-words, qp/base64, nested multiparts, non-UTF8 bytes,
+    declared non-UTF8 charsets, tab/multi-WSP folds) — the caller
+    falls back to the stdlib parser, so the fast path can only ever be
+    a result-identical shortcut (identity is test-pinned against the
+    stdlib answer on every fixture class)."""
     try:
         text = raw.decode("utf-8")
     except UnicodeDecodeError:
@@ -103,7 +105,10 @@ def _fast_message(raw: bytes) -> dict | None:
     last = None
     for ln in head.split("\n"):
         if ln[:1] in (" ", "\t"):  # folded continuation
-            if last is None:
+            # stdlib policy=default preserves the fold's WSP run
+            # verbatim (a tab stays a tab); only the single-space fold
+            # is reproduced here — anything else goes to the stdlib.
+            if last is None or ln[:1] == "\t" or ln[1:2] in (" ", "\t"):
                 return None
             headers[last] += " " + ln.strip()
             continue
@@ -116,16 +121,43 @@ def _fast_message(raw: bytes) -> dict | None:
     if cte not in ("7bit", "8bit", "binary"):
         return None
     ctype = headers.get("content-type", "text/plain").lower()
-    if ctype.startswith("multipart/"):
-        import re as _re
+    import re as _re
 
+    # A declared charset other than ascii/utf-8 (e.g. iso-8859-1 whose
+    # bytes happen to be valid UTF-8) must be decoded per declaration —
+    # stdlib territory, the blind utf-8 decode above would differ.
+    cs = _re.search(r'charset="?([^";\s]+)"?', ctype)
+    if cs and cs.group(1) not in ("us-ascii", "ascii", "utf-8"):
+        return None
+    if ctype.startswith("multipart/"):
         mb = _re.search(r'boundary="?([^";\s]+)"?', headers.get("content-type", ""))
         if not mb:
             return None
-        for part in body.split("--" + mb.group(1))[1:]:
-            if part.startswith("--"):
+        # RFC-2046 delimiters are LINES: exactly "--boundary" (plus
+        # optional transport-padding WSP) at line start — a "--B"
+        # substring inside a part body is NOT a delimiter, so split by
+        # line scan, never by substring.
+        dash = "--" + mb.group(1)
+        parts: list[list[str]] = []
+        cur: list[str] | None = None
+        for ln in body.split("\n"):
+            s = ln.rstrip(" \t")
+            if s == dash:
+                if cur is not None:
+                    parts.append(cur)
+                cur = []
+                continue
+            if s == dash + "--":
+                if cur is not None:
+                    parts.append(cur)
+                cur = None
                 break
-            sub = _fast_message(part.lstrip("\n").encode("utf-8"))
+            if cur is not None:
+                cur.append(ln)
+        if cur is not None:  # unterminated final part: stdlib keeps it
+            parts.append(cur)
+        for plines in parts:
+            sub = _fast_message("\n".join(plines).encode("utf-8"))
             if sub is None:
                 return None
             if sub["_ctype"].startswith("text/plain"):

@@ -35,10 +35,32 @@ def merge_upsert(
     key: str,
     payload: list[str],
     delete_col: str = "is_delete",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply ``changes`` to ``base`` → (key, <payload…>, action).
     Payload columns are taken from the change row when one exists
-    (NULL payload for deletes), else from the base row."""
+    (NULL payload for deletes), else from the base row.
+
+    Precondition: ``changes`` has AT MOST ONE row per key (the SCD-1
+    "changes win" contract is per-key). With duplicate change keys the
+    full-outer join fans out to one post-merge row PER change row —
+    pass ``order_col`` (e.g. a CDC sequence number / commit timestamp)
+    to pre-compact the batch to the LAST change per key (one map-side-
+    combinable ``max_by`` aggregate) before the join, the way log-
+    structured CDC apply (Debezium→lakehouse) compacts a batch."""
+    if order_col is not None:
+        payload_struct = F.struct(
+            *[F.col(p) for p in payload], F.col(delete_col)
+        )
+        changes = (
+            changes.groupBy(key)
+            .agg(F.max_by(payload_struct, F.col(order_col)).alias("_last"))
+            .select(
+                key,
+                *[F.col(f"_last.{p}").alias(p) for p in payload],
+                F.col(f"_last.{delete_col}").alias(delete_col),
+            )
+        )
     b = base.select(key, *payload).alias("b")
     c = changes.select(key, *payload, delete_col).alias("c")
     j = b.join(c, on=F.col(f"b.{key}") == F.col(f"c.{key}"), how="full_outer")

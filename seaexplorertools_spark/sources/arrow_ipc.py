@@ -77,14 +77,20 @@ def arrow_records(media: DataFrame) -> DataFrame:
                     for f in _FIELDS
                 }
                 for k in range(len(tbl)):
+                    # type-guard every field (mirrors dump_ds._file_rows):
+                    # a payload whose score column is strings (or body
+                    # non-string) degrades the FIELD to NULL instead of
+                    # failing the Spark task.
                     score = data["score"][k]
+                    doc_id, seq = data["doc_id"][k], data["seq"][k]
+                    body = data["body"][k]
                     rows.append(
                         (
                             mid,
-                            data["doc_id"][k],
-                            data["seq"][k],
-                            data["body"][k],
-                            float(score) if score is not None else None,
+                            int(doc_id) if isinstance(doc_id, int) else None,
+                            int(seq) if isinstance(seq, int) else None,
+                            body if isinstance(body, str) else None,
+                            float(score) if isinstance(score, (int, float)) else None,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)

@@ -267,14 +267,19 @@ def msgpack_records(media: DataFrame) -> DataFrame:
                 for v in values:
                     if not isinstance(v, dict):
                         continue
+                    # type-guard every field (mirrors dump_ds._file_rows):
+                    # a well-formed dump with a string score / bytes body
+                    # must degrade the FIELD to NULL, not raise inside the
+                    # Spark task (the per-payload degrade contract).
                     score = v.get("score")
+                    doc_id, seq = v.get("doc_id"), v.get("seq")
                     rows.append(
                         (
                             mid,
-                            v.get("doc_id"),
-                            v.get("seq"),
-                            v.get("body"),
-                            float(score) if score is not None else None,
+                            int(doc_id) if isinstance(doc_id, int) else None,
+                            int(seq) if isinstance(seq, int) else None,
+                            v.get("body") if isinstance(v.get("body"), str) else None,
+                            float(score) if isinstance(score, (int, float)) else None,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)

@@ -82,3 +82,22 @@ def test_spark_lane_degrades(spark):
         [(1, b"\x01\x02"), (2, None)], "media_id long, payload binary"
     )
     assert bson_records(media).count() == 0
+
+
+def test_spark_lane_degrades_wrong_typed_fields(spark):
+    """A WELL-FORMED dump whose fields have the wrong types (string
+    score, int body, string doc_id) must degrade the FIELD to NULL —
+    not raise inside the Spark task (round-9 ADVICE)."""
+    from seaexplorertools_spark.sources.bson import bson_records, encode_document
+
+    payload = encode_document(
+        {"doc_id": "not-an-int", "seq": 0, "body": 7, "score": "high"}
+    ) + encode_document({"doc_id": 3, "seq": 1, "body": "ok", "score": 1.5})
+    media = spark.createDataFrame(
+        [(1, bytes(payload))], "media_id long, payload binary"
+    )
+    rows = bson_records(media).orderBy("seq").collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] is None and rows[0]["body"] is None
+    assert rows[0]["score"] is None
+    assert rows[1]["doc_id"] == 3 and rows[1]["score"] == 1.5

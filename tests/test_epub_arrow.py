@@ -143,3 +143,36 @@ def test_epub_spark_lane(spark):
     )
     out = epub_text(mixed).collect()
     assert len(out) == 1 and out[0]["n_chapters"] is None
+
+
+def test_arrow_spark_lane_degrades_wrong_typed_fields(spark):
+    """An Arrow payload whose score column is strings (and body ints)
+    must degrade the FIELDS to NULL, not fail the task (round-9
+    ADVICE parity with the cbor/bson/msgpack lanes)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from seaexplorertools_spark.sources.arrow_ipc import arrow_records
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["x", "3"], pa.string()),
+            "seq": pa.array([0, 1], pa.int64()),
+            "body": pa.array([7, 8], pa.int64()),
+            "score": pa.array(["high", "low"], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    media = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, payload binary"
+    )
+    rows = arrow_records(media).orderBy("seq").collect()
+    assert len(rows) == 2
+    assert all(r["doc_id"] is None for r in rows)
+    assert all(r["body"] is None for r in rows)
+    assert all(r["score"] is None for r in rows)
+    assert [r["seq"] for r in rows] == [0, 1]

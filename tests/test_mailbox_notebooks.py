@@ -155,5 +155,42 @@ def test_fast_path_is_result_identical_to_stdlib():
         b"Content-Type: text/plain\n"
         b"Content-Transfer-Encoding: quoted-printable\n\ncaf=C3=A9\n"
     )
-    for payload in (plain, multi, tricky, plain + b"\n" + multi):
+    # Round-9 ADVICE classes: (1) a "--B" substring at line start inside
+    # a part body IS a delimiter per RFC 2046, but "x --B y" mid-line or
+    # "--BX" (longer token) is NOT — the split must be line-anchored;
+    # (2) declared charset=iso-8859-1 whose bytes are valid UTF-8 must
+    # decode per the declaration (stdlib), not as UTF-8;
+    # (3) tab-folded headers keep the tab under policy=default.
+    boundary_trap = (
+        b"From d@x Thu Jan  1 00:00:03 1970\nFrom: u9@example.com\n"
+        b"Subject: trap\n"
+        b'Content-Type: multipart/mixed; boundary="B"\n\n'
+        b"--B\nContent-Type: text/plain; charset=utf-8\n\n"
+        b"text with --B inline and a longer --BX line\n"
+        b"--BX\nnot a delimiter\n"
+        b"--B\nContent-Type: text/html\n\n<p>x</p>\n--B--\n"
+    )
+    latin1 = (
+        b"From e@x Thu Jan  1 00:00:04 1970\nFrom: u10@example.com\n"
+        b"Subject: latin\n"
+        b"Content-Type: text/plain; charset=iso-8859-1\n"
+        b"Content-Transfer-Encoding: 8bit\n\n"
+        # bytes that are VALID UTF-8 ("café") but must read as latin-1
+        # ("cafÃ©") because of the declared charset
+        b"caf\xc3\xa9\n"
+    )
+    tabfold = (
+        b"From f@x Thu Jan  1 00:00:05 1970\nFrom: u11@example.com\n"
+        b"Subject: tab\n\tfolded subject\n"
+        b"Content-Type: text/plain\n\nbody\n"
+    )
+    for payload in (plain, multi, tricky, plain + b"\n" + multi,
+                    boundary_trap, latin1, tabfold):
         assert parse_mbox(payload, fast=True) == parse_mbox(payload, fast=False)
+    # and the line-anchored fast path must still TAKE the fast path on
+    # the trap (agreeing), not just fall back: the part body containing
+    # "--B" mid-line parses to the pre-delimiter text
+    trap_rows = parse_mbox(boundary_trap, fast=True)
+    assert trap_rows[0]["body"] == (
+        "text with --B inline and a longer --BX line\n--BX\nnot a delimiter"
+    )

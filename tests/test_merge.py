@@ -62,3 +62,32 @@ def test_single_join_plan(spark):
         .toString()
     )
     assert plan.count("Join") == 1 and "Python" not in plan
+
+
+def test_merge_upsert_order_col_compacts_duplicate_change_keys(spark):
+    """With ``order_col`` a change batch holding several rows per key
+    compacts to the LAST change (max order) before the join — one
+    post-merge row per key, matching the SCD-1 contract (round-9
+    ADVICE: without it, duplicate keys fan out)."""
+    from seaexplorertools_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "first", False, 10),
+            (1, "last", False, 20),      # wins on k=1
+            (2, None, True, 5),
+            (2, "resurrected", False, 6),  # wins on k=2 (later seq)
+            (3, "ins-old", False, 1),
+            (3, "ins-new", False, 2),    # wins on k=3
+        ],
+        "k long, val string, is_delete boolean, seq long",
+    )
+    out = merge_upsert(base, changes, key="k", payload=["val"], order_col="seq")
+    rows = {r["k"]: r for r in out.collect()}
+    assert len(rows) == 3  # exactly one row per key
+    assert rows[1]["val"] == "last" and rows[1]["action"] == "update"
+    assert rows[2]["val"] == "resurrected" and rows[2]["action"] == "update"
+    assert rows[3]["val"] == "ins-new" and rows[3]["action"] == "insert"
