@@ -6,6 +6,9 @@ This replicates the driver's CORRECTNESS gate locally (order-insensitive
 exact compare). Exit non-zero on any mismatch.
 
 Usage: python scripts/check_contract.py [--sf DIR] [--only name1,name2]
+       python scripts/check_contract.py --stale N   (no Spark session:
+           list queries whose last official green CORRECTNESS_r*.json
+           row is older than N rounds — rotation-head candidates)
 """
 
 from __future__ import annotations
@@ -73,6 +76,44 @@ def canon_frame(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def stale_report(n_rounds: int) -> int:
+    """List queries whose last official green driver row (from the
+    committed CORRECTNESS_r*.json records) is older than ``n_rounds``
+    rounds — ordered oldest-first, the rotation-head candidates. The
+    round routine puts the top ~10 of these at the head of
+    contract/_order.py::CANONICAL_ORDER each round so official rows
+    refresh (306 queries / ~50 driver samples per round means a full
+    refresh cycle is 6+ rounds without rotation)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    latest_round = 0
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest_round = max(latest_round, rnd)
+        for k, v in json.load(open(p)).items():
+            if v.get("hash_match") or v.get("rows_match"):
+                last[k] = max(last.get(k, 0), rnd)
+    from seaexplorertools_spark.contract import QUERIES
+
+    stale = sorted(
+        ((last.get(k, 0), k) for k in QUERIES
+         if latest_round - last.get(k, 0) >= n_rounds),
+    )
+    for rnd, k in stale:
+        tag = f"r{rnd}" if rnd else "never"
+        print(f"{tag:>6}  {k}")
+    print(f"\n{len(stale)} queries with last official row older than "
+          f"{n_rounds} rounds (latest round on disk: r{latest_round})")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
@@ -83,7 +124,17 @@ def main() -> int:
         help="adversarial session: ANSI on, non-UTC timezone, default "
         "shuffle partitions — revalidates that every query is session-proof",
     )
+    ap.add_argument(
+        "--stale",
+        type=int,
+        default=None,
+        metavar="N",
+        help="list queries whose last official green row is ≥N rounds old "
+        "(reads CORRECTNESS_r*.json; no Spark session started)",
+    )
     args = ap.parse_args()
+    if args.stale is not None:
+        return stale_report(args.stale)
 
     import __spark_entry__ as entrymod
     from seaexplorertools_spark.session import get_spark

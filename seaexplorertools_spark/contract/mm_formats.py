@@ -911,3 +911,53 @@ def mm_protobuf_fields(spark, sf_dir):
 
     media = documents_as_protobuf(table(spark, sf_dir, "documents"))
     return pb_fields(media)
+
+
+@q(
+    "mm_adts_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                  ELSE 32000 END AS sr,
+             1 + doc_id % 2 AS ch,
+             2 + doc_id % 5 AS nf,
+             (CASE WHEN doc_id % 4 = 0 THEN 9 ELSE 7 END)
+               + 100 + doc_id % 50 AS flen,
+             doc_id % 7 = 3 AS trunc
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(nf * flen - CASE WHEN trunc THEN 1 ELSE 0 END
+                AS BIGINT) AS n_bytes,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST(sr AS BIGINT) END AS sample_rate,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST(ch AS BIGINT) END AS channels,
+           CAST(NULL AS BIGINT) AS bits,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST(nf * 1024 AS BIGINT) END AS n_frames,
+           CASE WHEN trunc THEN NULL
+                ELSE CAST((nf * 1024 * 1000) // sr AS BIGINT)
+                END AS duration_ms
+    FROM d
+    """,
+)
+def mm_adts_meta(spark, sf_dir):
+    """ADTS/AAC frame-header metadata over REAL AAC-LC streams
+    (operators/aac.py::parse_adts_header via extract_audio_features —
+    the web-audio container the WAV/FLAC/MP3/Ogg/AIFF/M4A chain was
+    missing): the sync walk validates every frame header (0xFFF sync +
+    layer 00), chains 13-bit frame lengths to EOF, handles both the
+    7-byte protection_absent and 9-byte CRC header (ids % 4 == 0), and
+    sums 1024 samples per raw data block. documents_as_adts streams
+    are closed-form in doc_id, with ids % 7 == 3 truncated one byte so
+    the strict-walk rejection branch (NULL metadata, byte count still
+    real) exists under the oracle. At 100 TB: zero-shuffle Arrow
+    mapInPandas, header-only walk — cost is frames × O(1), payload
+    bytes never touched."""
+    from ..operators.aac import documents_as_adts
+    from ..operators.multimodal import extract_audio_features
+
+    media = documents_as_adts(table(spark, sf_dir, "documents"))
+    return extract_audio_features(media)

@@ -1475,8 +1475,9 @@ def wav_signal_features(media: DataFrame) -> DataFrame:
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """mapInPandas audio-metadata extraction — Arrow-batched, zero
     shuffle. WAV (RIFF chunk walk, nested worker-side copy), then FLAC
-    STREAMINFO, then MPEG Layer III frame headers, then Ogg
-    (Opus/Vorbis), AIFF and M4A/MP4 audio tracks (module-level parsers
+    STREAMINFO, then MPEG Layer III frame headers, then ADTS/AAC sync
+    walk, then Ogg (Opus/Vorbis), AIFF and M4A/MP4 audio tracks
+    (module-level parsers
     — workers must import this package, same contract as
     resize_images(mode="decode")); unrecognized payloads yield NULL
     metadata. ``bits`` is NULL for MP3 (lossy); MP3 frame counts are the
@@ -1511,6 +1512,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .aac import parse_adts_header
         from .aiff import parse_aiff_header
         from .ogg import parse_ogg_header
         from .videocontainers import parse_m4a_header
@@ -1523,7 +1525,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 if p is None:
                     p = parse_flac_header(payload)
                 if p is None:
+                    # MP3 before ADTS: both sync on 0xFF but the layer
+                    # bits disambiguate (MP3=01, ADTS=00) — each parser
+                    # rejects the other's streams, so order is cosmetic
                     p = parse_mp3_header(payload)
+                if p is None:
+                    p = parse_adts_header(payload)
                 if p is None:
                     p = parse_ogg_header(payload)
                 if p is None:
