@@ -8,8 +8,9 @@ full-detail JSON outgrew that window):
   1. the FULL detail JSON (queries, spreads, extras, per-stage e2e) —
      also written to BENCH_DETAIL.json at the repo root;
   2. the LAST line is ONE compact JSON (~700 chars) with the headline
-     metric, per-headline-query times, extra_total and pipeline_e2e —
-     guaranteed to fit the driver's tail window.
+     metric, per-headline-query times, extra_total, pipeline_e2e and
+     the 8-mission pipeline_e2e_fleet wall — guaranteed to fit the
+     driver's tail window.
 
 Each query is materialized with the noop sink (full compute, no I/O cost
 in the measurement). Per query: one warmup run (codegen/JIT — a fixed
@@ -242,6 +243,27 @@ def _mission_e2e(spark) -> dict:
     }
 
 
+def _fleet_e2e(spark, n_missions: int = 8) -> dict:
+    """Compact fleet point (round-9 VERDICT task 1): the full pipeline
+    over N missions — per-mission shear submitted concurrently, ONE
+    combined grid+velocity DAG with mission_col — measured as warmup +
+    a single timed run (the full 1/8/32 curve with medians lives in
+    scripts/fleet_bench.py; this keeps the driver bench bounded).
+    Parity of the composition is pinned by
+    tests/test_pipeline_scale.py::test_fleet_full_pipeline_parity."""
+    from scripts.fleet_bench import build_fleet, run_fleet
+
+    fleet = build_fleet(spark, n_missions)
+    run_fleet(spark, fleet)  # warmup
+    wall, stages = run_fleet(spark, fleet)
+    return {
+        "n_missions": n_missions,
+        "wall_sec": round(wall, 3),
+        "stages": {k: round(v, 3) for k, v in stages.items()},
+        "runs": 1,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -270,6 +292,7 @@ def main() -> None:
         )
 
     e2e = _mission_e2e(spark)
+    fleet = _fleet_e2e(spark)
     extra_total = round(sum(extra.values()), 3)
 
     detail = {
@@ -282,9 +305,11 @@ def main() -> None:
         "extra_spread": extra_spreads,
         "extra_total": extra_total,
         "pipeline_e2e": e2e,
+        "pipeline_e2e_fleet": fleet,
         "sf": sf,
         "mode": "warm (per-query warmup run, median of 3 timed runs;"
-        " e2e median of 5 with per-stage medians; spread = max-min)",
+        " e2e median of 5 with per-stage medians; spread = max-min;"
+        " fleet = warmup + 1 timed run at 8 missions)",
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -302,6 +327,8 @@ def main() -> None:
         "queries": times,
         "extra_total": extra_total,
         "pipeline_e2e": e2e["mission_20dive_sec"],
+        "pipeline_e2e_fleet": fleet["wall_sec"],
+        "fleet_missions": fleet["n_missions"],
         "sf": sf,
         "per_query_file": "BENCH_DETAIL.json",
     }

@@ -61,16 +61,24 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
     n_base = None
-    for tbl, key in (("documents", "doc_id"), ("customer", "c_custkey")):
+    # every offset key per table: copies stay structurally DISJOINT (the
+    # graph/join lanes then see N independent components, so a slope
+    # above ~1 is real per-row cost, not artificial key collision)
+    for tbl, keys in (
+        ("documents", ["doc_id"]),
+        ("customer", ["c_custkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey"]),
+    ):
         df = spark.read.parquet(f"{base}/{tbl}.parquet")
         if tbl == "documents":
             n_base = df.count()
         df.repartition(10).write.parquet(f"{base_dir}/{tbl}.parquet")
-        scaled = (
-            df.select("*", copies)
-            .withColumn(key, F.col(key) + F.col("k").cast("long") * 10_000_000)
-            .drop("k")
-        )
+        scaled = df.select("*", copies)
+        for key in keys:
+            scaled = scaled.withColumn(
+                key, F.col(key) + F.col("k").cast("long") * 10_000_000
+            )
+        scaled = scaled.drop("k")
         scaled.repartition(10 * factor).write.parquet(f"{scaled_dir}/{tbl}.parquet")
 
     for lane in lanes:

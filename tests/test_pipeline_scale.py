@@ -93,3 +93,15 @@ def test_scale10_mission_isolation_reference_tolerance(runs):
             # the reference's e2e gate: np.allclose(atol=1e-7, rtol=1e-3)
             assert np.allclose(g, w, atol=1e-7, rtol=1e-3, equal_nan=True), (mid, name)
         assert np.isfinite(arr(want, keys, 0)).sum() > 300, mid
+
+
+def test_fleet_full_pipeline_parity(spark):
+    """Round-9 fleet architecture (scripts/fleet_bench.py): per-mission
+    SHEAR (concurrently submitted; attrs/ladder/orientation are
+    per-mission scalars by design) + ONE combined grid/velocity DAG
+    with mission_col — including the BOTTOM-TRACK leg this module's
+    3-mission test leaves out. 2-mission fleet must reproduce each solo
+    run at the reference e2e tolerance."""
+    from scripts.fleet_bench import parity
+
+    assert parity(spark) == 0
