@@ -208,10 +208,18 @@ def _mission_e2e(spark) -> dict:
         gridded = gridded.cache()
         try:
             _noop(gridded)  # materialize the cache = the shear stage
+            # Stage-boundary lineage truncation (pipeline/fleet.py
+            # rationale, measured for ONE mission too: velocity stage
+            # ~12-16 s -> ~8-10 s on this box, because the deep shear
+            # lineage is otherwise re-analyzed by the driver for every
+            # downstream action even though the data is cached). The
+            # checkpoint cost is charged to the shear stage.
+            gridded_t = gridded.localCheckpoint(eager=True)
+            ping_aug = ping_aug.localCheckpoint(eager=True)
             t1 = time.time()
-            _noop(grid_shear(gridded, ping_aug, glider, opts))
+            _noop(grid_shear(gridded_t, ping_aug, glider, opts))
             t2 = time.time()
-            _noop(velocity_from_shear(gridded, ping_aug, glider, bt, opts))
+            _noop(velocity_from_shear(gridded_t, ping_aug, glider, bt, opts))
             t3 = time.time()
         finally:
             gridded.unpersist()

@@ -998,3 +998,125 @@ def q_merge_upsert(spark, sf_dir):
     )
     changes = updates.unionAll(deletes).unionAll(inserts)
     return merge_upsert(base, changes, key="k", payload=["val", "score"])
+
+
+# CCNet-style line-level boilerplate corpus, closed-form in doc_id: a
+# unique id line + a text-prefix line + planted recurring lines on
+# coprime moduli ('Subscribe…' in half the docs — every 4th doc carries
+# a CASE/PADDING variant so the normalized-key counting is pinned —
+# 'All rights reserved 0/1' in a sixth each), an empty line every 7th
+# doc (the blank-exemption branch), and a 'tail' content line.
+_BOILER_CORPUS_SQL = """
+      SELECT doc_id,
+             'id: ' || doc_id || chr(10) || substr(text, 1, 40)
+             || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '  SUBSCRIBE TO OUR NEWSLETTER '
+                       ELSE 'Subscribe to our newsletter' END
+                ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'All rights reserved ' || (doc_id % 2)
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 2 THEN chr(10) ELSE '' END
+             || chr(10) || 'tail ' || substr(text, 5, 30) AS text
+      FROM documents
+"""
+
+
+def _boiler_corpus(spark, sf_dir) -> DataFrame:
+    d = F.col("doc_id")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("id: "),
+            d.cast("string"),
+            F.lit("\n"),
+            F.substring("text", 1, 40),
+            F.when(
+                d % 2 == 0,
+                F.when(
+                    d % 4 == 0, F.lit("\n  SUBSCRIBE TO OUR NEWSLETTER ")
+                ).otherwise(F.lit("\nSubscribe to our newsletter")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("\nAll rights reserved "), (d % 2).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 2, F.lit("\n")).otherwise(F.lit("")),
+            F.lit("\ntail "),
+            F.substring("text", 5, 30),
+        ).alias("text"),
+    )
+
+
+@q(
+    "dd_boilerplate_report",
+    f"""
+    WITH corpus AS ({_BOILER_CORPUS_SQL}),
+    keyed AS (
+      SELECT doc_id, lower(trim(unnest(string_split(text, chr(10))))) AS line_key
+      FROM corpus
+    )
+    SELECT line_key, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM keyed WHERE line_key <> ''
+    GROUP BY line_key HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def dd_boilerplate_report(spark, sf_dir):
+    """Discovery half of CCNet-style boilerplate removal
+    (operators/dedup.py::frequent_lines): normalized lines (ASCII trim +
+    lowercase) appearing in ≥5 DISTINCT documents of the derived
+    multi-line corpus. The planted recurring lines (coprime moduli, one
+    case/padding variant per 4th doc) guarantee a non-trivial frequent
+    set whose counts pin the normalized-key semantics; any naturally
+    recurring text-prefix lines are counted identically by the oracle.
+    At 100 TB: posexplode + map-side-combinable groupBy on the line key
+    — shuffle = distinct lines, output = the (tiny) boilerplate set."""
+    from ..operators.dedup import frequent_lines
+
+    return frequent_lines(_boiler_corpus(spark, sf_dir), min_docs=5)
+
+
+@q(
+    "dd_boilerplate_apply",
+    f"""
+    WITH corpus AS ({_BOILER_CORPUS_SQL}),
+    lines AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line, lower(trim(line)) AS key FROM lines
+    ),
+    freq AS (
+      SELECT key FROM keyed WHERE key <> ''
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 5
+    ),
+    marked AS (
+      SELECT k.doc_id, k.pos, k.line,
+             (f.key IS NULL OR k.key = '') AS kept
+      FROM keyed k LEFT JOIN freq f ON k.key = f.key
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE kept), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dd_boilerplate_apply(spark, sf_dir):
+    """Removal half (operators/dedup.py::remove_boilerplate_lines): drop
+    every line whose normalized key is corpus-frequent (≥5 distinct
+    docs), preserving order and original form of survivors; blank lines
+    exempt; per-doc kept/removed counts audited. The every-4th-doc
+    '  SUBSCRIBE … ' case variant must be removed by the NORMALIZED
+    match while other docs' lowercase form is removed too — both
+    branches exist under the oracle by construction. At 100 TB: the
+    frequent set broadcasts into a left join and reassembly is a
+    per-document groupBy (collect_list + array_sort, no window)."""
+    from ..operators.dedup import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_boiler_corpus(spark, sf_dir), min_docs=5)

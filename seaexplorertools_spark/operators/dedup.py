@@ -670,3 +670,102 @@ def cut_spans(
             F.lit(0).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def frequent_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Line-level document frequency: normalized lines (ASCII-space trim
+    + lowercase — the CCNet-style key) appearing in at least ``min_docs``
+    DISTINCT documents. Returns ``(line_key, n_docs)``.
+
+    This is the discovery half of boilerplate-line removal (CCNet §4.1 /
+    RefinedWeb line-wise filtering: navigation menus, cookie banners,
+    "all rights reserved" footers recur across a crawl; content lines
+    don't). Blank/whitespace-only lines are EXEMPT — their key is ''
+    and removing them would be a formatting change, not dedup.
+
+    Scale: one posexplode (line volume = corpus bytes) into a map-side-
+    combinable groupBy on the line key — shuffle volume is DISTINCT keys
+    per partition, and the output above any useful threshold is tiny
+    (the boilerplate set), broadcastable into the removal join. Same
+    family as duplicate_substring_spans' gram table, one gram per line.
+    Reference: n/a (engine addition — LLM-pipeline surface)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    )
+    key = F.lower(F.trim(F.col("__line")))
+    return (
+        lines.select(F.col(id_col), key.alias("line_key"))
+        .filter(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    frequent: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every line whose normalized key appears in ≥ ``min_docs``
+    distinct documents (CCNet-style boilerplate removal), preserving the
+    order and original (un-normalized) form of the surviving lines.
+
+    Returns one row per input document: ``(id_col, clean_text, n_kept,
+    n_removed)``. Blank lines are exempt (kept, counted in ``n_kept``);
+    a document whose every line is boilerplate survives with
+    ``clean_text = ''``. Pass ``frequent`` to reuse a precomputed
+    :func:`frequent_lines` table (e.g. corpus-wide boilerplate applied
+    to a new ingest batch — the incremental-dedup shape).
+
+    Scale: the frequent set above threshold is small by construction, so
+    the removal join broadcasts; reassembly is one groupBy per document
+    over its own lines (collect_list + array_sort — per-doc data, no
+    global window). Total: explode + count + broadcast join + per-doc
+    regroup, every stage partitioned by content or document key."""
+    if frequent is None:
+        frequent = frequent_lines(docs, id_col, text_col, min_docs)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("line_key", F.lower(F.trim(F.col("__line"))))
+    marked = lines.join(
+        F.broadcast(frequent.select("line_key", F.lit(True).alias("__boiler"))),
+        "line_key",
+        "left",
+    )
+    kept = F.col("__boiler").isNull() | (F.col("line_key") == "")
+    per_doc = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("__pos"), F.col("__line")))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum((~kept).cast("bigint")).alias("n_removed"),
+    )
+    # docs with NULL text produce no exploded rows — restore them as-is
+    return (
+        docs.select(id_col, F.col(text_col).alias("__orig"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.col("__orig")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -278,3 +278,67 @@ def test_max_bucket_bounds_mega_bucket_pairs(spark):
     }
     assert cross_bounded <= cross_full
     assert 0 < len(cross_bounded) < len(cross_full) / 4
+
+
+class TestBoilerplateLines:
+    """frequent_lines / remove_boilerplate_lines (CCNet-style line-level
+    boilerplate removal)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha\nSubscribe now\nbody one"),
+            (2, "  subscribe NOW \nbody two\n\ntail two"),
+            (3, "SUBSCRIBE NOW\nbody three"),
+            (4, "Subscribe now"),          # all-boilerplate doc
+            (5, None),                      # NULL text survives as-is
+            (6, "unique line\n\n"),         # blank lines exempt
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_frequent_lines_normalized_count(self, spark):
+        from seaexplorertools_spark.operators.dedup import frequent_lines
+
+        freq = {
+            r["line_key"]: r["n_docs"]
+            for r in frequent_lines(self._docs(spark), min_docs=3).collect()
+        }
+        # 'subscribe now' appears (normalized) in docs 1,2,3,4 — once ≥3
+        assert freq == {"subscribe now": 4}
+
+    def test_remove_preserves_order_and_originals(self, spark):
+        from seaexplorertools_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in remove_boilerplate_lines(
+                self._docs(spark), min_docs=3
+            ).collect()
+        }
+        assert out[1] == ("alpha\nbody one", 2, 1)
+        # blank line kept, original (un-normalized) lines preserved
+        assert out[2] == ("body two\n\ntail two", 3, 1)
+        assert out[3] == ("body three", 1, 1)
+        # every line boilerplate → empty doc, still one output row
+        assert out[4] == ("", 0, 1)
+        # NULL text restored untouched
+        assert out[5] == (None, 0, 0)
+        # trailing blank lines exempt and kept
+        assert out[6] == ("unique line\n\n", 3, 0)
+
+    def test_precomputed_frequent_reuse(self, spark):
+        from seaexplorertools_spark.operators.dedup import (
+            frequent_lines,
+            remove_boilerplate_lines,
+        )
+
+        corpus = self._docs(spark)
+        freq = frequent_lines(corpus, min_docs=3)
+        batch = spark.createDataFrame(
+            [(99, "fresh content\nsubscribe now\nmore")],
+            "doc_id long, text string",
+        )
+        out = remove_boilerplate_lines(batch, frequent=freq).collect()[0]
+        assert out["clean_text"] == "fresh content\nmore"
+        assert (out["n_kept"], out["n_removed"]) == (2, 1)
