@@ -1120,3 +1120,122 @@ def dd_boilerplate_apply(spark, sf_dir):
     from ..operators.dedup import remove_boilerplate_lines
 
     return remove_boilerplate_lines(_boiler_corpus(spark, sf_dir), min_docs=5)
+
+
+from ..operators.unigram import DEFAULT_VOCAB as _UG_VOCAB  # noqa: E402
+
+_UG_VOCAB_SQL = ", ".join(f"('{p}', {s})" for p, s in _UG_VOCAB.items())
+
+# Shared oracle scaffold: enumerate every segmentation of every DISTINCT
+# word via a recursive CTE over the scored vocab (integer micro-nats —
+# exact arithmetic both engines), then pick per word by score DESC then
+# lenkey ASC, where lenkey collates longer pieces first (chr(199 - len)
+# per piece) — the operator's documented longest-first-piece tie-break
+# (equivalence argument: tests/test_unigram.py docstring). Words are
+# short and the vocab bounded, so enumeration is cheap and the planted
+# exact tie ('ta'+'ble' == 'tab'+'le' on the corpus word 'table')
+# exercises the tie-break under the oracle.
+_UG_BEST_SQL = f"""
+    vocab(piece, score) AS (SELECT * FROM (VALUES {{vals}})),
+    t AS (SELECT doc_id, coalesce(lower(text), '') AS txt FROM documents),
+    lists AS (
+      SELECT doc_id, regexp_extract_all(txt, '[a-z0-9]+') AS ws FROM t
+    ),
+    words AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS word_idx, ws[u.i] AS word
+      FROM lists, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+    ),
+    uniq AS (SELECT DISTINCT word FROM words),
+    paths(word, pos, score, lenkey, pieces) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), '', '' FROM uniq
+      UNION ALL
+      SELECT p.word, p.pos + length(v.piece), p.score + v.score,
+             p.lenkey || chr(CAST(199 - length(v.piece) AS INTEGER)),
+             CASE WHEN p.pieces = '' THEN v.piece
+                  ELSE p.pieces || ' ' || v.piece END
+      FROM paths p JOIN vocab v
+        ON p.pos < length(p.word)
+       AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+    ),
+    best AS (
+      SELECT word, pieces,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY score DESC, lenkey ASC) AS rn
+      FROM paths WHERE pos = length(word)
+    )
+"""
+
+
+@q(
+    "txt_unigram",
+    "WITH RECURSIVE"
+    + _UG_BEST_SQL.format(vals=_UG_VOCAB_SQL)
+    + """
+    SELECT w.doc_id, w.word_idx, w.word, b.pieces AS encoded
+    FROM words w JOIN best b ON w.word = b.word AND b.rn = 1
+    """,
+)
+def txt_unigram(spark, sf_dir):
+    """Unigram-LM Viterbi subword encode (operators/unigram.py — the
+    SentencePiece inference rule, Kudo 2018; completes the tokenizer
+    triad after BPE and WordPiece). Pure JVM: the backward Viterbi DP
+    is ONE ``F.aggregate`` per DISTINCT word (dictionary-encode + AQE
+    join fan-out, the WordPiece r8 shape) whose per-cell candidate max
+    is ``array_max`` over ``struct(score, k)`` — integer micro-nat
+    scores, so no float DP divergence, and the struct order IS the
+    documented longest-first-piece tie-break. The oracle ENUMERATES all
+    segmentations per distinct word (recursive CTE over the same
+    generated vocab literal) and picks by score DESC, longer-first
+    lenkey ASC — a deliberately different algorithm arriving at the
+    same contract. At 100 TB: distinct-word dictionary ≪ corpus
+    (Zipf), encode cost is |dictionary| × |word|², fan-out is one
+    broadcastable equi-join."""
+    from ..operators.unigram import unigram_encode
+
+    return unigram_encode(table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_unigram_stats",
+    "WITH RECURSIVE"
+    + _UG_BEST_SQL.format(vals=_UG_VOCAB_SQL)
+    + """
+    , enc AS (
+      SELECT w.doc_id, w.word,
+             len(string_split(b.pieces, ' ')) AS n_pieces
+      FROM words w JOIN best b ON w.word = b.word AND b.rn = 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 6) AS fertility,
+           round(CAST(sum(length(word)) AS DOUBLE)
+                 / nullif(sum(n_pieces), 0), 6) AS chars_per_piece
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_unigram_stats(spark, sf_dir):
+    """Tokenizer evaluation report over the Unigram lane: per-doc word
+    count, piece count, FERTILITY (pieces per word — Rust et al. 2021)
+    and mean chars per piece (the compression the unigram objective
+    actually optimizes). No UNK columns: the default vocab covers every
+    [a-z0-9] char, so coverage is total by construction (the UNK branch
+    is pinned in pytest with a crippled vocab instead). One groupBy
+    over the dictionary-encoded Viterbi — same scale shape as
+    ``txt_unigram``."""
+    from ..operators.unigram import unigram_encode
+
+    enc = unigram_encode(table(spark, sf_dir, "documents"))
+    n_pieces = F.size(F.split(F.col("encoded"), " "))
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(n_pieces.cast("long")).alias("n_pieces"),
+        F.round(
+            F.sum(n_pieces.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("word").cast("long")).cast("double")
+            / F.nullif(F.sum(n_pieces.cast("long")), F.lit(0)),
+            6,
+        ).alias("chars_per_piece"),
+    )
