@@ -92,6 +92,11 @@ CROSSJOIN_OK = {
     # vocab coverage: the corpus token total rides a 1-row aggregate
     # broadcast (the J5 pattern)
     "q_vocab_coverage",
+    # Kneser–Ney: the scalars row (n_types, n1, n2, D) is a 1-row
+    # aggregate crossed into scoring (J5 pattern); lm_kn_model
+    # additionally crosses two more 1-row table-size aggregates into
+    # its single-row report
+    "lm_kn_xent", "lm_kn_model",
 }
 
 

@@ -1588,3 +1588,105 @@ def mm_warc_records(spark, sf_dir):
 
     media = documents_as_warc(table(spark, sf_dir, "documents"))
     return warc_records(media)
+
+
+# Interpolated Kneser–Ney bigram scaffold (operators/lm.py::train_kn_bigram)
+# — context totals/continuation counts all derive from the bigram table,
+# exactly as the Spark side computes them, and the discount D uses the
+# Ney–Essen–Kneser counts-of-counts estimate with the same 0.75 fallback.
+_KN_SQL = f"""
+    tk AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM tk),
+    bgr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n_follow
+            FROM bc GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n_prec FROM bc GROUP BY w2),
+    sc AS (
+      SELECT n_types, n1, n2,
+             CASE WHEN n1 + 2 * n2 > 0
+                  THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)
+                  ELSE 0.75 END AS d
+      FROM (SELECT count(*) AS n_types,
+                   sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+            FROM bc)
+    ),
+    knscore AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             avg(-ln(greatest(bc.c12 - sc.d, 0.0) / ctx.c1
+                     + sc.d * ctx.n_follow / ctx.c1
+                       * (cont.n_prec / CAST(sc.n_types AS DOUBLE)))) AS xent
+      FROM bgr b JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+      JOIN cont USING (w2) CROSS JOIN sc
+      GROUP BY b.doc_id
+    )
+"""
+
+
+@q(
+    "lm_kn_xent",
+    f"WITH {_KN_SQL} SELECT doc_id, n_bigrams, round(xent, 6) AS xent"
+    " FROM knscore",
+)
+def lm_kn_xent(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram cross-entropy per document
+    (operators/lm.py::train_kn_bigram/score_cross_entropy_kn — the
+    smoothing KenLM implements, i.e. the LM CCNet-style perplexity
+    gates actually run, upgrading the add-one lane ``lm_bigram_xent``):
+    absolute discount D from the counts-of-counts estimate, continuation
+    probability N1+(·,w2)/N1+(··) as the lower-order distribution. All
+    model tables are bigram-vocab-sized map-side-combined aggregates;
+    scoring is three broadcast joins + one broadcast scalars row; the
+    only doc-keyed shuffle is the final per-doc average. The oracle
+    replays the identical count algebra and formula association in SQL;
+    scores meet at 6 dp."""
+    from ..operators.lm import score_cross_entropy_kn, train_kn_bigram
+
+    docs = table(spark, sf_dir, "documents")
+    bc, ctx, cont, scalars = train_kn_bigram(docs)
+    scored = score_cross_entropy_kn(docs, bc, ctx, cont, scalars)
+    return scored.select("doc_id", "n_bigrams", r6(F.col("xent")).alias("xent"))
+
+
+@q(
+    "lm_kn_model",
+    f"""
+    WITH {_KN_SQL}
+    SELECT CAST(sc.n_types AS BIGINT) AS n_types,
+           CAST(sc.n1 AS BIGINT) AS n1, CAST(sc.n2 AS BIGINT) AS n2,
+           round(sc.d, 6) AS d,
+           (SELECT CAST(count(*) AS BIGINT) FROM ctx) AS n_contexts,
+           (SELECT CAST(count(*) AS BIGINT) FROM cont) AS n_continuations,
+           (SELECT CAST(max(c1) AS BIGINT) FROM ctx) AS max_context_total
+    FROM sc
+    """,
+)
+def lm_kn_model(spark, sf_dir):
+    """Kneser–Ney model report (single row): bigram type count, the
+    counts-of-counts n1/n2, the estimated discount D, context /
+    continuation vocabulary sizes and the heaviest context total — the
+    numbers one checks before trusting a perplexity gate (a D near 1
+    or a single dominating context flags a degenerate corpus). One
+    aggregate over the bigram table + two tiny table counts."""
+    from ..operators.lm import train_kn_bigram
+
+    docs = table(spark, sf_dir, "documents")
+    bc, ctx, cont, scalars = train_kn_bigram(docs)
+    n_ctx = ctx.agg(
+        F.count("*").cast("long").alias("n_contexts"),
+        F.max("c1").cast("long").alias("max_context_total"),
+    )
+    n_cont = cont.agg(F.count("*").cast("long").alias("n_continuations"))
+    return (
+        scalars.select(
+            "n_types", "n1", "n2", r6(F.col("d")).alias("d")
+        )
+        .crossJoin(F.broadcast(n_ctx))
+        .crossJoin(F.broadcast(n_cont))
+        .select(
+            "n_types", "n1", "n2", "d",
+            "n_contexts", "n_continuations", "max_context_total",
+        )
+    )

@@ -114,3 +114,81 @@ def perplexity_filter(
     scored = score_cross_entropy(docs, uni, big, vocab, id_col, text_col)
     keep = scored.filter(F.exp(F.col("xent")) <= F.lit(float(max_ppl)))
     return docs.join(keep.select(id_col), id_col, "inner")
+
+
+def train_kn_bigram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999 — the smoothing KenLM uses, i.e. what CCNet-style
+    perplexity gates actually run) as four count tables:
+
+    - ``bc  (w1, w2, c12)``      — bigram counts;
+    - ``ctx (w1, c1, n_follow)`` — context totals Σ_w2 c12 and distinct
+      continuation counts N1+(w1, ·);
+    - ``cont(w2, n_prec)``       — distinct left-context counts
+      N1+(·, w2) (the Kneser–Ney continuation numerator);
+    - ``scalars`` (single row)   — ``n_types`` = N1+(··), ``n1``/``n2``
+      = bigram types seen once/twice, and the absolute discount
+      ``D = n1 / (n1 + 2·n2)`` (the Ney–Essen–Kneser estimate;
+      falls back to 0.75 if the corpus has no singletons/doubletons).
+
+    Everything is map-side-combined aggregates over the bigram table —
+    shuffle volume is |bigram vocab| rows, never corpus rows — and the
+    scalars row is one global aggregate (J5 scalar-broadcast shape)."""
+    bg = doc_bigrams(docs, id_col, text_col)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    scalars = bc.agg(
+        F.count("*").alias("n_types"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("n2"),
+    ).withColumn(
+        "d",
+        F.when(
+            F.col("n1") + 2 * F.col("n2") > 0,
+            F.col("n1").cast("double") / (F.col("n1") + 2 * F.col("n2")),
+        ).otherwise(F.lit(0.75)),
+    )
+    return bc, ctx, cont, scalars
+
+
+def score_cross_entropy_kn(
+    docs: DataFrame,
+    bc: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    scalars: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy (mean -ln p) under interpolated
+    Kneser–Ney:
+
+        p(w2|w1) = max(c12 - D, 0)/c1  +  (D·N1+(w1,·)/c1) · pcont(w2)
+        pcont(w2) = N1+(·,w2) / N1+(··)
+
+    Output (id_col, n_bigrams, xent). Scoring the training corpus, so
+    every bigram joins (c12 ≥ 1, c1 ≥ 1) and the interpolation weight
+    keeps p > 0 — no OOV floor needed; for held-out scoring add a
+    backoff-to-pcont join on the misses. Model tables are vocab-sized:
+    all three joins broadcast, the scalars row cross-joins broadcast,
+    and the only doc-keyed shuffle is the final per-doc average."""
+    bg = doc_bigrams(docs, id_col, text_col)
+    joined = (
+        bg.join(F.broadcast(bc), ["w1", "w2"], "inner")
+        .join(F.broadcast(ctx), ["w1"], "inner")
+        .join(F.broadcast(cont), ["w2"], "inner")
+        .crossJoin(F.broadcast(scalars))
+    )
+    d, c1 = F.col("d"), F.col("c1")
+    p = F.greatest(F.col("c12") - d, F.lit(0.0)) / c1 + d * F.col(
+        "n_follow"
+    ) / c1 * (F.col("n_prec") / F.col("n_types"))
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg(-F.log(p)).alias("xent"),
+    )

@@ -74,3 +74,73 @@ def test_mixture_resample_hits_budget(spark, sf_dir):
     # only ~50 docs over 20 sources so allow wide but bounded slack
     assert 0 < n <= 2 * _MIX_BUDGET
     assert {r["source"] for r in out} <= {"src0", "src1", "src2", "src3"}
+
+
+class TestKneserNey:
+    """Interpolated KN bigram — verified against a hand-computed model
+    on a 3-document toy corpus (counts small enough to do on paper)."""
+
+    DOCS = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "b c a b"),
+    ]
+    # bigrams: d1: ab ba ab bc | d2: ab bc cd | d3: bc ca ab
+    # bc table: ab:4 ba:1 bc:3 ca:1 cd:1  -> n_types=5, n1=3, n2=0
+    # D = 3/(3+0) = 1.0
+    # ctx: a:(c1=5? ab4+?)  a->b 4 ; so ctx a: c1=4, n_follow=1
+    #      b: ba1+bc3 -> c1=4, n_follow=2
+    #      c: ca1+cd1 -> c1=2, n_follow=2
+    # cont: b<-{a}:1? preceded by a(ab) -> n_prec(b)=1
+    #       a<-{b,c}: ba, ca -> 2 ; c<-{b}: 1 ; d<-{c}: 1
+
+    def _expected(self):
+        import math
+
+        bc = {("a", "b"): 4, ("b", "a"): 1, ("b", "c"): 3,
+              ("c", "a"): 1, ("c", "d"): 1}
+        ctx = {"a": (4, 1), "b": (4, 2), "c": (2, 2)}
+        cont = {"b": 1, "a": 2, "c": 1, "d": 1}
+        n_types, d = 5, 1.0
+
+        def p(w1, w2):
+            c1, nf = ctx[w1]
+            return max(bc[(w1, w2)] - d, 0.0) / c1 + d * nf / c1 * (
+                cont[w2] / n_types
+            )
+
+        def xent(pairs):
+            return sum(-math.log(p(a, b)) for a, b in pairs) / len(pairs)
+
+        return {
+            1: xent([("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")]),
+            2: xent([("a", "b"), ("b", "c"), ("c", "d")]),
+            3: xent([("b", "c"), ("c", "a"), ("a", "b")]),
+        }
+
+    def test_model_tables_and_discount(self, spark):
+        from seaexplorertools_spark.operators.lm import train_kn_bigram
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        bc, ctx, cont, scalars = train_kn_bigram(docs)
+        s = scalars.collect()[0]
+        assert (s["n_types"], s["n1"], s["n2"]) == (5, 3, 0)
+        assert s["d"] == 1.0
+        got_ctx = {r["w1"]: (r["c1"], r["n_follow"]) for r in ctx.collect()}
+        assert got_ctx == {"a": (4, 1), "b": (4, 2), "c": (2, 2)}
+        got_cont = {r["w2"]: r["n_prec"] for r in cont.collect()}
+        assert got_cont == {"a": 2, "b": 1, "c": 1, "d": 1}
+
+    def test_scores_match_hand_computation(self, spark):
+        from seaexplorertools_spark.operators.lm import (
+            score_cross_entropy_kn,
+            train_kn_bigram,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        scored = score_cross_entropy_kn(docs, *train_kn_bigram(docs))
+        got = {r["doc_id"]: r["xent"] for r in scored.collect()}
+        want = self._expected()
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, k
