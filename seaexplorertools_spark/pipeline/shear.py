@@ -265,14 +265,30 @@ def correct_backscatter(df: DataFrame, options: dict) -> DataFrame:
     return df
 
 
+def ladder_from_bin_means(
+    means: np.ndarray, attrs: dict, options: dict
+) -> np.ndarray:
+    """Driver-side half of :func:`regrid_ladder`: given the (n_bins × 4)
+    per-bin beam-correlation means (rows in bin order), pick the bin
+    nearest the threshold and lay the half-cell ladder (reference
+    calc_ideal_depth_offsets :882-916). Split out so the fleet path can
+    compute ALL missions' bin means in one batched job
+    (pipeline/fleet.py::fleet_shear) and reuse this arithmetic."""
+    cell_size = float(attrs["avg_cellSize"])
+    blanking = float(attrs["avg_blankingDistance"])
+    thr = float(options["ADCP_regrid_correlation_threshold"])
+    overall = np.nanmean(means, axis=1)
+    max_bin = int(np.argmin(np.abs(overall - thr)))
+    max_distance = blanking + max_bin * cell_size + 0.5 * cell_size
+    direction = 1.0 if options["top_mounted"] else -1.0
+    return np.arange(0, max_distance + cell_size, cell_size / 2) * direction
+
+
 def regrid_ladder(df: DataFrame, attrs: dict, options: dict) -> np.ndarray:
     """Collect boundary: the depth-offset ladder (reference
     calc_ideal_depth_offsets :882-916) — per-bin mean correlation over the
     4 beams, pick the bin nearest the threshold, ladder spacing =
     cell_size/2, signed by mount direction."""
-    cell_size = float(attrs["avg_cellSize"])
-    blanking = float(attrs["avg_blankingDistance"])
-    thr = float(options["ADCP_regrid_correlation_threshold"])
     per_bin = (
         df.groupBy("bin")
         .agg(*[F.avg(f"correlation_beam{b}").alias(f"m{b}") for b in BEAMS])
@@ -280,11 +296,7 @@ def regrid_ladder(df: DataFrame, attrs: dict, options: dict) -> np.ndarray:
         .collect()
     )
     means = np.array([[r[f"m{b}"] if r[f"m{b}"] is not None else np.nan for b in BEAMS] for r in per_bin])
-    overall = np.nanmean(means, axis=1)
-    max_bin = int(np.argmin(np.abs(overall - thr)))
-    max_distance = blanking + max_bin * cell_size + 0.5 * cell_size
-    direction = 1.0 if options["top_mounted"] else -1.0
-    return np.arange(0, max_distance + cell_size, cell_size / 2) * direction
+    return ladder_from_bin_means(means, attrs, options)
 
 
 # per-ping columns carried through the regrid into the gridded table
@@ -426,7 +438,32 @@ def shear_from_adcp(
 
     Returns (gridded_cells, ping_aug, options): gridded_cells is the long
     (time_us × gridded_bin) table with V1–4/X/Y/Z/E/N/U/Sh_E/Sh_N/Sh_U.
+
+    Composition = :func:`shear_prepare` → ladder collect →
+    :func:`shear_finish`; the split is the API seam for callers that
+    supply a precomputed ladder (e.g. reusing a deployment's ladder
+    across reprocessing runs) — a batched fleet-wide variant of the two
+    driver actions was tried and measured SLOWER (one 32-branch union
+    plan analyzes serially, while N small per-mission plans analyze
+    concurrently from driver threads; see SCALING.md Round 9), so the
+    per-mission composition stands.
     """
+    df, ping_aug, options = shear_prepare(cells, ping, glider, attrs, options)
+    ladder = regrid_ladder(df, attrs, options)
+    return shear_finish(df, ping_aug, ladder, options), ping_aug, options
+
+
+def shear_prepare(
+    cells: DataFrame,
+    ping: DataFrame,
+    glider: DataFrame,
+    attrs: dict,
+    options: dict,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Lazy first phase of :func:`shear_from_adcp`: everything up to the
+    regrid ladder's collect boundary. Issues NO Spark job when
+    ``options['top_mounted']`` is preset (orientation detect is the only
+    other eager action and it's gated on that key)."""
     ping_aug, options = align_glider_to_pings(ping, glider, options)
     ping_aug = correct_heading(ping_aug, options)
     df = build_cells(cells, ping_aug, attrs, options)
@@ -434,8 +471,15 @@ def shear_from_adcp(
     df = remove_outliers(df, options)
     df = correct_shear(df, ping_aug, options)
     df = correct_backscatter(df, options)
-    ladder = regrid_ladder(df, attrs, options)
+    return df, ping_aug, options
+
+
+def shear_finish(
+    df: DataFrame, ping_aug: DataFrame, ladder: np.ndarray, options: dict
+) -> DataFrame:
+    """Lazy second phase: regrid onto the (driver-computed) ladder, then
+    beam→XYZ→ENU."""
     gridded = regrid_cells(df, ladder, options)
     gridded = calc_xyz(gridded, options)
     gridded = calc_enu(gridded, options)
-    return gridded, ping_aug, options
+    return gridded
