@@ -1239,3 +1239,76 @@ def q_unigram_stats(spark, sf_dir):
             6,
         ).alias("chars_per_piece"),
     )
+
+
+# Snapshot-diff fixture: v2 of the documents corpus, closed-form in
+# doc_id — every 7th doc removed, every remaining 5th doc's text
+# revised, one added doc per 11th id (disjoint key range).
+_V2_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+               AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             'new doc ' || doc_id AS text,
+             'en' AS lang, 'src_new' AS source,
+             CAST(8 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 11 = 0
+"""
+
+_DIFF_HASH_SQL = """md5(concat_ws('|',
+        coalesce(CAST(length(text) AS VARCHAR) || ':' || text, '&null'),
+        coalesce(CAST(length(lang) AS VARCHAR) || ':' || lang, '&null'),
+        coalesce(CAST(length(source) AS VARCHAR) || ':' || source, '&null'),
+        coalesce(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(n_chars AS VARCHAR), '&null')))"""
+
+
+@q(
+    "q_corpus_version_diff",
+    f"""
+    WITH v2 AS ({_V2_SQL}),
+    o AS (SELECT doc_id, {_DIFF_HASH_SQL} AS old_hash FROM documents),
+    n AS (SELECT doc_id, {_DIFF_HASH_SQL} AS new_hash FROM v2)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_hash, n.new_hash
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def q_corpus_version_diff(spark, sf_dir):
+    """Dataset version delta (operators/merge.py::snapshot_diff — the
+    audit a corpus release runs before publishing v(n+1), and the
+    inverse of the MERGE/CDC lane q_merge_upsert; the operator-level
+    sibling of the inline warehouse lane q_snapshot_diff): classify every key
+    across two snapshots as added / removed / changed / unchanged via a
+    null-safe length-prefixed content hash. The derived v2 plants all
+    four branches on coprime moduli (7th removed, 5th revised, 11th
+    added in a disjoint key range). At 100 TB: one full-outer hash join
+    on the key — AQE-skew-handled, shuffle-free with bucketed
+    snapshots; hashing is codegen md5/concat, no Python."""
+    from ..operators.merge import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    v2 = docs.filter(d % 7 != 0).select(
+        "doc_id",
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang", "source", "n_chars",
+    ).unionByName(
+        docs.filter(d % 11 == 0).select(
+            (d + 10000000).alias("doc_id"),
+            F.concat(F.lit("new doc "), d.cast("string")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("src_new").alias("source"),
+            (F.lit(8) + F.length(d.cast("string"))).cast("long").alias("n_chars"),
+        )
+    )
+    return snapshot_diff(docs, v2, key_cols="doc_id")

@@ -91,3 +91,50 @@ def test_merge_upsert_order_col_compacts_duplicate_change_keys(spark):
     assert rows[1]["val"] == "last" and rows[1]["action"] == "update"
     assert rows[2]["val"] == "resurrected" and rows[2]["action"] == "update"
     assert rows[3]["val"] == "ins-new" and rows[3]["action"] == "insert"
+
+
+class TestSnapshotDiff:
+    def test_classification_and_null_safety(self, spark):
+        from seaexplorertools_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "k long, txt string, v long",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (3, "", 30), (5, "e", 50)],
+            "k long, txt string, v long",
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_diff(old, new, key_cols="k").collect()
+        }
+        # NULL -> '' must read as changed, not unchanged
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "changed",
+            4: "removed", 5: "added",
+        }
+
+    def test_length_prefix_prevents_concat_collision(self, spark):
+        from seaexplorertools_spark.operators.merge import snapshot_diff
+
+        # ('ab','c') vs ('a','bc') concatenate identically without the
+        # length prefixes — must be 'changed'
+        old = spark.createDataFrame([(1, "ab", "c")], "k long, x string, y string")
+        new = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
+        [row] = snapshot_diff(old, new, key_cols="k").collect()
+        assert row["status"] == "changed"
+
+    def test_compare_cols_subset_and_validation(self, spark):
+        import pytest
+
+        from seaexplorertools_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 1)], "k long, x string, v long")
+        new = spark.createDataFrame([(1, "a", 2)], "k long, x string, v long")
+        [row] = snapshot_diff(old, new, key_cols="k", compare_cols=["x"]).collect()
+        assert row["status"] == "unchanged"  # v ignored
+        with pytest.raises(ValueError, match="no columns"):
+            snapshot_diff(
+                old.select("k"), new.select("k"), key_cols="k"
+            )
