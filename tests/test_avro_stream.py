@@ -6,6 +6,8 @@ WARC and NetCDF3 sources."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from seaexplorertools_spark.sources.avro import write_avro_bytes
@@ -99,8 +101,16 @@ def test_stream_tail_equals_batch(spark, tmp_path):
         assert spark.sql("select count(*) n from avro_tail").collect()[0]["n"] == 2
         # later file sorting EARLIER: set offset picks it up, no re-read
         _write(d / "seg_a.avro", _recs([10, 11, 12]), codec="deflate")
-        q.processAllAvailable()
-        rows = spark.sql("select doc_id from avro_tail").collect()
+        # processAllAvailable can race the prefetching SimpleStreamReader
+        # wrapper's latestOffset poll under load (observed ~1/900 full-suite
+        # runs): bounded retry, still asserting the file IS picked up.
+        deadline = time.time() + 60
+        while True:
+            q.processAllAvailable()
+            rows = spark.sql("select doc_id from avro_tail").collect()
+            if len(rows) == 5 or time.time() > deadline:
+                break
+            time.sleep(0.5)
         assert sorted(r["doc_id"] for r in rows) == [1, 2, 10, 11, 12]
         batch = spark.read.format("avrofile").load(f"{d}/*.avro").collect()
         assert sorted(r["doc_id"] for r in batch) == [1, 2, 10, 11, 12]
