@@ -59,6 +59,7 @@ def assign_clusters_literal(
     cent_rows: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "v",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """ZERO-SHUFFLE assignment for the Lloyd loop, where the centroids are
     already driver-side: per row, an array of rounded d² against literal
@@ -68,7 +69,9 @@ def assign_clusters_literal(
     windowed ``assign_clusters``, without the k× crossJoin row blowup or
     the per-vector window shuffle. v·v is staged once; c·c is a
     driver-computed literal (same left-to-right fold as the JVM
-    aggregate)."""
+    aggregate). ``keep`` lists extra input columns to pass through
+    unchanged (e.g. the vector itself for the update step), which lets
+    the Lloyd loop avoid a per-iteration join back to the input."""
     v = F.col(vec_col)
     staged = vecs.withColumn("__vv", dot(v, v))
     d2s = F.array(
@@ -88,6 +91,7 @@ def assign_clusters_literal(
     pos = F.array_position(F.col("__d2s"), best)
     return staged.select(
         id_col,
+        *keep,
         F.element_at(cids, pos.cast("int")).alias("cluster"),
         best.alias("d2"),
     )
@@ -123,19 +127,31 @@ def kmeans_lloyd(
     assign = None
     for _ in range(n_iter):
         # literal-centroid assignment: no crossJoin, no per-vector window
-        # shuffle — the centroids are already driver-side in the loop
-        assign = assign_clusters_literal(e, cent_rows)
-        with_v = assign.join(e, "vec_id")
-        sse_history.append(with_v.agg(F.sum("d2")).collect()[0][0])
-        dims = with_v.select("cluster", F.posexplode("v").alias("i", "x"))
+        # shuffle — the centroids are already driver-side in the loop.
+        # ``keep`` passes the vector through, so the update step needs no
+        # join back to ``e`` (round 9: the per-iteration vec_id join was
+        # a pure plan artifact — assignment is a map over e already).
+        assign = assign_clusters_literal(e, cent_rows, keep=("v",))
+        # ONE action per iteration (round 9, was two): the per-(cluster,
+        # dim) mean aggregate also carries sum(d2); every vector repeats
+        # its d2 at all ``dim`` positions, so the i=0 slice of the
+        # per-(cluster, i) d2 sums IS the per-cluster SSE, and the global
+        # SSE is their (cluster-ordered, deterministic) driver-side sum.
+        dims = assign.select("cluster", "d2", F.posexplode("v").alias("i", "x"))
         means = (
             dims.groupBy("cluster", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.avg("x").alias("m"), F.sum("d2").alias("sd"))
             .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-            .select("cluster", F.col("im.m").alias("cv"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"),
+                F.max(F.when(F.col("i") == 0, F.col("sd"))).alias("sse_c"),
+            )
+            .select("cluster", F.col("im.m").alias("cv"), "sse_c")
         )
-        new_cent = {r["cluster"]: r["cv"] for r in means.collect()}
+        mrows = sorted(means.collect(), key=lambda r: r["cluster"])
+        sse_history.append(sum(r["sse_c"] for r in mrows))
+        new_cent = {r["cluster"]: r["cv"] for r in mrows}
         # empty clusters keep their previous centroid (standard Lloyd detail)
         cent_rows = [(cid, new_cent.get(cid, cv)) for cid, cv in cent_rows]
+    assign = assign.select("vec_id", "cluster", "d2")
     return assign, [cv for _, cv in cent_rows], sse_history
