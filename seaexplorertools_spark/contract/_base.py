@@ -76,6 +76,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ptable(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
+    """``table()`` + guarded parallelism-restoring round-robin repartition
+    for CPU-dense per-row lanes (payload adapters, codec decodes, codegen
+    text extraction): the local fixture parquet arrives as a SINGLE split,
+    which pins all map-side work — Python workers and JVM codegen alike —
+    to one core. On a many-split production input the guard makes this a
+    no-op rather than a parallelism-reducing full shuffle (the
+    q_dsir_selection / q_profile_table_approx pattern, round 9: promoted
+    to a shared helper and applied across the codec lanes — measured
+    2-2.5× per lane at sf0.1). Only the narrow source rows are shuffled,
+    never constructed payloads."""
+    df = table(spark, sf_dir, name)
+    parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        df = df.repartition(parts)
+    return df
+
+
 def ts_us_col(df: DataFrame, col: str = "ts"):
     """BIGINT µs-since-epoch from whatever physical type the driver's parquet
     writer used for event time — ns-as-long (legacy flag), timestamp_ntz

@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -204,7 +204,7 @@ def q_countmin_tokens(spark, sf_dir):
     from ..operators.dedup import tokens as tok_fn
     from ..operators.sketches import countmin_estimate, countmin_table
 
-    toks = table(spark, sf_dir, "documents").select(
+    toks = ptable(spark, sf_dir).select(
         F.explode(tok_fn(F.col("text"))).alias("tok")
     )
     cms = countmin_table(toks, "tok", depth=4, width=256)
@@ -327,7 +327,7 @@ def q_corpus_shuffle(spark, sf_dir):
     run mid-epoch is a WHERE on shuffle_pos."""
     from ..operators.rank import global_rank
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = ptable(spark, sf_dir).select("doc_id")
     key = F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
     return global_rank(
         docs.withColumn("__k", key), [F.col("__k"), F.col("doc_id")], "shuffle_pos"
@@ -530,10 +530,7 @@ def q_dsir_selection(spark, sf_dir):
     # a single split and the md5 feature-explode is CPU-dense (3.7 ->
     # 2.1 s at sf0.1); on a many-split production input the guard makes
     # this a no-op rather than a parallelism-REDUCING full-table shuffle
-    docs = table(spark, sf_dir, "documents")
-    parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parts:
-        docs = docs.repartition(parts)
+    docs = ptable(spark, sf_dir)  # ptable owns the parallelism guard
     return dsir_select(docs, F.col("source") == "src0", keep_fraction=0.25)
 
 
@@ -580,7 +577,7 @@ def dd_bloom_decontaminate(spark, sf_dir):
     from ..operators.dedup import doc_shingles
     from ..operators.selection import bloom_build, bloom_probe
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     sh = doc_shingles(docs, 3).distinct()
     hold = sh.filter(F.col("doc_id") % 50 == 0).select("tok").distinct()
     bloom = bloom_build(hold, "tok", m_bits=65536, k=3)
@@ -693,7 +690,7 @@ def _lr_scored(spark, sf_dir):
     from ..operators.classifier import logistic_score, logistic_train
     from ..operators.dedup import tokens as _tokens
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     nt = F.size(F.col("__toks"))
     f = docs.withColumn("__toks", _tokens(F.col("text"))).select(
         "doc_id",
@@ -811,7 +808,7 @@ def q_zipf_fit(spark, sf_dir):
     from ..operators.dedup import tokens as _tokens
     from ..operators.rank import global_rank
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     cnt = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
@@ -900,13 +897,7 @@ def st_bloom_decontam(spark, sf_dir):
     from ..operators.selection import bloom_build
     from ..streaming.decontam import bitmap_from_words, decontaminate_flags
 
-    docs = table(spark, sf_dir, "documents")
-    # guarded parallelism-only repartition (see dd_substring_spans): a
-    # no-op on many-split production inputs, a fan-out on the 1-split
-    # local fixture where the shingle explode is the bottleneck
-    parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parts:
-        docs = docs.repartition(parts)
+    docs = ptable(spark, sf_dir)  # ptable owns the parallelism guard
     hold = (
         doc_shingles(docs.filter(F.col("doc_id") % 50 == 0), 3)
         .select("tok")
@@ -956,7 +947,7 @@ def q_mixture_upsample(spark, sf_dir):
     is identical at every SF."""
     from ..operators.sampling import upsample_by_repeats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     counts = {
         r["source"]: r["n"]
         for r in docs.filter(F.col("source").isin(*_MIX_WEIGHTS))
@@ -1109,7 +1100,7 @@ def q_vocab_coverage(spark, sf_dir):
     from ..operators.dedup import tokens as _tokens
     from ..operators.rank import global_cumsum
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     cnt = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
@@ -1201,7 +1192,7 @@ def dd_incremental_dedup(spark, sf_dir):
         lsh_cross_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
     toks = doc_shingles(docs, 3).cache()  # 3 consumers below
@@ -1556,7 +1547,7 @@ def mm_image_features(spark, sf_dir):
     stages are Arrow-batched, partition-preserving, zero-shuffle."""
     from ..operators.multimodal import documents_as_jpeg, image_signal_features
 
-    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    media = documents_as_jpeg(ptable(spark, sf_dir))
     # native=False: the pure-python chain is the oracle authority — the
     # exact-hash gate must not depend on whether PIL is installed
     return image_signal_features(media, native=False)
@@ -1612,7 +1603,7 @@ def txt_script_mix(spark, sf_dir):
     regexp_count — scan-speed, zero shuffle."""
     from ..operators.text import script_profile
 
-    d = table(spark, sf_dir, "documents")
+    d = ptable(spark, sf_dir)
     aug = d.select(
         "doc_id",
         F.concat(
@@ -1662,7 +1653,7 @@ def mm_image_dedup(spark, sf_dir):
     one hash-keyed exchange — the image twin of dd_exact_dup."""
     from ..operators.multimodal import ahash_images, documents_as_jpeg
 
-    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    media = documents_as_jpeg(ptable(spark, sf_dir))
     hashed = ahash_images(media, native=False)  # oracle authority: pure python
     w = Window.partitionBy("ahash")
     return hashed.select(

@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -75,7 +75,7 @@ def dd_exact_dup(spark, sf_dir):
     synthetic corpus has near-duplicates but zero byte-identical documents —
     the full-text variant is the same operator with ``key=F.col('text')``
     and would be a vacuous 0-row check."""
-    docs = table(spark, sf_dir, "documents").withColumn(
+    docs = ptable(spark, sf_dir).withColumn(
         "text", F.substring(F.col("text"), 1, 40)
     )
     return exact_duplicates(docs)
@@ -97,7 +97,7 @@ def dd_minhash_sig(spark, sf_dir):
     (doc, seed); engine-portable uniform min-hash. Shingles (not unigrams)
     so word ORDER matters: same-vocabulary word-salad documents don't
     collapse into one bucket."""
-    return minhash_signatures(table(spark, sf_dir, "documents"), k=16)
+    return minhash_signatures(ptable(spark, sf_dir), k=16)
 
 
 @q(
@@ -122,7 +122,7 @@ def dd_minhash_sig(spark, sf_dir):
 def dd_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows): bucket-join
     on band signature — the scalable near-dup candidate generator."""
-    return lsh_candidate_pairs(table(spark, sf_dir, "documents"), k=16, band_rows=4)
+    return lsh_candidate_pairs(ptable(spark, sf_dir), k=16, band_rows=4)
 
 
 @q(
@@ -147,7 +147,7 @@ def dd_minhash_lsh_pairs(spark, sf_dir):
 def dd_simhash(spark, sf_dir):
     """32-bit SimHash per document (per-bit ±1 votes over md5-derived token
     hashes)."""
-    return simhash32(table(spark, sf_dir, "documents"))
+    return simhash32(ptable(spark, sf_dir))
 
 
 @q(
@@ -173,7 +173,7 @@ def dd_simhash(spark, sf_dir):
 )
 def dd_ngram_jaccard(spark, sf_dir):
     """Blocked pairwise token-set Jaccard (near-dup verification stage)."""
-    out = ngram_jaccard_pairs(table(spark, sf_dir, "documents"), block_col="lang", threshold=0.7)
+    out = ngram_jaccard_pairs(ptable(spark, sf_dir), block_col="lang", threshold=0.7)
     return out.select("doc1", "doc2", r6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -226,7 +226,7 @@ def dd_jaccard_prefix_pairs(spark, sf_dir):
     integers or identical IEEE products, so the match is exact."""
     from ..operators.dedup import jaccard_prefix_join
 
-    out = jaccard_prefix_join(table(spark, sf_dir, "documents"), threshold=0.8)
+    out = jaccard_prefix_join(ptable(spark, sf_dir), threshold=0.8)
     return out.select(
         F.col("id1").alias("doc_id1"),
         F.col("id2").alias("doc_id2"),
@@ -302,7 +302,7 @@ def dd_lsh_recall_report(spark, sf_dir):
         tokens,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     sh = staged.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), 3)).alias("tok")
@@ -522,7 +522,7 @@ _SW_SQL = {
 def txt_langid(spark, sf_dir):
     """Language-ID heuristic: stopword votes, argmax with deterministic
     sorted-language tiebreak, 'und' when no votes."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return T.langid(docs).select("doc_id", "lang", "lang_guess")
 
 
@@ -558,7 +558,7 @@ def q_kappa_langid(spark, sf_dir):
     back (no windows at all, no second scan of the rows). All counts
     stay BIGINT; po/pe/kappa derive from identical IEEE expressions in
     both engines, so the oracle match is exact."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     lid = T.langid(docs).select("lang", "lang_guess")
     # cache: the expensive langid scan sits under FOUR consumers (rowm,
     # colm, tot, agree) and Spark does not dedupe common subplans — the
@@ -615,7 +615,7 @@ def q_kappa_langid(spark, sf_dir):
 def txt_quality(spark, sf_dir):
     """Quality-scoring features: length, token counts, type-token ratio,
     mean token length, punctuation ratio — pure codegen expressions."""
-    docs = T.quality_features(table(spark, sf_dir, "documents"))
+    docs = T.quality_features(ptable(spark, sf_dir))
     return docs.select(
         "doc_id",
         F.col("n_chars_m").cast("long").alias("n_chars_m"),
@@ -639,7 +639,7 @@ def txt_quality(spark, sf_dir):
 def txt_fingerprint(spark, sf_dir):
     """Normalization-robust document fingerprint (lowercase → strip punct →
     collapse whitespace → md5)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -660,7 +660,7 @@ def mm_media_features(spark, sf_dir):
     doc_id), so width/height come from the REAL pure-python PNG header
     parse and the oracle can recompute them arithmetically; deeper pixel
     decode stays gated on the absent media libs."""
-    media = documents_as_media(table(spark, sf_dir, "documents"))
+    media = documents_as_media(ptable(spark, sf_dir))
     feats = extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
@@ -703,7 +703,7 @@ def dd_contamination(spark, sf_dir):
     decontamination pass (à la GPT-3/PaLM appendix methodology)."""
     from ..operators.dedup import doc_shingles
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     sh = doc_shingles(docs, 3)
     hold = sh.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("h_id"), "tok"
@@ -763,7 +763,7 @@ def txt_repetition(spark, sf_dir):
     engine-dependent."""
     from ..operators.text import repetition_features
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return repetition_features(docs)
 
 

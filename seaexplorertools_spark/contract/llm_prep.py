@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
-from ._base import ORACLES, QUERIES, q, r6, r6p, table  # noqa: F401
+from ._base import ORACLES, QUERIES, ptable, q, r6, r6p, table  # noqa: F401
 from ..operators.wordpiece import DEFAULT_VOCAB as _WP_VOCAB
 
 _WP_VOCAB_SQL = ", ".join(f"'{p}'" for p in _WP_VOCAB)
@@ -70,7 +70,7 @@ def q_dpo_pairs(spark, sf_dir):
         preference_prep,
     )
 
-    pairs = documents_as_preference_pairs(table(spark, sf_dir, "documents"))
+    pairs = documents_as_preference_pairs(ptable(spark, sf_dir))
     out = keep_first_per_prompt(preference_prep(pairs))
     return out.select(
         "doc_id", "prompt", "valid", "keep", "chosen_chars",
@@ -134,7 +134,7 @@ def txt_wordpiece(spark, sf_dir):
     vocab, so the ``[UNK]`` branch exists under the oracle."""
     from ..operators.wordpiece import wordpiece_encode
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = ptable(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
@@ -174,7 +174,7 @@ def mm_cbor_records(spark, sf_dir):
     degrade."""
     from ..sources.cbor import cbor_records, documents_as_cbor
 
-    media = documents_as_cbor(table(spark, sf_dir, "documents"))
+    media = documents_as_cbor(ptable(spark, sf_dir))
     return cbor_records(media)
 
 
@@ -216,7 +216,7 @@ def mm_ics_events(spark, sf_dir):
     every output field rebuilt closed-form from doc_id."""
     from ..operators.markup import documents_as_ics, ics_events
 
-    return ics_events(documents_as_ics(table(spark, sf_dir, "documents")))
+    return ics_events(documents_as_ics(ptable(spark, sf_dir)))
 
 
 @q(
@@ -268,7 +268,7 @@ def mm_hls_entries(spark, sf_dir):
     even doc_ids media / odd master, every field closed-form."""
     from ..operators.markup import documents_as_m3u8, hls_entries
 
-    return hls_entries(documents_as_m3u8(table(spark, sf_dir, "documents")))
+    return hls_entries(documents_as_m3u8(ptable(spark, sf_dir)))
 
 
 @q(
@@ -300,7 +300,7 @@ def txt_po_entries(spark, sf_dir):
     including the escaped-quote and multi-line msgid branches."""
     from ..operators.gettext import documents_as_po, po_entries
 
-    return po_entries(documents_as_po(table(spark, sf_dir, "documents")))
+    return po_entries(documents_as_po(ptable(spark, sf_dir)))
 
 
 @q(
@@ -356,7 +356,7 @@ def q_geojson_features(spark, sf_dir):
     from ..operators.geojson import documents_as_geojson, geojson_features
 
     return geojson_features(
-        documents_as_geojson(table(spark, sf_dir, "documents"))
+        documents_as_geojson(ptable(spark, sf_dir))
     )
 
 
@@ -389,7 +389,7 @@ def mm_midi_notes(spark, sf_dir):
     degrade."""
     from ..operators.midicodec import documents_as_midi, midi_notes
 
-    return midi_notes(documents_as_midi(table(spark, sf_dir, "documents")))
+    return midi_notes(documents_as_midi(ptable(spark, sf_dir)))
 
 
 @q(
@@ -419,7 +419,7 @@ def mm_rtf_text(spark, sf_dir):
     on both sides — both are UTF-8-aware)."""
     from ..operators.rtf import documents_as_rtf, rtf_extract
 
-    return rtf_extract(documents_as_rtf(table(spark, sf_dir, "documents")))
+    return rtf_extract(documents_as_rtf(ptable(spark, sf_dir)))
 
 
 @q(
@@ -452,7 +452,7 @@ def mm_vcard_contacts(spark, sf_dir):
     constructor oracle closed-form in doc_id."""
     from ..operators.markup import documents_as_vcf, vcard_contacts
 
-    return vcard_contacts(documents_as_vcf(table(spark, sf_dir, "documents")))
+    return vcard_contacts(documents_as_vcf(ptable(spark, sf_dir)))
 
 
 @q(
@@ -495,7 +495,7 @@ def q_toml_entries(spark, sf_dir):
     oracle: the full key inventory rebuilt closed-form as a UNION."""
     from ..operators.configs import documents_as_toml, toml_entries
 
-    return toml_entries(documents_as_toml(table(spark, sf_dir, "documents")))
+    return toml_entries(documents_as_toml(ptable(spark, sf_dir)))
 
 
 @q(
@@ -525,7 +525,7 @@ def mm_bson_records(spark, sf_dir):
     mapInPandas, zero shuffle, per-payload degrade."""
     from ..sources.bson import bson_records, documents_as_bson
 
-    return bson_records(documents_as_bson(table(spark, sf_dir, "documents")))
+    return bson_records(documents_as_bson(ptable(spark, sf_dir)))
 
 
 @q(
@@ -558,7 +558,7 @@ def q_xml_records(spark, sf_dir):
     from ..operators.markup import documents_as_xml, xml_records
 
     raw = xml_records(
-        documents_as_xml(table(spark, sf_dir, "documents")),
+        documents_as_xml(ptable(spark, sf_dir)),
         record_tag="item",
         fields=[
             ("id", "@id"),
@@ -614,7 +614,7 @@ def txt_latex_extract(spark, sf_dir):
     of TeX specials at all SFs)."""
     from ..operators.latex import documents_as_latex, latex_extract
 
-    return latex_extract(documents_as_latex(table(spark, sf_dir, "documents")))
+    return latex_extract(documents_as_latex(ptable(spark, sf_dir)))
 
 
 @q(
@@ -680,7 +680,7 @@ def q_wordpiece_stats(spark, sf_dir):
     recursive-CTE greedy replay in the aggregate."""
     from ..operators.wordpiece import UNK, wordpiece_encode
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = ptable(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
@@ -760,7 +760,7 @@ def q_access_logs(spark, sf_dir):
     from ..operators.weblogs import access_log_entries, documents_as_access_logs
 
     return access_log_entries(
-        documents_as_access_logs(table(spark, sf_dir, "documents"))
+        documents_as_access_logs(ptable(spark, sf_dir))
     )
 
 
@@ -797,7 +797,7 @@ def mm_sqldump_rows(spark, sf_dir):
     from ..operators.sqldump import documents_as_sqldump, sqldump_rows
 
     return sqldump_rows(
-        documents_as_sqldump(table(spark, sf_dir, "documents")),
+        documents_as_sqldump(ptable(spark, sf_dir)),
         "page",
         ["id", "title", "score", "flags"],
     )
@@ -849,7 +849,7 @@ def q_span_corruption(spark, sf_dir):
     as unnest-with-ordinality + ordered string_agg."""
     from ..operators.denoise import span_corrupt
 
-    out = span_corrupt(table(spark, sf_dir, "documents"))
+    out = span_corrupt(ptable(spark, sf_dir))
     return out.select("doc_id", "n_tokens", "n_masked", "input", "target")
 
 
@@ -891,7 +891,7 @@ def q_fim_transform(spark, sf_dir):
     (1/3, 2/3) on both engines, so floor() agrees exactly."""
     from ..operators.denoise import fim_transform
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     psm = fim_transform(docs.filter(F.col("doc_id") % 2 == 0), mode="psm")
     spm = fim_transform(docs.filter(F.col("doc_id") % 2 == 1), mode="spm")
     cols = ["doc_id", "n_prefix", "n_middle", "n_suffix", "fim"]
@@ -932,7 +932,7 @@ def q_rss_items(spark, sf_dir):
     zero shuffle; constructor oracle closed-form in doc_id."""
     from ..operators.markup import documents_as_rss, rss_items
 
-    return rss_items(documents_as_rss(table(spark, sf_dir, "documents")))
+    return rss_items(documents_as_rss(ptable(spark, sf_dir)))
 
 
 @q(
@@ -969,7 +969,7 @@ def q_merge_upsert(spark, sf_dir):
     from ..operators.merge import merge_upsert
 
     d = F.col("doc_id")
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     base = docs.select(
         d.alias("k"),
         F.concat(F.lit("v"), (d % 100).cast("string")).alias("val"),
@@ -1025,7 +1025,7 @@ _BOILER_CORPUS_SQL = """
 
 def _boiler_corpus(spark, sf_dir) -> DataFrame:
     d = F.col("doc_id")
-    return table(spark, sf_dir, "documents").select(
+    return ptable(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.lit("id: "),
@@ -1192,7 +1192,7 @@ def txt_unigram(spark, sf_dir):
     broadcastable equi-join."""
     from ..operators.unigram import unigram_encode
 
-    return unigram_encode(table(spark, sf_dir, "documents"))
+    return unigram_encode(ptable(spark, sf_dir))
 
 
 @q(
@@ -1225,7 +1225,7 @@ def q_unigram_stats(spark, sf_dir):
     ``txt_unigram``."""
     from ..operators.unigram import unigram_encode
 
-    enc = unigram_encode(table(spark, sf_dir, "documents"))
+    enc = unigram_encode(ptable(spark, sf_dir))
     n_pieces = F.size(F.split(F.col("encoded"), " "))
     return enc.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words"),
@@ -1294,7 +1294,7 @@ def q_corpus_version_diff(spark, sf_dir):
     snapshots; hashing is codegen md5/concat, no Python."""
     from ..operators.merge import snapshot_diff
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     d = F.col("doc_id")
     v2 = docs.filter(d % 7 != 0).select(
         "doc_id",

@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -101,7 +101,7 @@ def q_l_diversity(spark, sf_dir):
     cell aggregate; margins are windows over that cell table."""
     from ..operators.privacy import l_diversity_audit
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = l_diversity_audit(docs, ["lang"], "source")
     return out.select(
         "lang",
@@ -177,7 +177,7 @@ def txt_readability(spark, sf_dir):
     regex and RE2); the formula is replayed verbatim in the oracle."""
     from ..operators.text import readability_features
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = readability_features(docs)
     return out.select(
         "doc_id",
@@ -256,7 +256,7 @@ def mm_wav_features(spark, sf_dir):
     the real metadata layer, the audio twin of the PNG header parse."""
     from ..operators.multimodal import documents_as_audio, extract_audio_features
 
-    media = documents_as_audio(table(spark, sf_dir, "documents"))
+    media = documents_as_audio(ptable(spark, sf_dir))
     return extract_audio_features(media)
 
 
@@ -303,7 +303,7 @@ def mm_flac_signal(spark, sf_dir):
     zero shuffle — the audio twin of mm_image_features."""
     from ..operators.multimodal import documents_as_flac, wav_signal_features
 
-    media = documents_as_flac(table(spark, sf_dir, "documents"))
+    media = documents_as_flac(ptable(spark, sf_dir))
     return wav_signal_features(media)
 
 
@@ -340,7 +340,7 @@ def mm_mp3_signal(spark, sf_dir):
     mm_flac_signal."""
     from ..operators.multimodal import documents_as_mp3, wav_signal_features
 
-    media = documents_as_mp3(table(spark, sf_dir, "documents"))
+    media = documents_as_mp3(ptable(spark, sf_dir))
     return wav_signal_features(media)
 
 
@@ -382,7 +382,7 @@ def mm_audio_resample(spark, sf_dir):
     factors are replay-pinned in pytest. Zero shuffle."""
     from ..operators.multimodal import documents_as_flac, resample_audio_features
 
-    media = documents_as_flac(table(spark, sf_dir, "documents"))
+    media = documents_as_flac(ptable(spark, sf_dir))
     return resample_audio_features(media, upsample_factor=2)
 
 
@@ -413,7 +413,7 @@ def mm_warc_http(spark, sf_dir):
     per-payload degrade (operators/warc.py::warc_http_records)."""
     from ..operators.warc import documents_as_http_warc, warc_http_records
 
-    media = documents_as_http_warc(table(spark, sf_dir, "documents"))
+    media = documents_as_http_warc(ptable(spark, sf_dir))
     return warc_http_records(media)
 
 
@@ -462,7 +462,7 @@ def mm_mp3_vbr(spark, sf_dir):
     non-audio — decode_mp3_samples skips it (pytest-pinned)."""
     from ..operators.multimodal import documents_as_mp3, extract_audio_features
 
-    media = documents_as_mp3(table(spark, sf_dir, "documents"), vbr=True)
+    media = documents_as_mp3(ptable(spark, sf_dir), vbr=True)
     return extract_audio_features(media)
 
 
@@ -507,7 +507,7 @@ def mm_ogg_meta(spark, sf_dir):
     from ..operators.multimodal import extract_audio_features
     from ..operators.ogg import documents_as_ogg
 
-    media = documents_as_ogg(table(spark, sf_dir, "documents"))
+    media = documents_as_ogg(ptable(spark, sf_dir))
     return extract_audio_features(media)
 
 
@@ -536,7 +536,7 @@ def mm_flac_tags(spark, sf_dir):
     constructor query. Zero shuffle, per-row degrade."""
     from ..operators.vorbis import documents_as_tagged_flac, extract_flac_tags
 
-    media = documents_as_tagged_flac(table(spark, sf_dir, "documents"))
+    media = documents_as_tagged_flac(ptable(spark, sf_dir))
     return extract_flac_tags(media)
 
 
@@ -563,7 +563,7 @@ def mm_ogg_tags(spark, sf_dir):
     verbatim from the FLAC container. Zero shuffle, per-row degrade."""
     from ..operators.ogg import documents_as_tagged_ogg, extract_ogg_tags
 
-    media = documents_as_tagged_ogg(table(spark, sf_dir, "documents"))
+    media = documents_as_tagged_ogg(ptable(spark, sf_dir))
     return extract_ogg_tags(media)
 
 
@@ -601,7 +601,7 @@ def mm_mp3_meta(spark, sf_dir):
     whole audio lane's WAV → FLAC → MP3 sniff order from both sides."""
     from ..operators.multimodal import documents_as_mp3, extract_audio_features
 
-    media = documents_as_mp3(table(spark, sf_dir, "documents"))
+    media = documents_as_mp3(ptable(spark, sf_dir))
     return extract_audio_features(media)
 
 
@@ -646,7 +646,7 @@ def mm_video_frames(spark, sf_dir):
     twin of mm_image_features."""
     from ..operators.multimodal import documents_as_mjpeg, video_frame_features
 
-    media = documents_as_mjpeg(table(spark, sf_dir, "documents"))
+    media = documents_as_mjpeg(ptable(spark, sf_dir))
     return video_frame_features(media, n_frames=2, native=False)
 
 
@@ -1098,7 +1098,7 @@ def q_dataset_split(spark, sf_dir):
     aggregate; the oracle replays the identical hash arithmetic."""
     from ..operators.sketches import uniform_hash48
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     hv = uniform_hash48(
         F.concat_ws("\x1f", F.lit("split"), F.col("doc_id").cast("string"))
     )
@@ -1458,7 +1458,7 @@ def q_best_split(spark, sf_dir):
     tree trainer fans this out per (feature, node), never per row."""
     from ..operators.stats import best_split
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return best_split(docs, "n_chars", F.col("lang") == "en")
 
 
@@ -1679,7 +1679,7 @@ def dd_edit_distance_pairs(spark, sf_dir):
     sane — the Spark path has no such need."""
     from ..operators.editdist import edit_distance_join
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") <= 300)
+    docs = ptable(spark, sf_dir).filter(F.col("n_chars") <= 300)
     return edit_distance_join(docs, "doc_id", "text", max_dist=4)
 
 
@@ -1725,14 +1725,7 @@ def dd_substring_spans(spark, sf_dir):
     that is too much) + per-doc gaps-and-islands interval merge."""
     from ..operators.dedup import duplicate_substring_spans
 
-    docs = table(spark, sf_dir, "documents")
-    # parallelism-only round-robin repartition, guarded on under-
-    # partitioning (the st_bloom_decontam pattern): the gram explode is
-    # CPU-dense and the local fixture arrives as ONE split (3.3 → 1.1 s
-    # at sf0.1); a many-split production input makes this a no-op
-    parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parts:
-        docs = docs.repartition(parts)
+    docs = ptable(spark, sf_dir)  # ptable owns the parallelism guard
     return duplicate_substring_spans(docs, k=32)
 
 
@@ -1783,10 +1776,7 @@ def dd_substring_dedup_apply(spark, sf_dir):
     anywhere in the plan."""
     from ..operators.dedup import cut_spans, duplicate_substring_spans
 
-    docs = table(spark, sf_dir, "documents")
-    parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parts:
-        docs = docs.repartition(parts)
+    docs = ptable(spark, sf_dir)  # ptable owns the parallelism guard
     spans = duplicate_substring_spans(docs, k=32)
     return cut_spans(docs, spans)
 
@@ -1819,7 +1809,7 @@ def mm_exif_meta(spark, sf_dir):
     offsets/counts are bounded by the container per row."""
     from ..operators.exif import documents_as_exif_jpeg, extract_exif
 
-    media = documents_as_exif_jpeg(table(spark, sf_dir, "documents"))
+    media = documents_as_exif_jpeg(ptable(spark, sf_dir))
     return extract_exif(media)
 
 
@@ -1847,7 +1837,7 @@ def mm_id3_meta(spark, sf_dir):
     the tag by the payload."""
     from ..operators.id3 import documents_as_tagged_mp3, extract_id3
 
-    media = documents_as_tagged_mp3(table(spark, sf_dir, "documents"))
+    media = documents_as_tagged_mp3(ptable(spark, sf_dir))
     return extract_id3(media)
 
 
@@ -1878,7 +1868,7 @@ def mm_id3v1_meta(spark, sf_dir):
     doc_id arithmetic. mapInPandas, zero shuffle."""
     from ..operators.id3 import documents_as_v1_tagged_mp3, extract_id3
 
-    media = documents_as_v1_tagged_mp3(table(spark, sf_dir, "documents"))
+    media = documents_as_v1_tagged_mp3(ptable(spark, sf_dir))
     return extract_id3(media)
 
 
@@ -1906,5 +1896,5 @@ def mm_image_dhash(spark, sf_dir):
     the bit and fails the hash). mapInPandas, zero shuffle."""
     from ..operators.multimodal import dhash_images, documents_as_jpeg
 
-    media = documents_as_jpeg(table(spark, sf_dir, "documents"))
+    media = documents_as_jpeg(ptable(spark, sf_dir))
     return dhash_images(media, native=False)

@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -295,7 +295,7 @@ def dd_dedup_pipeline(spark, sf_dir):
     stage) as ONE lineage; candidates bound the expensive exact join."""
     from ..operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
     out = jaccard_on_pairs(docs, cand, use_shingles=True)
     return out.select(
@@ -335,7 +335,7 @@ def dd_dup_clusters(spark, sf_dir):
     from ..operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
     from ..operators.graph import dup_clusters
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
     jac = jaccard_on_pairs(docs, cand, use_shingles=True)
     return dup_clusters(jac.filter(F.col("jaccard") >= 0.8))
@@ -373,7 +373,7 @@ def dd_canonical_pick(spark, sf_dir):
     from ..operators.dedup import jaccard_on_pairs, lsh_candidate_pairs
     from ..operators.graph import dup_clusters
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, k=16, band_rows=4)
     jac = jaccard_on_pairs(docs, cand, use_shingles=True)
     cl = dup_clusters(jac.filter(F.col("jaccard") >= 0.8))
@@ -436,7 +436,7 @@ def pipe_corpus_prep(spark, sf_dir):
     drop-sets + broadcast anti-joins, not sequential re-filters)."""
     from ..pipeline.corpus import corpus_prep
 
-    out = corpus_prep(table(spark, sf_dir, "documents"))
+    out = corpus_prep(ptable(spark, sf_dir))
     return out.select(
         "doc_id",
         "lang_guess",
@@ -466,7 +466,7 @@ def q_stratified_sample(spark, sf_dir):
     whose per-partition RNG changes under repartitioning."""
     from ..operators.sampling import stratified_sample
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = stratified_sample(
         docs, "lang", "doc_id", {"en": 0.3, "zh": 0.8}, default=0.5
     )
@@ -498,7 +498,7 @@ def q_reservoir_sample(spark, sf_dir):
     formulation by this very oracle."""
     from ..operators.sampling import reservoir_per_group
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = reservoir_per_group(docs, ["lang"], "doc_id", k=25, salt="rs")
     return out.select("lang", "doc_id", "sample_rank")
 
@@ -519,7 +519,7 @@ def q_quantile_transform(spark, sf_dir):
     percent_rank over (group) with a doc_id tiebreak is deterministic and
     identical across engines ((rank−1)/(n−1) in both); window is bounded
     by the group, shuffle = one exchange on lang."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     return docs.select(
         "doc_id", "lang", "n_chars", r6(F.percent_rank().over(w)).alias("qnorm")
@@ -629,7 +629,7 @@ def q_rendezvous_shards(spark, sf_dir):
     the oracle runs the identical election via struct list_max."""
     from ..operators.placement import rendezvous_shard
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return docs.select(
         "doc_id",
         rendezvous_shard(F.col("doc_id"), [f"s{i}" for i in range(8)]).alias(
@@ -798,7 +798,7 @@ def q_chi2_independence(spark, sf_dir):
     cross-engine — no rounding step anywhere."""
     from ..operators.stats import contingency_chi2
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return contingency_chi2(docs, "lang", "source")
 
 
@@ -1003,7 +1003,7 @@ def q_mutual_info(spark, sf_dir):
     Σ_cells p_ij·ln(p_a) = Σ_a p_a·ln(p_a)."""
     from ..operators.stats import mutual_info
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = mutual_info(docs, "lang", "source")
     return out.select(
         r6p(F.col("mi")).alias("mi"),
@@ -1043,7 +1043,7 @@ def q_gini_concentration(spark, sf_dir):
     any engine."""
     from ..operators.stats import gini_by_rank
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return gini_by_rank(docs, "lang", "n_chars", "doc_id")
 
 
@@ -1164,7 +1164,7 @@ def q_winsorize(spark, sf_dir):
     rows never re-shuffle."""
     from ..operators.stats import winsorize
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = ptable(spark, sf_dir).select("doc_id", "lang", "n_chars")
     return winsorize(docs, "lang", "n_chars", 0.05, 0.95).select(
         "doc_id", "lang", "n_chars", "p_lo", "p_hi", "clipped"
     )
@@ -1274,7 +1274,7 @@ def q_quantile_sketch(spark, sf_dir):
     interpolation — bit-identical, zero rounding."""
     from ..operators.sketches import quantile_sketch
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return quantile_sketch(
         docs, "doc_id", "n_chars", ["lang"], k=64, qs=(0.5, 0.9)
     )
@@ -1312,7 +1312,7 @@ def txt_pmi_bigrams(spark, sf_dir):
     counts; 6-dp portable rounding on the single ln."""
     from ..operators.text import pmi_bigrams
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = pmi_bigrams(docs, "text", min_count=5)
     return out.select("w1", "w2", "n", r6p(F.col("pmi")).alias("pmi"))
 

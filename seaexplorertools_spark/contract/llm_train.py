@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -58,7 +58,7 @@ def q_weighted_sample(spark, sf_dir):
     to it."""
     from ..operators.sampling import weighted_sample_per_group
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars", k=25, salt="ws")
     return out.select("lang", "doc_id", "sample_rank")
 
@@ -86,7 +86,7 @@ def q_source_cap(spark, sf_dir):
     oracle pins the two-phase plan bit-identical to it."""
     from ..operators.sampling import top_k_per_group
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs = ptable(spark, sf_dir).select("doc_id", "source", "n_chars")
     return top_k_per_group(
         docs,
         ["source"],
@@ -116,7 +116,7 @@ def txt_tfidf(spark, sf_dir):
     broadcast; shuffle volume is |distinct (doc, token)|."""
     from ..operators.text import tfidf
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     out = tfidf(docs)
     return out.select("doc_id", "tok", "tf", "df", r6(F.col("tfidf")).alias("tfidf"))
 
@@ -136,7 +136,7 @@ def txt_bpe_tokens(spark, sf_dir):
     shape) for LLM token budgeting."""
     from ..operators.text import bpe_ish_token_count, token_count
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return docs.select(
         "doc_id",
         bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
@@ -171,7 +171,7 @@ def mm_resize_frames(spark, sf_dir):
     replayed with least/greatest arithmetic)."""
     from ..operators.multimodal import documents_as_media, resize_images, sample_frames
 
-    media = documents_as_media(table(spark, sf_dir, "documents"))
+    media = documents_as_media(ptable(spark, sf_dir))
     resized = resize_images(media, per_row_dims=True)
     frames = sample_frames(resized, 4)
     return frames.groupBy("media_id").agg(
@@ -234,7 +234,7 @@ def txt_pii_redact(spark, sf_dir):
     in the Java-regex ∩ RE2 common subset so both engines match identically."""
     from ..operators.text import pii_redact
 
-    d = table(spark, sf_dir, "documents")
+    d = ptable(spark, sf_dir)
     aug = d.select(
         "doc_id",
         F.concat(
@@ -278,7 +278,7 @@ def txt_entropy(spark, sf_dir):
     explode + two partial-combine aggregations, no window/join."""
     from ..operators.text import token_entropy
 
-    return token_entropy(table(spark, sf_dir, "documents"))
+    return token_entropy(ptable(spark, sf_dir))
 
 
 @q(
@@ -299,7 +299,7 @@ def q_percentile_filter(spark, sf_dir):
     window would not. Exact interpolated percentile (Spark `percentile` ==
     DuckDB `quantile_cont`), filter on the unrounded value so the boundary
     is engine-deterministic."""
-    d = table(spark, sf_dir, "documents")
+    d = ptable(spark, sf_dir)
     p = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.9)).alias("p90"))
     return (
         d.join(F.broadcast(p), "lang")
@@ -600,7 +600,7 @@ def txt_bpe_train(spark, sf_dir):
     — the trainer behind bpe_ish_token_count's fixed tokenizer."""
     from ..operators.bpe import merge_table, train_bpe
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return merge_table(spark, train_bpe(docs, n_merges=16, merges_per_round=1))
 
 
@@ -617,7 +617,7 @@ def txt_bpe_encode(spark, sf_dir):
     JVM-expression path ≡ the mapInPandas path."""
     from ..operators.bpe import bpe_encode, train_bpe
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     merges = train_bpe(docs, n_merges=16, merges_per_round=1)
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
@@ -692,7 +692,7 @@ def txt_bpe_encode_fixed(spark, sf_dir):
     the TRAINER right?" (tests/test_bpe.py's pure-python pin)."""
     from ..operators.bpe import bpe_encode
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return bpe_encode(docs, _BPE_FIXED_RULES).select("doc_id", "n_tokens")
 
 
@@ -727,7 +727,7 @@ def q_pack_sequences(spark, sf_dir):
     from ..operators.packing import pack_manifest
 
     return pack_manifest(
-        table(spark, sf_dir, "documents"), capacity=2048, n_shards=8
+        ptable(spark, sf_dir), capacity=2048, n_shards=8
     )
 
 
@@ -752,7 +752,7 @@ def txt_chunk(spark, sf_dir):
     Python. Row growth is ~n_tokens/stride per doc — linear in corpus
     tokens, embarrassingly parallel, no shuffle at all (the chunk rows
     inherit the scan's partitioning)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     from ..operators.dedup import tokens as _tokens
 
     n = (
@@ -811,7 +811,7 @@ def txt_normalize(spark, sf_dir):
     this is a zero-shuffle projection pass."""
     from ..operators.text import normalize_text
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     messy = F.replace(F.col("text"), F.lit("table"), F.lit("TABLE\t\n  "))
     norm = normalize_text(messy)
     return docs.select(
@@ -836,7 +836,7 @@ def pipe_pretrain_prep(spark, sf_dir):
     oracles (pipeline/pretrain.py)."""
     from ..pipeline.pretrain import pretrain_prep
 
-    return pretrain_prep(table(spark, sf_dir, "documents"))
+    return pretrain_prep(ptable(spark, sf_dir))
 
 
 def _finalize_pretrain_oracle() -> None:
@@ -1005,7 +1005,7 @@ def lm_bigram_xent(spark, sf_dir):
     ops); operators/lm.py."""
     from ..operators.lm import score_cross_entropy, train_bigram_lm
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     uni, big, vocab = train_bigram_lm(docs)
     scored = score_cross_entropy(docs, uni, big, vocab)
     return scored.select("doc_id", "n_bigrams", r6(F.col("xent")).alias("xent"))
@@ -1027,7 +1027,7 @@ def lm_ppl_filter(spark, sf_dir):
     engine-exact even for documents near the cut."""
     from ..operators.lm import score_cross_entropy, train_bigram_lm
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     uni, big, vocab = train_bigram_lm(docs)
     scored = score_cross_entropy(docs, uni, big, vocab)
     keep = scored.filter(r6(F.col("xent")) <= 3.404).select("doc_id")
@@ -1063,7 +1063,7 @@ def q_mixture_resample(spark, sf_dir):
     decision itself is a pure map-side filter, no shuffle of the corpus."""
     from ..operators.sampling import hash_uniform
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     counts = {
         r["source"]: r["n"]
         for r in docs.filter(F.col("source").isin(*_MIX_WEIGHTS))
@@ -1102,7 +1102,7 @@ def q_inverted_index(spark, sf_dir):
     salting pattern as operators/skew.py. Search twin: q_boolean_search."""
     from ..operators.dedup import doc_tokens
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     return (
         doc_tokens(docs)
         .groupBy("tok")
@@ -1137,7 +1137,7 @@ def q_boolean_search(spark, sf_dir):
     pattern where selectivity comes first."""
     from ..operators.dedup import doc_tokens
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     hits = (
         doc_tokens(docs)
         .filter(F.col("tok").isin(*_SEARCH_TERMS))
@@ -1172,7 +1172,7 @@ def txt_hash_classifier(spark, sf_dir):
     actually runs at corpus scale: inference as a columnar expression."""
     from ..operators.sampling import hash_uniform
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     from ..operators.dedup import tokens as _tokens
 
     occ = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -1448,7 +1448,7 @@ def q_nb_langid(spark, sf_dir):
     the reference has no model ops."""
     from ..operators.classifier import nb_classify, nb_train
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     tc, ct, v = nb_train(docs, "lang")
     out = nb_classify(docs, tc, ct, v)
     return out.select("doc_id", "pred_label", r6(F.col("score")).alias("score"))
@@ -1497,7 +1497,7 @@ def txt_url_canon(spark, sf_dir):
     expected canonical form directly from the same doc_id arithmetic —
     parser vs constructor, not regex vs regex, so a parsing bug cannot
     cancel out. Zero shuffle, exact string equality."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     d = F.col("doc_id")
 
     def s(c):
@@ -1545,7 +1545,7 @@ def txt_html_extract(spark, sf_dir):
     Codegen regexp chain, zero shuffle, exact string equality."""
     from ..operators.text import html_extract
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
@@ -1586,7 +1586,7 @@ def mm_warc_records(spark, sf_dir):
     explode, zero shuffle."""
     from ..operators.warc import documents_as_warc, warc_records
 
-    media = documents_as_warc(table(spark, sf_dir, "documents"))
+    media = documents_as_warc(ptable(spark, sf_dir))
     return warc_records(media)
 
 
@@ -1644,7 +1644,7 @@ def lm_kn_xent(spark, sf_dir):
     scores meet at 6 dp."""
     from ..operators.lm import score_cross_entropy_kn, train_kn_bigram
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     bc, ctx, cont, scalars = train_kn_bigram(docs)
     scored = score_cross_entropy_kn(docs, bc, ctx, cont, scalars)
     return scored.select("doc_id", "n_bigrams", r6(F.col("xent")).alias("xent"))
@@ -1672,7 +1672,7 @@ def lm_kn_model(spark, sf_dir):
     aggregate over the bigram table + two tiny table counts."""
     from ..operators.lm import train_kn_bigram
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     bc, ctx, cont, scalars = train_kn_bigram(docs)
     n_ctx = ctx.agg(
         F.count("*").cast("long").alias("n_contexts"),

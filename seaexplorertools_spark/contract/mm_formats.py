@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
-from ._base import ORACLES, QUERIES, q, r6, r6p, table  # noqa: F401
+from ._base import ORACLES, QUERIES, ptable, q, r6, r6p, table  # noqa: F401
 
 
 @q(
@@ -48,7 +48,7 @@ def mm_tiff_pixels(spark, sf_dir):
     shuffle, per-row degrade."""
     from ..operators.multimodal import documents_as_tiff, image_signal_features
 
-    media = documents_as_tiff(table(spark, sf_dir, "documents"))
+    media = documents_as_tiff(ptable(spark, sf_dir))
     return image_signal_features(media, native=False)
 
 
@@ -92,7 +92,7 @@ def mm_aiff_signal(spark, sf_dir):
     shuffle, per-row degrade."""
     from ..operators.multimodal import documents_as_aiff, wav_signal_features
 
-    media = documents_as_aiff(table(spark, sf_dir, "documents"))
+    media = documents_as_aiff(ptable(spark, sf_dir))
     return wav_signal_features(media)
 
 
@@ -125,7 +125,7 @@ def mm_aiff_meta(spark, sf_dir):
     shuffle."""
     from ..operators.multimodal import documents_as_aiff, extract_audio_features
 
-    media = documents_as_aiff(table(spark, sf_dir, "documents"))
+    media = documents_as_aiff(ptable(spark, sf_dir))
     return extract_audio_features(media)
 
 
@@ -154,7 +154,7 @@ def mm_zip_records(spark, sf_dir):
     archives degrade to zero rows."""
     from ..operators.archives import documents_as_zip, zip_records
 
-    media = documents_as_zip(table(spark, sf_dir, "documents"))
+    media = documents_as_zip(ptable(spark, sf_dir))
     return zip_records(media)
 
 
@@ -181,7 +181,7 @@ def mm_tar_records(spark, sf_dir):
     branch. mapInPandas explode, zero shuffle, per-payload degrade."""
     from ..operators.archives import documents_as_tar, tar_records
 
-    media = documents_as_tar(table(spark, sf_dir, "documents"))
+    media = documents_as_tar(ptable(spark, sf_dir))
     return tar_records(media)
 
 
@@ -215,7 +215,7 @@ def mm_avro_records(spark, sf_dir):
     shuffle, per-payload degrade."""
     from ..sources.avro import avro_records, documents_as_avro
 
-    media = documents_as_avro(table(spark, sf_dir, "documents"))
+    media = documents_as_avro(ptable(spark, sf_dir))
     return avro_records(media)
 
 
@@ -251,7 +251,7 @@ def mm_m4a_meta(spark, sf_dir):
     (Opus+Vorbis), AIFF, M4A. mapInPandas, zero shuffle."""
     from ..operators.multimodal import documents_as_m4a, extract_audio_features
 
-    media = documents_as_m4a(table(spark, sf_dir, "documents"))
+    media = documents_as_m4a(ptable(spark, sf_dir))
     return extract_audio_features(media)
 
 
@@ -283,7 +283,7 @@ def mm_pdf_text(spark, sf_dir):
     per-row degrade."""
     from ..operators.pdfcodec import documents_as_pdf, pdf_text
 
-    media = documents_as_pdf(table(spark, sf_dir, "documents"))
+    media = documents_as_pdf(ptable(spark, sf_dir))
     return pdf_text(media)
 
 
@@ -308,7 +308,7 @@ def mm_docx_text(spark, sf_dir):
     last). mapInPandas, zero shuffle, per-row degrade."""
     from ..operators.docx import documents_as_docx, docx_text
 
-    media = documents_as_docx(table(spark, sf_dir, "documents"))
+    media = documents_as_docx(ptable(spark, sf_dir))
     return docx_text(media)
 
 
@@ -333,7 +333,7 @@ def mm_compressed_text(spark, sf_dir):
     path. mapInPandas, zero shuffle, per-row degrade."""
     from ..operators.archives import decompress_text, documents_as_compressed
 
-    media = documents_as_compressed(table(spark, sf_dir, "documents"))
+    media = documents_as_compressed(ptable(spark, sf_dir))
     return decompress_text(media)
 
 
@@ -365,7 +365,7 @@ def mm_msgpack_records(spark, sf_dir):
     per-payload degrade."""
     from ..sources.msgpack import documents_as_msgpack, msgpack_records
 
-    media = documents_as_msgpack(table(spark, sf_dir, "documents"))
+    media = documents_as_msgpack(ptable(spark, sf_dir))
     return msgpack_records(media)
 
 
@@ -398,7 +398,7 @@ def mm_subtitle_cues(spark, sf_dir):
     zero shuffle, per-payload degrade."""
     from ..operators.subtitles import documents_as_subtitles, subtitle_cues
 
-    media = documents_as_subtitles(table(spark, sf_dir, "documents"))
+    media = documents_as_subtitles(ptable(spark, sf_dir))
     return subtitle_cues(media)
 
 
@@ -439,7 +439,7 @@ def mm_mbox_records(spark, sf_dir):
     shuffle, per-payload degrade."""
     from ..operators.mailbox import documents_as_mbox, mbox_records
 
-    media = documents_as_mbox(table(spark, sf_dir, "documents"))
+    media = documents_as_mbox(ptable(spark, sf_dir))
     return mbox_records(media)
 
 
@@ -475,7 +475,7 @@ def mm_notebook_cells(spark, sf_dir):
     degrade."""
     from ..operators.notebooks import documents_as_notebooks, notebook_cells
 
-    media = documents_as_notebooks(table(spark, sf_dir, "documents"))
+    media = documents_as_notebooks(ptable(spark, sf_dir))
     return notebook_cells(media)
 
 
@@ -529,7 +529,7 @@ def q_chat_flatten(spark, sf_dir):
     JVM-side with ``to_json``."""
     from ..operators.chat import chat_flatten, documents_as_transcripts
 
-    tr = documents_as_transcripts(table(spark, sf_dir, "documents"))
+    tr = documents_as_transcripts(ptable(spark, sf_dir))
     return chat_flatten(tr).select(
         "doc_id", "n_turns", "valid", "rendered", "n_assistant_chars"
     )
@@ -571,7 +571,7 @@ def q_robots_rules(spark, sf_dir):
     ordering."""
     from ..operators.robots import documents_as_robots, robots_rules
 
-    media = documents_as_robots(table(spark, sf_dir, "documents"))
+    media = documents_as_robots(ptable(spark, sf_dir))
     return robots_rules(media)
 
 
@@ -611,7 +611,7 @@ def q_robots_allowed(spark, sf_dir):
     )
     from pyspark.sql import functions as F
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     rules = robots_rules(documents_as_robots(docs))
     frontier = docs.select(
         "doc_id",
@@ -665,7 +665,7 @@ def q_sitemap_urls(spark, sf_dir):
     no shuffle."""
     from ..operators.markup import documents_as_sitemaps, sitemap_urls
 
-    media = documents_as_sitemaps(table(spark, sf_dir, "documents"))
+    media = documents_as_sitemaps(ptable(spark, sf_dir))
     return sitemap_urls(media)
 
 
@@ -695,7 +695,7 @@ def mm_svg_meta(spark, sf_dir):
     zero Python, zero shuffle."""
     from ..operators.markup import documents_as_svg, svg_meta
 
-    media = documents_as_svg(table(spark, sf_dir, "documents"))
+    media = documents_as_svg(ptable(spark, sf_dir))
     return svg_meta(media)
 
 
@@ -733,7 +733,7 @@ def mm_ico_pixels(spark, sf_dir):
     from ..operators.icocodec import documents_as_ico
     from ..operators.multimodal import image_signal_features
 
-    media = documents_as_ico(table(spark, sf_dir, "documents"))
+    media = documents_as_ico(ptable(spark, sf_dir))
     return image_signal_features(media, native=False)
 
 
@@ -772,7 +772,7 @@ def mm_epub_text(spark, sf_dir):
     zero shuffle, per-row degrade."""
     from ..operators.epub import documents_as_epub, epub_text
 
-    media = documents_as_epub(table(spark, sf_dir, "documents"))
+    media = documents_as_epub(ptable(spark, sf_dir))
     return epub_text(media)
 
 
@@ -803,7 +803,7 @@ def mm_arrow_records(spark, sf_dir):
     explode, zero shuffle, per-payload degrade."""
     from ..sources.arrow_ipc import arrow_records, documents_as_arrow
 
-    media = documents_as_arrow(table(spark, sf_dir, "documents"))
+    media = documents_as_arrow(ptable(spark, sf_dir))
     return arrow_records(media)
 
 
@@ -845,7 +845,7 @@ def txt_markdown_meta(spark, sf_dir):
     links and fenced code blocks. Zero Python, zero shuffle."""
     from ..operators.markup import documents_as_markdown, markdown_meta
 
-    media = documents_as_markdown(table(spark, sf_dir, "documents"))
+    media = documents_as_markdown(ptable(spark, sf_dir))
     return markdown_meta(media)
 
 
@@ -909,7 +909,7 @@ def mm_protobuf_fields(spark, sf_dir):
     per-payload degrade."""
     from ..sources.protowire import documents_as_protobuf, pb_fields
 
-    media = documents_as_protobuf(table(spark, sf_dir, "documents"))
+    media = documents_as_protobuf(ptable(spark, sf_dir))
     return pb_fields(media)
 
 
@@ -959,5 +959,5 @@ def mm_adts_meta(spark, sf_dir):
     from ..operators.aac import documents_as_adts
     from ..operators.multimodal import extract_audio_features
 
-    media = documents_as_adts(table(spark, sf_dir, "documents"))
+    media = documents_as_adts(ptable(spark, sf_dir))
     return extract_audio_features(media)

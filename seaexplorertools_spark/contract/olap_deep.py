@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -356,7 +356,7 @@ def txt_winnow(spark, sf_dir):
     window pass over shingle hashes."""
     from ..operators.text import winnow_fingerprints
 
-    return winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5)
+    return winnow_fingerprints(ptable(spark, sf_dir), k=4, window=5)
 
 
 @q(
@@ -381,7 +381,7 @@ def udtf_sentences(spark, sf_dir):
     from ..functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    ptable(spark, sf_dir).createOrReplaceTempView("__docs_udtf")
     return spark.sql(
         "SELECT s.doc_id, s.sent_id, s.sentence "
         "FROM __docs_udtf, LATERAL split_sentences(doc_id, text) s"
@@ -518,7 +518,7 @@ def dd_winnow_containment(spark, sf_dir):
 
     # the fingerprint set feeds three consumers (df-cap, pair join, sizes) —
     # cache the staging boundary so winnowing runs once, not three times
-    fps = winnow_fingerprints(table(spark, sf_dir, "documents"), k=4, window=5).cache()
+    fps = winnow_fingerprints(ptable(spark, sf_dir), k=4, window=5).cache()
     rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 20).select("fp")
     fpr = fps.join(rare, "fp")
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
@@ -563,7 +563,7 @@ def q_curriculum_order(spark, sf_dir):
     depends only on the total order)."""
     from ..operators.rank import global_rank
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = ptable(spark, sf_dir).select("doc_id", "n_chars")
     return global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id")], "rank")
 
 
@@ -602,7 +602,7 @@ def q_bm25_search(spark, sf_dir):
     from ..operators.dedup import tokens as tok_fn
 
     terms = ["spark", "data", "window"]
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(

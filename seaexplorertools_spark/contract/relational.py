@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -381,7 +381,7 @@ def dd_simhash_pairs(spark, sf_dir):
     The previous all-pairs `doc1 < doc2` nested-loop formulation is the
     O(N²) trap this replaces; the oracle keeps the all-pairs SQL, so the
     driver check proves the banding loses no pairs."""
-    sh = simhash32(table(spark, sf_dir, "documents")).cache()  # self-joined
+    sh = simhash32(ptable(spark, sf_dir)).cache()  # self-joined
     bands = F.array(
         *[
             F.struct(

@@ -23,7 +23,7 @@ from ._base import (  # noqa: F401
     QUERIES,
     R6P_SQL,
     events,
-    q,
+    ptable, q,
     r6,
     r6p,
     table,
@@ -514,7 +514,7 @@ def txt_top_ngrams(spark, sf_dir):
     O(tokens) but the shuffle after partial aggregation is |distinct
     (lang, bigram)| — corpus-vocabulary-sized, not corpus-sized; the
     rank exchange is |langs|-keyed."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ptable(spark, sf_dir)
     toks = docs.select("lang", F.split("text", r"\s+").alias("t"))
     bg = toks.select(
         "lang",

@@ -282,7 +282,11 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
                 elif did % 3 == 1:
                     payload = bz2.compress(raw)
                 else:
-                    payload = lzma.compress(raw)
+                    # preset 0: the xz container/filter chain under test is
+                    # identical at every preset and the lane's outputs are
+                    # the DECOMPRESSED bytes — preset 6 spent ~4.7× the CPU
+                    # of the whole lane on constructor-side entropy coding
+                    payload = lzma.compress(raw, preset=0)
                 rows.append((did, "compressed", payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
