@@ -25,6 +25,7 @@ SURVEY.md §2's inventory.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,19 +77,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: Bytes of compressed input per restored partition. Measured on the
+#: sf0.1 fixture (4-point curve, plans/r09 notes): dense decode lanes
+#: bottom out at 8-16 partitions for the ~585 KB documents file, while a
+#: flat fan-out to all 32 cores pays ~0.25-0.3 s of per-task scheduling
+#: and Arrow-batch fragmentation (~300 rows/task) that LIGHT lanes never
+#: earn back. 48 KiB/partition lands that file at ~12 partitions — inside
+#: the optimum for every lane measured. Env-tunable for other deployments.
+_PTABLE_SPLIT_BYTES = int(os.environ.get("SPARK_GRAFT_DENSE_SPLIT_BYTES", 48 * 1024))
+
+
 def ptable(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
     """``table()`` + guarded parallelism-restoring round-robin repartition
     for CPU-dense per-row lanes (payload adapters, codec decodes, codegen
     text extraction): the local fixture parquet arrives as a SINGLE split,
     which pins all map-side work — Python workers and JVM codegen alike —
-    to one core. On a many-split production input the guard makes this a
-    no-op rather than a parallelism-reducing full shuffle (the
-    q_dsir_selection / q_profile_table_approx pattern, round 9: promoted
-    to a shared helper and applied across the codec lanes — measured
-    2-2.5× per lane at sf0.1). Only the narrow source rows are shuffled,
-    never constructed payloads."""
+    to one core. The fan-out target is derived from the input size
+    (ceil(bytes / ``SPARK_GRAFT_DENSE_SPLIT_BYTES``), capped at the
+    session's default parallelism) rather than a flat core count, so tiny
+    inputs are not shredded into hundreds-of-rows tasks whose scheduling
+    overhead exceeds the decode they parallelize. On a many-split
+    production input the partition-count guard short-circuits FIRST (no
+    file sizing, no shuffle): this is a local-parallelism restorer, a
+    no-op at scale. Only the narrow source rows are shuffled, never
+    constructed payloads."""
     df = table(spark, sf_dir, name)
-    parts = spark.sparkContext.defaultParallelism
+    max_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max_parts:
+        return df
+    try:
+        nbytes = sum(
+            os.path.getsize(p[len("file:") :] if p.startswith("file:") else p)
+            for p in df.inputFiles()
+        )
+        parts = min(max_parts, max(1, -(-nbytes // _PTABLE_SPLIT_BYTES)))
+    except OSError:  # non-local / unstatable input: restore full parallelism
+        parts = max_parts
     if df.rdd.getNumPartitions() < parts:
         df = df.repartition(parts)
     return df
