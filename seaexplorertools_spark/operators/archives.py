@@ -139,7 +139,7 @@ def documents_as_zip(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 method = zipfile.ZIP_STORED if did % 2 == 0 else zipfile.ZIP_DEFLATED
                 buf = io.BytesIO()
-                with zipfile.ZipFile(buf, "w") as zf:
+                with zipfile.ZipFile(buf, "w", compresslevel=1) as zf:
                     for name, data in _doc_members(did, text, lang):
                         info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
                         info.compress_type = method
@@ -179,7 +179,9 @@ def documents_as_tar(docs: DataFrame) -> DataFrame:
                         tf.addfile(info, io.BytesIO(data))
                 payload = buf.getvalue()
                 if did % 2 == 1:
-                    payload = gzip.compress(payload, mtime=0)
+                    # level 1: outputs are the DECODED members — any
+                    # valid deflate stream is result-identical
+                    payload = gzip.compress(payload, 1, mtime=0)
                 rows.append((did, "archive", payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
@@ -278,9 +280,11 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 raw = (text or "").encode("utf-8")
                 if did % 3 == 0:
-                    payload = gzip.compress(raw, mtime=0)
+                    # level 1 everywhere below: the lane outputs the
+                    # DECOMPRESSED bytes, identical at every level
+                    payload = gzip.compress(raw, 1, mtime=0)
                 elif did % 3 == 1:
-                    payload = bz2.compress(raw)
+                    payload = bz2.compress(raw, 1)
                 else:
                     # preset 0: the xz container/filter chain under test is
                     # identical at every preset and the lane's outputs are

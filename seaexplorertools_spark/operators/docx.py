@@ -107,7 +107,9 @@ def encode_docx(paragraphs: list[str]) -> bytes:
         f'<w:document xmlns:w="{_W_NS}"><w:body>{body}</w:body></w:document>'
     )
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+    # compresslevel 1: the lane outputs the extracted TEXT, which is
+    # invariant across deflate levels
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         for name, data in (
             ("[Content_Types].xml", _CONTENT_TYPES),
             ("_rels/.rels", _RELS),

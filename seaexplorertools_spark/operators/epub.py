@@ -142,7 +142,9 @@ def encode_epub(title: str, chapters: list[str]) -> bytes:
         'media-type="application/oebps-package+xml"/></rootfiles></container>'
     )
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+    # compresslevel 1: the lane outputs the extracted TEXT, which is
+    # invariant across deflate levels
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         mt = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
         mt.compress_type = zipfile.ZIP_STORED
         zf.writestr(mt, "application/epub+zip")

@@ -144,7 +144,7 @@ def encode_png(width: int, height: int, rgb: bytes | None = None) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(raw, 1))  # pixel output is level-invariant
         + chunk(b"IEND", b"")
     )
 

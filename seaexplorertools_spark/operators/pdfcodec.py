@@ -292,7 +292,9 @@ def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         body += b"ET"
         data = bytes(body)
         if compress:
-            data = zlib.compress(data, 9)
+            # level 1: /Length tracks whatever the stream compresses
+            # to and the lane outputs the extracted text — invariant
+            data = zlib.compress(data, 1)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
         else:
             head = b"<< /Length %d >>" % len(data)
