@@ -71,11 +71,16 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
 def doc_shingles(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row per (doc, distinct k-shingle)."""
+    """One row per (doc, distinct k-shingle).
+
+    Distinctness of (doc, shingle) is doc-LOCAL, so dedup happens in the
+    array domain (``array_distinct`` before the explode) — no corpus-wide
+    DISTINCT exchange. The old explode-then-``.distinct()`` form shuffled
+    the full shingle stream just to drop within-doc repeats."""
     toks = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
-    return (
-        toks.select(id_col, F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("tok"))
-        .distinct()
+    return toks.select(
+        id_col,
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("__toks"), k))).alias("tok"),
     )
 
 
