@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import bigint_array
+
 __all__ = ["build_bloom", "bloom_might_contain", "bloom_semi_join"]
 
 
@@ -75,7 +77,10 @@ def bloom_might_contain(
     """Codegen probe predicate: every one of the ``n_hashes`` bit positions
     for ``key`` is set in the literal bitmap."""
     m_bits = len(bitmap) * 64
-    arr = F.array(*[F.lit(w) for w in bitmap])
+    # array<bigint> unconditionally: the per-element F.lit path coerced to
+    # array<int> when every word happened to fit int32, and a 32-bit word
+    # silently wraps the >=32 shift counts this probe generates
+    arr = bigint_array(bitmap)
     tests = []
     for s in range(n_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import consistency_cache
+from ..functions.litarrays import bigint_array, double_array
 
 from .similarity import dot
 
@@ -78,14 +79,14 @@ def assign_clusters_literal(
         *[
             F.round(
                 F.col("__vv")
-                - F.lit(2.0) * dot(v, F.array(*[F.lit(float(x)) for x in cv]))
+                - F.lit(2.0) * dot(v, double_array(cv))
                 + F.lit(float(sum(x * x for x in cv))),
                 6,
             )
             for _, cv in cent_rows
         ]
     )
-    cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_rows])
+    cids = bigint_array([int(cid) for cid, _ in cent_rows])
     staged = staged.withColumn("__d2s", d2s)
     best = F.array_min(F.col("__d2s"))
     pos = F.array_position(F.col("__d2s"), best)

@@ -30,11 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import consistency_cache
+from ..functions.litarrays import double_array
 
 
 def _dot_lit(vec_col, lits: list[float]):
     """x·c for a literal vector, as a row-local JVM fold (index order)."""
-    arr = F.array(*[F.lit(float(c)) for c in lits])
+    arr = double_array(lits)
     return F.aggregate(
         F.zip_with(vec_col, arr, lambda a, b: a.cast("double") * b),
         F.lit(0.0),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import consistency_cache
+from ..functions.litarrays import double_array, double_matrix
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -151,9 +152,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(
-                vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y
-            ),
+            F.zip_with(vec, double_array(p), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -215,7 +214,7 @@ def banded_signature(
             return pd.Series(list(out.astype(np.int32)))
 
         return df.withColumn("__bands", bands_udf(F.col(vec_col)))
-    planes_col = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    planes_col = double_matrix(planes)
     df = df.withColumn("__planes", planes_col)
     dots = F.transform(F.col("__planes"), lambda p: dot(F.col(vec_col), p))
     bits = F.transform(dots, lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
@@ -347,7 +346,7 @@ def _cell_sims(df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col:
     identically here and in the DuckDB oracle replay)."""
     sims = F.array(
         *[
-            F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])), 6)
+            F.round(cosine(F.col(vec_col), double_array(cvec)), 6)
             for _, cvec in centroids
         ]
     )
@@ -577,7 +576,7 @@ def _sub_d2(vec_col: Column, start: int, cent: list[float]) -> Column:
     """Squared L2 distance between a vector slice and a literal centroid —
     pure codegen (zip_with + aggregate), no Python."""
     sub = F.slice(vec_col, start + 1, len(cent))
-    c = F.array(*[F.lit(float(x)) for x in cent])
+    c = double_array(cent)
     diff2 = F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 

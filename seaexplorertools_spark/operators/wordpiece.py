@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import string_array
+
 # Default contract vocab: single chars a–y (no 'z', no digits — the
 # planted-UNK classes) plus frequent multi-char pieces from the
 # testdata's vocabulary. Shared verbatim by the DuckDB oracle.
@@ -71,7 +73,7 @@ def _longest_match_len(word: Column, pos: Column, vocab: list[str]) -> Column:
     ``pos`` (0 when none) — a when-chain over lengths max..1. The
     bounds guard matters: ``substr`` past the end silently shortens, so
     a k-probe must also require k chars to remain."""
-    varr = F.array(*[F.lit(p) for p in vocab])
+    varr = string_array(vocab)
     remaining = F.length(word) - pos + 1
     out = F.lit(0)
     for k in sorted({len(p) for p in vocab}):
