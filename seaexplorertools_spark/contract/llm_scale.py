@@ -466,7 +466,10 @@ def q_stratified_sample(spark, sf_dir):
     whose per-partition RNG changes under repartitioning."""
     from ..operators.sampling import stratified_sample
 
-    docs = ptable(spark, sf_dir)
+    # plain table(): this lane is a pure map-side filter/aggregate —
+    # the ptable fan-out shuffle measured NEGATIVE here (r9 A/B) and
+    # tests/test_plans.py pins the zero-extra-exchange shape
+    docs = table(spark, sf_dir, "documents")
     out = stratified_sample(
         docs, "lang", "doc_id", {"en": 0.3, "zh": 0.8}, default=0.5
     )

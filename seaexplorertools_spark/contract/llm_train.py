@@ -234,7 +234,10 @@ def txt_pii_redact(spark, sf_dir):
     in the Java-regex ∩ RE2 common subset so both engines match identically."""
     from ..operators.text import pii_redact
 
-    d = ptable(spark, sf_dir)
+    # plain table(): this lane is a pure map-side filter/aggregate —
+    # the ptable fan-out shuffle measured NEGATIVE here (r9 A/B) and
+    # tests/test_plans.py pins the zero-extra-exchange shape
+    d = table(spark, sf_dir, "documents")
     aug = d.select(
         "doc_id",
         F.concat(
@@ -1063,7 +1066,10 @@ def q_mixture_resample(spark, sf_dir):
     decision itself is a pure map-side filter, no shuffle of the corpus."""
     from ..operators.sampling import hash_uniform
 
-    docs = ptable(spark, sf_dir)
+    # plain table(): this lane is a pure map-side filter/aggregate —
+    # the ptable fan-out shuffle measured NEGATIVE here (r9 A/B) and
+    # tests/test_plans.py pins the zero-extra-exchange shape
+    docs = table(spark, sf_dir, "documents")
     counts = {
         r["source"]: r["n"]
         for r in docs.filter(F.col("source").isin(*_MIX_WEIGHTS))
@@ -1172,7 +1178,10 @@ def txt_hash_classifier(spark, sf_dir):
     actually runs at corpus scale: inference as a columnar expression."""
     from ..operators.sampling import hash_uniform
 
-    docs = ptable(spark, sf_dir)
+    # plain table(): this lane is a pure map-side filter/aggregate —
+    # the ptable fan-out shuffle measured NEGATIVE here (r9 A/B) and
+    # tests/test_plans.py pins the zero-extra-exchange shape
+    docs = table(spark, sf_dir, "documents")
     from ..operators.dedup import tokens as _tokens
 
     occ = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -1350,14 +1359,6 @@ def q_profile_table_approx(spark, sf_dir):
     from ..operators.sketches import hll_estimate, hll_registers
 
     li = table(spark, sf_dir, "lineitem")
-    # parallelism-only round-robin repartition of ONLY the md5-dense HLL
-    # branch (see st_bloom_decontam), guarded on under-partitioning: the
-    # local fixture arrives as 3 splits (2.8 -> 1.9 s at sf0.1), while
-    # the exact-stats branch does no hashing and keeps running shuffle-
-    # free off the scan; on a many-split production input the guard makes
-    # this a no-op rather than a parallelism-REDUCING full-table shuffle
-    parts = spark.sparkContext.defaultParallelism
-    li_hll = li.repartition(parts) if li.rdd.getNumPartitions() < parts else li
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -1378,13 +1379,22 @@ def q_profile_table_approx(spark, sf_dir):
         )
     )
     stack_v = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
-    stacked = li_hll.select(
+    stacked = li.select(
         F.expr(f"stack({len(_PROFILE_COLS)}, {stack_v}) AS (column_name, v)")
     ).where(F.col("v").isNotNull())
     quant = stacked.select(
         "column_name",
         F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("qv"),
     )
+    # HLL registers depend only on the DISTINCT value set (max(rho) per
+    # register is duplicate-invariant), so dedup the cheap quantized
+    # BIGINTs BEFORE the md5-dense register pass (round 9, guide §1.2
+    # "don't compute what you throw away"): low-NDV columns (discount,
+    # tax, quantity) collapse to dozens of hashed values instead of one
+    # md5 per row, and the map-side-combined (column_name, qv) distinct
+    # shuffle replaces the round-robin repartition this branch previously
+    # needed for fan-out (same single exchange, strictly less hashing).
+    quant = quant.distinct()
     regs = hll_registers(quant, "qv", ["column_name"], p=8)
     est = hll_estimate(regs, ["column_name"], p=8).select("column_name", "est_distinct")
     return exact.join(F.broadcast(est), "column_name").select(

@@ -1192,17 +1192,29 @@ def q_tpch_q9(spark, sf_dir):
     products land on exact .5 ties where HALF_UP and HALF_EVEN disagree —
     measured 3.2e-5 drift with plain round) — both engines then add
     identical doubles and the outer rounding only removes
-    summation-order noise. The ps join is
-    a composite-key (part, supp) shuffle join against the fact — the one
-    join here that stays big-big at 100 TB; bucketing both sides on
-    l_partkey would co-locate it (tests/test_bucketing.py shows the
-    layout)."""
+    summation-order noise.
+
+    Q9 only reads ``ps_supplycost``, and the derived-ps join key IS the
+    aggregation key (l_partkey, l_suppkey), so the aggregate-then-
+    self-join collapses to ONE window min over the fact (round 9, guide
+    §2.4): the join re-attached each (part, supp) group's min back onto
+    every member row, which is exactly ``min().over(partitionBy(part,
+    supp))`` — one lineitem scan instead of two, one exchange instead of
+    an exchange + an unbounded |part×supp|-row broadcast (the build side
+    a 100 TB run could never collect). Every lineitem row matches exactly
+    one derived-ps row by construction, so row multiplicity is untouched;
+    the oracle keeps the explicit-join formulation as the equivalence
+    proof."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
-    ps = _derived_ps(spark, sf_dir)
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    li = li.withColumn(
+        "ps_supplycost",
+        r6p(F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(w)),
+    )
     term = r6p(
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
         - F.col("ps_supplycost") * F.col("l_quantity")
@@ -1212,11 +1224,6 @@ def q_tpch_q9(spark, sf_dir):
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(r6(F.sum(term)).alias("profit"))
     )

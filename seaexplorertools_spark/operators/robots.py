@@ -11,16 +11,20 @@ RFC 9309), which maps exactly onto Spark primitives:
 - group ids via a window PARTITIONED BY host (running sum of
   group-start markers — a new group starts at a ``User-agent`` line
   not preceded by another ``User-agent`` line),
-- rule rows × their group's user-agent rows via one (host, group)
-  equi-join — one row per (rule, ua), the join-ready denormal form.
+- rule rows × their group's user-agent rows via a running
+  ``collect_list`` of the group's UA lines (they always precede the
+  group's rules) + one explode — one row per (rule, ua), the
+  join-ready denormal form, with NO self-join and ONE pass over the
+  parsed lines.
 
 ``Sitemap`` directives are group-independent per the RFC and emit with
 group −1 / NULL ua. Unknown directives and malformed lines drop out in
 the filter — per-line degrade.
 
 Everything is partitioned by host: at 100 TB (billions of hosts) the
-window and the join both shuffle on the host key once; no global
-ordering anywhere.
+whole parse is ONE shuffle on the host key (the UA-run window is
+clustered by (host, group), which the host partitioning satisfies);
+no global ordering anywhere.
 
 Reference parity: no crawl path exists in the reference
 (`/root/reference/seaexplorertools/process_adcp.py`); part of the
@@ -68,29 +72,51 @@ def robots_rules(df: DataFrame, key: str = "doc_id", txt: str = "robots_txt") ->
             ),
         )
     )
-    uas = (
-        grouped.filter(F.col("is_ua"))
-        .select(key, "group_id", F.col("value").alias("ua"))
+    # Fan rules out per user-agent WITHOUT the rules⋈uas self-join
+    # (round 9, guide §2.4/§7.2: the join recomputed the whole parse
+    # subtree on both sides — posexplode + regexes + two windows, twice).
+    # Within a group every User-agent line precedes every rule line (a
+    # User-agent line after a non-UA line STARTS a new group by the
+    # group_start predicate above), so at each rule row the running
+    # collect_list of UA values within (key, group_id) is exactly the
+    # group's full UA set; collect_list skips the NULLs from non-UA rows.
+    # The window is clustered by (key, group_id), which the existing
+    # (key) hash partitioning already satisfies — no second exchange.
+    # Group-independent Sitemap rows ride the SAME single pass as a
+    # one-element array(NULL ua) instead of a union of a second parse.
+    wg = (
+        Window.partitionBy(key, "group_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rules = grouped.filter(
-        F.col("directive").isin("allow", "disallow")
-        & (F.length("value") > 0)
-    ).select(key, "group_id", "line_no", "directive", F.col("value").alias("path"))
-    denorm = rules.join(uas, [key, "group_id"]).select(
-        key,
-        F.col("group_id").cast("long").alias("group_id"),
-        "ua",
-        "directive",
-        "path",
+    is_sitemap = F.col("directive") == "sitemap"
+    return (
+        grouped.withColumn(
+            "__uas",
+            F.collect_list(F.when(F.col("is_ua"), F.col("value"))).over(wg),
+        )
+        .filter(
+            (
+                F.col("directive").isin("allow", "disallow")
+                & (F.length("value") > 0)
+            )
+            | is_sitemap
+        )
+        .select(
+            key,
+            F.when(is_sitemap, F.lit(-1))
+            .otherwise(F.col("group_id"))
+            .cast("long")
+            .alias("group_id"),
+            F.explode(
+                F.when(is_sitemap, F.array(F.lit(None).cast("string"))).otherwise(
+                    F.col("__uas")
+                )
+            ).alias("ua"),
+            "directive",
+            F.col("value").alias("path"),
+        )
     )
-    sitemaps = grouped.filter(F.col("directive") == "sitemap").select(
-        key,
-        F.lit(-1).cast("long").alias("group_id"),
-        F.lit(None).cast("string").alias("ua"),
-        F.lit("sitemap").alias("directive"),
-        F.col("value").alias("path"),
-    )
-    return denorm.unionByName(sitemaps)
 
 
 def robots_allowed(
@@ -109,12 +135,18 @@ def robots_allowed(
     r = rules.filter(F.col("directive").isin("allow", "disallow")).withColumnRenamed(
         "path", "_rule_path"
     )
-    specific_hosts = (
-        r.filter(F.col("ua") == ua).select(key).distinct()
-        .withColumn("_specific", F.lit(True))
-    )
+    # "does this host have a ua-specific group" as a host-partitioned
+    # window max instead of a distinct + self-join (round 9, guide §2.4:
+    # the join recomputed the whole rules parse a second time for its
+    # build side; the window rides the rules table's existing host
+    # partitioning — no join, no second parse, no new exchange)
     r = (
-        r.join(specific_hosts, key, "left")
+        r.withColumn(
+            "_specific",
+            F.max(F.when(F.col("ua") == ua, F.lit(True))).over(
+                Window.partitionBy(key)
+            ),
+        )
         .filter(
             F.when(F.col("_specific"), F.col("ua") == ua)
             .otherwise(F.col("ua") == "*")

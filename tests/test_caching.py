@@ -22,18 +22,21 @@ def _ranked(spark):
 
 
 def test_release_unpersists_ledgered_caches(spark):
-    release_consistency_caches()  # clean slate from other tests
-    sc = spark.sparkContext
-    # other test modules cache DataFrames in the SHARED session — assert
-    # growth relative to that baseline, not absolute emptiness
-    base = sc._jsc.sc().getPersistentRDDs().size()
+    release_consistency_caches(blocking=True)  # clean slate from other tests
     out = _ranked(spark)
     assert out.count() == 1000
     assert ledger_size() >= 1  # global_rank pinned its range partition
-    assert sc._jsc.sc().getPersistentRDDs().size() > base
+    # assert on the ledgered frames' OWN storage levels, not the global
+    # persistent-RDD count: other suites' non-blocking unpersists drain
+    # asynchronously, so any count captured here can shrink mid-test
+    # (observed full-suite order flake)
+    from seaexplorertools_spark import caching
+
+    pinned = [df for _, df in caching._LEDGER]
+    assert any(df.storageLevel.useMemory for df in pinned)
     n = release_consistency_caches(blocking=True)
     assert n >= 1 and ledger_size() == 0
-    assert sc._jsc.sc().getPersistentRDDs().size() == base
+    assert all(not df.storageLevel.useMemory for df in pinned)
 
 
 def test_scope_releases_only_inner_caches(spark):
