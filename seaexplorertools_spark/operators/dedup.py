@@ -151,19 +151,43 @@ def band_table(
     incremental pipeline, PERSISTABLE) form of a corpus's MinHash state:
     store this table bucketed by (band, bsig) and each new ingest only
     computes its own batch's bands. n_bands = k/band_rows rows per doc.
-    ``token_df`` forwards to ``minhash_signatures`` (pre-shingled input)."""
-    sig = minhash_signatures(docs, k, id_col, text_col, token_df=token_df)
-    return (
-        sig.withColumn("band", F.expr(f"seed div {band_rows}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-                ),
-                "|",
-            ).alias("bsig")
+    ``token_df`` forwards the pre-shingled input (see
+    ``minhash_signatures``).
+
+    Shape (round 9, guide §2.4): ONE groupBy(doc) with k min-aggregate
+    COLUMNS instead of the seed-exploded groupBy(doc, seed) + a second
+    groupBy(doc, band) with collect_list/array_sort — same md5 work and
+    the same map-side partial mins, but one exchange instead of two and
+    1 row per doc on the wire instead of k. Band signatures are then a
+    stack() unpivot of concat_ws over the per-seed columns (seed order is
+    the column order — no sort needed). Values are identical to the
+    two-aggregate form; ``dd_minhash_lsh_pairs``'s oracle pins it."""
+    base = (
+        token_df
+        if token_df is not None
+        else doc_shingles(docs, 3, id_col, text_col)
+    )
+    toks = base.select(id_col, F.md5(F.col("tok")).alias("tok_h"))
+    sig = toks.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("tok_h")))
+            ).alias(f"__mh{s}")
+            for s in range(k)
+        ]
+    )
+    n_bands = k // band_rows
+    stack_expr = ", ".join(
+        "CAST({b} AS BIGINT), concat_ws('|', {cols})".format(
+            b=b,
+            cols=", ".join(
+                f"__mh{b * band_rows + r}" for r in range(band_rows)
+            ),
         )
+        for b in range(n_bands)
+    )
+    return sig.select(
+        id_col, F.expr(f"stack({n_bands}, {stack_expr}) AS (band, bsig)")
     )
 
 
@@ -625,7 +649,17 @@ def cut_spans(
     text and concatenate with in-aggregate deterministic ordering
     (sort_array(collect_list(struct))), so there is no ordered-window
     re-shuffle of the corpus. Cost: one |spans| window + one join +
-    one groupBy on the doc id."""
+    one groupBy on the doc id.
+
+    The ``spans`` input feeds FOUR plan branches here (gap segments,
+    tail segments, the removed-chars join, the untouched anti-join),
+    each with different column pruning — so runtime exchange reuse
+    never dedups them and the span-producer's corpus-wide gram shuffle
+    would execute four times. One consistency cache of the tiny span
+    table (a few rows per affected doc) pins a single computation
+    (round 9, guide §5 caching: reused AND expensive to recompute;
+    measured 2.9 → 1.9 s at sf0.1 for dd_substring_dedup_apply)."""
+    spans = consistency_cache(spans)
     w = Window.partitionBy(id_col).orderBy("span_start")
     segs = (
         spans.withColumn(
