@@ -266,3 +266,64 @@ def test_jaccard_prefix_verify_is_fanned_out(spark, sf_dir):
     df = contract.QUERIES["dd_jaccard_prefix_pairs"](spark, sf_dir)
     txt = explain_str(df, "formatted")
     assert "REPARTITION_BY_COL" in txt or "hashpartitioning(id1" in txt, txt
+
+
+def test_tpch_q9_single_lineitem_scan(spark, sf_dir):
+    """The round-9 window rewrite: the derived-ps aggregate re-joined on
+    its own grouping key collapsed to min().over(partitionBy(part, supp))
+    — lineitem must be scanned ONCE and no (part, supp)-cardinality
+    aggregate may be broadcast."""
+    df = contract.QUERIES["q_tpch_q9"](spark, sf_dir)
+    li_scans = [
+        s for s in scan_info(df) if "l_extendedprice" in s["read_columns"]
+    ]
+    assert len(li_scans) == 1, explain_str(df, "simple")
+    txt = explain_str(df, "formatted")
+    assert "Window" in txt, txt
+
+
+def test_robots_rules_single_pass_no_join(spark, sf_dir):
+    """The round-9 UA-run rewrite: the rules parse is ONE pass over the
+    exploded lines — no rules-to-uas self-join, one documents scan, and
+    all windows keyed by the host column (no unpartitioned window)."""
+    df = contract.QUERIES["q_robots_rules"](spark, sf_dir)
+    txt = explain_str(df, "simple")
+    assert "Join" not in txt, txt
+    assert len(scan_info(df)) == 1, txt
+
+
+def test_band_table_one_aggregate(spark, sf_dir):
+    """The round-9 minhash fuse: band signatures come from ONE
+    groupBy(doc) with k min-aggregate columns (stack unpivot after), not
+    a groupBy(doc, seed) + groupBy(doc, band) pair."""
+    from seaexplorertools_spark.operators.dedup import band_table
+    from seaexplorertools_spark.contract import ptable
+
+    bands = band_table(ptable(spark, sf_dir), k=16, band_rows=4)
+    txt = explain_str(bands, "formatted")
+    assert count_exchanges(bands) <= 2, txt  # ptable fan-out + the one agg
+    assert "collect_list" not in txt, txt
+    assert "partial_min" in txt, txt  # map-side combine survives
+
+
+def test_cut_spans_pins_span_table(spark, sf_dir):
+    """The round-9 span pin: cut_spans consistency-caches its spans input
+    so the gram-shuffle producer executes once, not once per consumer
+    branch."""
+    from seaexplorertools_spark.caching import (
+        ledger_size,
+        release_consistency_caches,
+    )
+    from seaexplorertools_spark.operators.dedup import (
+        cut_spans,
+        duplicate_substring_spans,
+    )
+    from seaexplorertools_spark.contract import table
+
+    release_consistency_caches()
+    docs = table(spark, sf_dir, "documents")
+    before = ledger_size()
+    out = cut_spans(docs, duplicate_substring_spans(docs, k=32))
+    assert ledger_size() > before, "spans input was not ledger-cached"
+    assert out.columns == ["doc_id", "cleaned", "n_removed"]
+    release_consistency_caches()
