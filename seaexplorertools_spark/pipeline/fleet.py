@@ -56,6 +56,35 @@ def _cores(spark) -> int:
         return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def stage_boundary(
+    df: DataFrame, *, truncate_lineage: bool | str = True
+) -> DataFrame:
+    """Public stage-boundary lineage truncation for pipeline composition.
+
+    The per-mission shear frame carries a deep lineage (interp joins,
+    windows, regrid); every downstream action re-analyzes that whole
+    logical plan on the driver even when the data itself is cached
+    (guide §5 / §3.3 "materialise an intermediate to truncate the
+    plan"). Calling this at the shear→grid/velocity seam starts every
+    downstream plan from a flat scan of materialized blocks — measured
+    on local[32]: single-mission velocity stage ~12–16 s → ~8–10 s, and
+    the N=32 fleet velocity 183 s → 14 s (module docstring).
+
+    ``truncate_lineage``: True → eager ``localCheckpoint`` (executor
+    blocks — right for one batch job); ``"checkpoint"`` → reliable
+    ``checkpoint()`` (requires ``setCheckpointDir``, survives executor
+    loss); False → no-op (return ``df`` unchanged).
+
+    Used by :func:`combine_missions` for fleet frames and by
+    single-mission drivers (bench.py's ``_mission_e2e``) at the same
+    seam, so the truncation lives in the library, not in a harness."""
+    if truncate_lineage == "checkpoint":
+        return df.checkpoint(eager=True)
+    if truncate_lineage:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def combine_missions(
     missions: Sequence[Mapping[str, DataFrame]],
     *,
@@ -109,10 +138,6 @@ def combine_missions(
             for m, mid in zip(missions, ids)
         ]
         df = functools.reduce(lambda a, b: a.unionByName(b), tagged)
-        if truncate_lineage == "checkpoint":
-            return df.checkpoint(eager=True)
-        if truncate_lineage:
-            return df.localCheckpoint(eager=True)
-        return df
+        return stage_boundary(df, truncate_lineage=truncate_lineage)
 
     return {k: one(k) for k in keys}

@@ -60,3 +60,23 @@ def test_missing_frame_validation(spark):
         combine_missions([])
     with pytest.raises(ValueError, match="length"):
         combine_missions([m0, m1], mission_ids=[1])
+
+
+def test_stage_boundary_truncates_and_preserves_rows(spark):
+    """stage_boundary (round 10: the single-mission seam helper bench.py
+    uses) — rows identical, lineage replaced by a flat checkpointed scan,
+    and False is a no-op."""
+    from seaexplorertools_spark.pipeline import stage_boundary
+
+    df = (
+        spark.range(200)
+        .select(F.col("id"), (F.col("id") * 3.5).alias("v"))
+        .filter(F.col("id") % 2 == 0)
+    )
+    cut = stage_boundary(df)
+    assert sorted(r["v"] for r in cut.collect()) == sorted(
+        r["v"] for r in df.collect()
+    )
+    plan = cut._jdf.queryExecution().analyzed().toString()
+    assert "Range" not in plan and "Filter" not in plan
+    assert stage_boundary(df, truncate_lineage=False) is df

@@ -26,23 +26,30 @@ def test_global_rank_independent_of_partition_count(spark, sf_dir):
     assert a == b
 
 
-def test_global_rank_has_no_global_window(spark, sf_dir):
-    """The big side must never pass through a single-partition window: every
-    Window node in the plan is either partitioned by __pid (data side) or
-    runs over the <= num_partitions-row counts side."""
+def test_global_rank_plan_has_single_shuffle_no_window(spark, sf_dir):
+    """Round-10 pin: global_rank's plan contains NO Window node at all
+    (local rank = sortWithinPartitions + monotonically_increasing_id's
+    low 33 bits) and exactly ONE full-data exchange — the range
+    repartition; every other exchange operates on the <= parts-row
+    counts/offsets side. The Sort must sit BELOW the id projection
+    (a nondeterministic projection the optimizer must not reorder)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
     df = global_rank(docs, [F.col("n_chars").desc(), F.col("doc_id")], "rank")
     txt = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    import re
-
-    windows = [ln for ln in txt.split("\n") if "Window" in ln and "windowspecdefinition" in ln]
-    data_side = [ln for ln in windows if "__pid" in ln and "row_number" in ln]
-    assert data_side, txt  # local row_number is partitioned
-    # the only non-partitioned window is the offset prefix-sum (sum over __n)
-    unpartitioned = [ln for ln in windows if "partitionBy" not in ln and "__n" not in ln and "row_number" in ln]
-    assert not [ln for ln in unpartitioned if "__pid" not in ln], txt
+    assert "Window" not in txt, txt
+    assert txt.count("rangepartitioning") == 1, txt
+    assert "hashpartitioning(__pid" not in txt.split("InMemoryRelation")[0], txt
+    # inside the cached subtree: Project(monotonically_increasing_id)
+    # above Sort above Exchange — the sorted-position contract
+    cached = txt.split("InMemoryRelation")[1]
+    tree = [ln for ln in cached.splitlines() if "(" in ln]
+    idx = {
+        kind: next(i for i, ln in enumerate(tree) if kind in ln)
+        for kind in ("Project", "Sort", "Exchange")
+    }
+    assert idx["Project"] < idx["Sort"] < idx["Exchange"], cached[:800]
 
 
 def test_global_cumsum_matches_naive_window(spark, sf_dir):
