@@ -85,6 +85,7 @@ def main() -> None:
         ("documents", ["doc_id"]),
         ("customer", ["c_custkey"]),
         ("lineitem", ["l_orderkey", "l_partkey"]),
+        ("embeddings", ["vec_id"]),  # dense side of the retrieval lanes
     ):
         df = spark.read.parquet(f"{base}/{tbl}.parquet")
         if tbl == "documents":

@@ -582,7 +582,10 @@ def dd_bloom_decontaminate(spark, sf_dir):
     # no extra .distinct() exchange; the holdout side skips its global
     # token dedup too because bloom_build's bit_or is idempotent
     # (duplicate members OR the same bits). Measured 1.23 -> 0.95 s at
-    # sf0.1, bit-identical output.
+    # sf0.1, bit-identical output. Round 10 re-examined both at a 10x
+    # scale step: re-adding the holdout distinct measured NEUTRAL
+    # (ab_bloom_10x.json), and the r8-vs-r9 10x comparison is within
+    # cross-run noise (ab_structural_10x.json vs the rerun) — kept.
     sh = doc_shingles(docs, 3)
     hold = sh.filter(F.col("doc_id") % 50 == 0).select("tok")
     bloom = bloom_build(hold, "tok", m_bits=65536, k=3)
